@@ -1,0 +1,79 @@
+"""Text-analysis expression builders for training-data pipelines.
+
+All pure JVM-side Column expressions (no Python UDFs): language-ID
+heuristic, quality scoring, token counting, shingling, fingerprinting.
+Designed to run inside whole-stage codegen over 100 TB of documents —
+each is a narrow projection, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny English stopword list for the n-gram/stopword language heuristic
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are known stopwords — the core signal of
+    the stopword-based language-ID heuristic."""
+    sw = F.array(*[F.lit(s) for s in (stopwords or EN_STOPWORDS)])
+    toks = tokens(text)
+    n_sw = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    return n_sw / F.greatest(F.size(toks), F.lit(1))
+
+
+def lang_id(text: Column | str, threshold: float = 0.05) -> Column:
+    """Predict 'en' when stopword density clears the threshold, else 'unk'.
+    (A real deployment would add per-language char-n-gram profiles; the
+    Spark shape — pure expression, no shuffle — is the point.)"""
+    return F.when(stopword_ratio(text) >= threshold, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def avg_token_len(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality score in [0,1]: length saturation x lexical
+    diversity. Deterministic and SQL-expressible for oracle checking."""
+    toks = tokens(text)
+    n = F.size(toks)
+    length_sat = F.least(n / F.lit(100.0), F.lit(1.0))
+    diversity = F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1)).cast("double")
+    return F.round(length_sat * diversity, 4)
+
+
+def shingles(toks: Column, k: int = 3) -> Column:
+    """k-token shingles: ['a','b','c','d'], k=3 -> ['a b c', 'b c d'].
+    Built with transform+slice so it stays a codegen'd expression."""
+    n = F.size(toks)
+    return F.when(n < k, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda j: F.array_join(F.slice(toks, j + 1, k), " "),
+        )
+    )
+
+
+def bag_fingerprint(text: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token bag. Catches shuffled/reordered near-duplicates exactly."""
+    return F.md5(F.array_join(F.sort_array(F.array_distinct(tokens(text))), " "))

@@ -1,0 +1,299 @@
+"""Property-graph data model.
+
+Reference layout: one heap table per label — vertices ``(id graphid,
+properties gtype)``, edges ``(id, start_id, end_id, properties)`` — with
+Postgres table inheritance making the parent table a scan of all labels
+(src/backend/commands/label_commands.c:651-712,
+src/backend/commands/graph_commands.c:81-96).
+
+Spark layout: ONE ``vertices`` and ONE ``edges`` DataFrame/parquet table
+per graph, with a ``label`` column (partition column on disk). An
+unlabeled scan (``MATCH (n)``) is then a plain scan; a labeled scan prunes
+partitions — the columnar analog of inheritance + per-label tables.
+
+graphid: 64-bit, 16-bit label id (high) + 48-bit entry id (low), exactly
+the reference's packing (src/include/utils/graphid.h:31-64).
+Properties: JSON string column (heterogeneous, schemaless — the gtype
+document model, src/include/utils/gtype.h); parsed to VariantType at query
+time by the expression compiler.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ENTRY_ID_BITS = 48
+ENTRY_ID_MASK = (1 << ENTRY_ID_BITS) - 1
+LABEL_ID_MAX = 0xFFFF
+
+VERTEX_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("label", T.StringType(), False),
+        T.StructField("properties", T.StringType(), False),
+    ]
+)
+
+EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("start_id", T.LongType(), False),
+        T.StructField("end_id", T.LongType(), False),
+        T.StructField("label", T.StringType(), False),
+        T.StructField("properties", T.StringType(), False),
+    ]
+)
+
+
+def make_graphid(label_id: int, entry_id: int) -> int:
+    """Pack (label_id, entry_id) -> graphid (graphid.c:195-217)."""
+    if not 0 <= label_id <= LABEL_ID_MAX:
+        raise ValueError(f"label_id out of range: {label_id}")
+    if not 0 <= entry_id <= ENTRY_ID_MASK:
+        raise ValueError(f"entry_id out of range: {entry_id}")
+    return (label_id << ENTRY_ID_BITS) | entry_id
+
+
+def graphid_label_id(col: F.Column) -> F.Column:
+    """GET_LABEL_ID: high 16 bits (graphid.h:49)."""
+    return F.shiftrightunsigned(col, ENTRY_ID_BITS)
+
+
+def graphid_entry_id(col: F.Column) -> F.Column:
+    """GET_ENTRY_ID: low 48 bits (graphid.h:52)."""
+    return col.bitwiseAND(F.lit(ENTRY_ID_MASK))
+
+
+class Graph:
+    """A graph = a vertices DataFrame + an edges DataFrame + a label map.
+
+    ``label_ids`` mirrors the ag_label catalog (src/include/catalog/
+    ag_label.h:47-68): label name -> 16-bit id used in graphid packing.
+    """
+
+    def __init__(
+        self,
+        name: str,
+        vertices: DataFrame,
+        edges: DataFrame,
+        label_ids: dict[str, int] | None = None,
+    ):
+        self.name = name
+        self.vertices = vertices
+        self.edges = edges
+        self.label_ids = dict(label_ids or {})
+
+    def vertices_with_label(self, label: str | None) -> DataFrame:
+        """Label scan. With a known label id this is a graphid high-bits
+        filter (filter_vertices_on_label_id, cypher_clause.c:105) that
+        Catalyst turns into partition pruning on the label column."""
+        if label is None:
+            return self.vertices
+        return self.vertices.filter(F.col("label") == label)
+
+    def edges_with_label(self, label: str | None) -> DataFrame:
+        if label is None:
+            return self.edges
+        return self.edges.filter(F.col("label") == label)
+
+    def cache(self) -> "Graph":
+        self.vertices = self.vertices.cache()
+        self.edges = self.edges.cache()
+        return self
+
+    # -- construction helpers -------------------------------------------
+
+    @classmethod
+    def from_rows(
+        cls,
+        spark: SparkSession,
+        name: str,
+        vertex_rows: list[tuple[str, dict]],
+        edge_rows: list[tuple[str, int, int, dict]],
+    ) -> "Graph":
+        """Build a small fixture graph from python rows.
+
+        vertex_rows: (label, properties) — entry ids assigned sequentially
+        per label (per-label sequences, label_commands.c:563-583); the
+        vertex's graphid is returned positionally: edge_rows reference
+        vertices by their index in vertex_rows.
+        edge_rows: (label, src_index, dst_index, properties).
+        """
+        label_ids: dict[str, int] = {}
+        next_entry: dict[str, int] = {}
+
+        def intern(label: str) -> int:
+            if label not in label_ids:
+                label_ids[label] = len(label_ids) + 1
+            return label_ids[label]
+
+        vids: list[int] = []
+        vrows = []
+        for label, props in vertex_rows:
+            lid = intern(label)
+            eid = next_entry.get(label, 0) + 1
+            next_entry[label] = eid
+            gid = make_graphid(lid, eid)
+            vids.append(gid)
+            vrows.append((gid, label, json.dumps(props)))
+        erows = []
+        for label, src, dst, props in edge_rows:
+            lid = intern(label)
+            eid = next_entry.get(label, 0) + 1
+            next_entry[label] = eid
+            erows.append((make_graphid(lid, eid), vids[src], vids[dst], label, json.dumps(props)))
+        vertices = spark.createDataFrame(vrows, VERTEX_SCHEMA)
+        edges = spark.createDataFrame(erows if erows else [], EDGE_SCHEMA)
+        return cls(name, vertices, edges, label_ids)
+
+    @classmethod
+    def read(cls, spark: SparkSession, path: str, name: str | None = None) -> "Graph":
+        vertices = spark.read.parquet(os.path.join(path, "vertices"))
+        edges = spark.read.parquet(os.path.join(path, "edges"))
+        meta_path = os.path.join(path, "catalog.json")
+        label_ids = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                label_ids = json.load(f).get("label_ids", {})
+        return cls(name or os.path.basename(path), vertices, edges, label_ids)
+
+    def write(self, path: str, mode: str = "overwrite") -> None:
+        """Persist partitioned by label → labeled scans prune partitions."""
+        self.vertices.write.mode(mode).partitionBy("label").parquet(os.path.join(path, "vertices"))
+        self.edges.write.mode(mode).partitionBy("label").parquet(os.path.join(path, "edges"))
+        with open(os.path.join(path, "catalog.json"), "w") as f:
+            json.dump({"name": self.name, "label_ids": self.label_ids}, f)
+
+
+class GraphCatalog:
+    """CREATE/USE/DROP GRAPH (graph_commands.c:60-96). In-memory registry
+    backed by an optional root directory of parquet graphs."""
+
+    def __init__(self, spark: SparkSession, root: str | None = None):
+        self.spark = spark
+        self.root = root
+        self.graphs: dict[str, Graph] = {}
+        self.current: str | None = None
+
+    def create_graph(self, name: str, if_not_exists: bool = True) -> Graph:
+        if name in self.graphs:
+            if if_not_exists:
+                return self.graphs[name]
+            raise ValueError(f"graph {name!r} already exists")
+        g = Graph.from_rows(self.spark, name, [], [])
+        self.graphs[name] = g
+        if self.current is None:
+            self.current = name
+        return g
+
+    def use_graph(self, name: str) -> Graph:
+        if name not in self.graphs:
+            if self.root and os.path.isdir(os.path.join(self.root, name)):
+                self.graphs[name] = Graph.read(self.spark, os.path.join(self.root, name), name)
+            else:
+                raise ValueError(f"graph {name!r} does not exist")
+        self.current = name
+        return self.graphs[name]
+
+    def drop_graph(self, name: str, cascade: bool = True) -> None:
+        self.graphs.pop(name, None)
+        if self.current == name:
+            self.current = None
+
+    def register(self, graph: Graph) -> Graph:
+        self.graphs[graph.name] = graph
+        if self.current is None:
+            self.current = graph.name
+        return graph
+
+
+# -- graph projection of the relational star schema (FIXTURES.md F8) -----
+
+TPCH_VLABELS = {"customer": 1, "orders": 2, "part": 3, "supplier": 4, "nation": 5}
+TPCH_ELABELS = {"placed": 6, "contains": 7, "from_nation": 8, "supplied_by": 9}
+
+
+def tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Project the TPC-H-ish tables into a property graph.
+
+    vertices: customer / orders / part / supplier / nation rows.
+    edges: placed (customer->orders), contains (orders->part, lineitem
+    props), from_nation (customer->nation, supplier->nation).
+    All built declaratively — at 100 TB this is a column-pruned scan plus
+    a narrow projection, no shuffle.
+    """
+
+    def props_json(df: DataFrame, cols: list[str]) -> F.Column:
+        return F.to_json(F.struct(*[F.col(c) for c in cols]))
+
+    def vtab(name: str, key: str, cols: list[str]) -> DataFrame:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        lid = TPCH_VLABELS[name]
+        return df.select(
+            (F.lit(lid).cast("long") * F.lit(1 << ENTRY_ID_BITS) + F.col(key).cast("long")).alias("id"),
+            F.lit(name).alias("label"),
+            props_json(df, cols).alias("properties"),
+        )
+
+    vertices = (
+        vtab("customer", "c_custkey", ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"])
+        .unionByName(vtab("orders", "o_orderkey", ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]))
+        .unionByName(vtab("part", "p_partkey", ["p_partkey", "p_name", "p_brand", "p_type", "p_size"]))
+        .unionByName(vtab("supplier", "s_suppkey", ["s_suppkey", "s_name", "s_acctbal"]))
+        .unionByName(vtab("nation", "n_nationkey", ["n_nationkey", "n_name"]))
+    )
+
+    def gid(label: str, key_col: F.Column, table: dict[str, int] = TPCH_VLABELS) -> F.Column:
+        return F.lit(table[label]).cast("long") * F.lit(1 << ENTRY_ID_BITS) + key_col.cast("long")
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    supplier = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+    def eid(label: str, seq: F.Column) -> F.Column:
+        return F.lit(TPCH_ELABELS[label]).cast("long") * F.lit(1 << ENTRY_ID_BITS) + seq
+
+    placed = orders.select(
+        eid("placed", F.col("o_orderkey").cast("long")).alias("id"),
+        gid("customer", F.col("o_custkey")).alias("start_id"),
+        gid("orders", F.col("o_orderkey")).alias("end_id"),
+        F.lit("placed").alias("label"),
+        F.lit("{}").alias("properties"),
+    )
+    contains = lineitem.select(
+        eid("contains", F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id"),
+        gid("orders", F.col("l_orderkey")).alias("start_id"),
+        gid("part", F.col("l_partkey")).alias("end_id"),
+        F.lit("contains").alias("label"),
+        F.to_json(
+            F.struct(
+                F.col("l_quantity").alias("quantity"),
+                F.col("l_extendedprice").alias("extendedprice"),
+                F.col("l_discount").alias("discount"),
+            )
+        ).alias("properties"),
+    )
+    cust_nation = customer.select(
+        eid("from_nation", F.col("c_custkey").cast("long")).alias("id"),
+        gid("customer", F.col("c_custkey")).alias("start_id"),
+        gid("nation", F.col("c_nationkey")).alias("end_id"),
+        F.lit("from_nation").alias("label"),
+        F.lit("{}").alias("properties"),
+    )
+    supp_nation = supplier.select(
+        eid("from_nation", F.lit(1 << 40) + F.col("s_suppkey").cast("long")).alias("id"),
+        gid("supplier", F.col("s_suppkey")).alias("start_id"),
+        gid("nation", F.col("s_nationkey")).alias("end_id"),
+        F.lit("from_nation").alias("label"),
+        F.lit("{}").alias("properties"),
+    )
+    edges = placed.unionByName(contains).unionByName(cust_nation).unionByName(supp_nation)
+    label_ids = dict(TPCH_VLABELS)
+    label_ids.update(TPCH_ELABELS)
+    return Graph("tpch", vertices, edges, label_ids)

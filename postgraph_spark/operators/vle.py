@@ -1,0 +1,127 @@
+"""Variable-length edge traversal (Cypher ``-[*lo..hi]->``).
+
+Reference semantics (src/backend/utils/path_finding/dfs.c:48-663 +
+global_graph.c): enumerate every path between pattern endpoints whose
+edges are pairwise distinct (relationship isomorphism), honoring hop
+bounds, direction, edge label, and property constraints; emit one result
+per path. Default lo=1 (cypher_gram.y:4297-4330); ``*0..`` includes
+zero-length paths; unbounded hi terminates only via edge-uniqueness.
+
+Spark re-design: the reference loads the whole graph into per-backend
+hashtables and runs a recursive DFS — single-process, memory-bound at
+|V|+|E|. Here the frontier is a DataFrame ``(start_id, end_id, edge_ids,
+hop)`` expanded one hop per iteration by an equi-join against the edge
+table; path-level edge uniqueness is ``!array_contains(edge_ids, id)``.
+Each iteration localCheckpoints to break lineage (driver-side loop, but
+all data stays distributed — this scales to graphs that do not fit on
+one machine, unlike the reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from postgraph_spark.graph import Graph
+
+
+def _directed_edges(graph: Graph, direction: str, label: str | None) -> DataFrame:
+    """Edge table oriented for traversal: (src, dst, eid).
+
+    'out': follow start->end; 'in': end->start; 'both': union of both
+    orientations (an undirected step may use any edge either way —
+    make_directed_edge_join_conditions, cypher_clause.c:3029-3060).
+    """
+    e = graph.edges_with_label(label)
+    out_e = e.select(F.col("start_id").alias("src"), F.col("end_id").alias("dst"), F.col("id").alias("eid"))
+    in_e = e.select(F.col("end_id").alias("src"), F.col("start_id").alias("dst"), F.col("id").alias("eid"))
+    if direction == "out":
+        return out_e
+    if direction == "in":
+        return in_e
+    return out_e.unionByName(in_e)
+
+
+def vle(
+    graph: Graph,
+    lo: int = 1,
+    hi: int | None = None,
+    direction: str = "out",
+    edge_label: str | None = None,
+    edge_prop_filter: F.Column | None = None,
+    start_ids: DataFrame | None = None,
+    max_hops_cap: int = 64,
+) -> DataFrame:
+    """All variable-length paths: (start_id, end_id, edge_ids, hops).
+
+    start_ids: optional single-column ``id`` DataFrame restricting path
+    origins (pushes the pattern's start-vertex constraint into the
+    traversal instead of expanding from every vertex).
+    edge_prop_filter: Column predicate over the edge table's columns
+    (applied before orientation), e.g. property containment.
+    """
+    edges = graph.edges_with_label(edge_label)
+    if edge_prop_filter is not None:
+        edges = edges.filter(edge_prop_filter)
+    tmp = Graph(graph.name, graph.vertices, edges, graph.label_ids)
+    oriented = _directed_edges(tmp, direction, None).cache()
+
+    if start_ids is not None:
+        seeds = start_ids.select(F.col(start_ids.columns[0]).alias("start_id")).distinct()
+    else:
+        seeds = (
+            graph.vertices.select(F.col("id").alias("start_id"))
+            .unionByName(oriented.select(F.col("src").alias("start_id")))
+            .distinct()
+        )
+
+    zero = seeds.select(
+        "start_id",
+        F.col("start_id").alias("end_id"),
+        F.array().cast("array<long>").alias("edge_ids"),
+        F.lit(0).alias("hops"),
+    )
+
+    results: list[DataFrame] = []
+    if lo == 0:
+        results.append(zero)
+
+    frontier = zero
+    hop = 0
+    bound = hi if hi is not None else max_hops_cap
+    while hop < bound:
+        hop += 1
+        expanded = (
+            frontier.join(oriented, frontier.end_id == oriented.src)
+            .filter(~F.array_contains(F.col("edge_ids"), F.col("eid")))
+            .select(
+                "start_id",
+                F.col("dst").alias("end_id"),
+                F.array_append("edge_ids", F.col("eid")).alias("edge_ids"),
+                F.lit(hop).alias("hops"),
+            )
+        )
+        # break lineage: each iteration's plan would otherwise nest the
+        # previous join tree (exponential optimizer time by ~hop 10)
+        expanded = expanded.localCheckpoint(eager=True)
+        if expanded.isEmpty():
+            break
+        if hop >= lo:
+            results.append(expanded)
+        frontier = expanded
+
+    if not results:
+        return zero.limit(0)
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def match_vle_counts(graph: Graph, begin_label: str, end_label: str, **kw) -> int:
+    """Count paths between two vertex-label endpoint sets (the shape of
+    the reference's golden VLE assertions, regress/sql/cypher_vle.sql)."""
+    starts = graph.vertices_with_label(begin_label).select("id")
+    paths = vle(graph, start_ids=starts, **kw)
+    ends = graph.vertices_with_label(end_label).select(F.col("id").alias("end_id"))
+    return paths.join(ends, "end_id").count()

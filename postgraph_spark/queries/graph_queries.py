@@ -1,0 +1,75 @@
+"""Graph-pattern queries over the property-graph projection of the
+relational tables (FIXTURES.md F8): the engine's MATCH join semantics
+exercised through the DuckDB-oracle gate. Oracles are the equivalent
+relational joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgraph_spark.graph import tpch_graph
+from postgraph_spark.queries.registry import register
+
+
+@register(
+    "graph_match_1hop",
+    """
+    SELECT c.c_custkey AS custkey, count(*) AS n_big_orders
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 300000
+    GROUP BY c.c_custkey
+    """,
+)
+def graph_match_1hop(spark, sf_dir):
+    """MATCH (c:customer)-[:placed]->(o:orders) WHERE o.totalprice > X
+    RETURN c.custkey, count(o) — pattern hop = equi-join start_id/end_id
+    (transform_cypher_edge, cypher_clause.c:3634-3823); label scan =
+    partition-pruned filter; property filter on the JSON properties."""
+    g = tpch_graph(spark, sf_dir)
+    c = g.vertices_with_label("customer").alias("c")
+    o = g.vertices_with_label("orders").alias("o")
+    e = g.edges_with_label("placed").alias("e")
+    return (
+        c.join(e, F.col("c.id") == F.col("e.start_id"))
+        .join(o, F.col("e.end_id") == F.col("o.id"))
+        .filter(F.get_json_object("o.properties", "$.o_totalprice").cast("double") > 300000)
+        .select(F.get_json_object("c.properties", "$.c_custkey").cast("long").alias("custkey"))
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n_big_orders"))
+    )
+
+
+@register(
+    "graph_match_2hop",
+    """
+    SELECT n.n_name AS nation, count(DISTINCT o.o_orderkey) AS n_orders
+    FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_totalprice > 200000
+    GROUP BY n.n_name
+    """,
+)
+def graph_match_2hop(spark, sf_dir):
+    """MATCH (n:nation)<-[:from_nation]-(c:customer)-[:placed]->(o:orders)
+    — a 2-hop pattern mixing edge directions; joins chain on graphids."""
+    g = tpch_graph(spark, sf_dir)
+    c = g.vertices_with_label("customer").alias("c")
+    o = g.vertices_with_label("orders").alias("o")
+    n = g.vertices_with_label("nation").alias("n")
+    placed = g.edges_with_label("placed").alias("ep")
+    from_nation = g.edges_with_label("from_nation").alias("en")
+    return (
+        c.join(placed, F.col("c.id") == F.col("ep.start_id"))
+        .join(o, F.col("ep.end_id") == F.col("o.id"))
+        .join(from_nation, F.col("c.id") == F.col("en.start_id"))
+        .join(n, F.col("en.end_id") == F.col("n.id"))
+        .filter(F.get_json_object("o.properties", "$.o_totalprice").cast("double") > 200000)
+        .select(
+            F.get_json_object("n.properties", "$.n_name").alias("nation"),
+            F.get_json_object("o.properties", "$.o_orderkey").cast("long").alias("okey"),
+        )
+        .groupBy("nation")
+        .agg(F.countDistinct("okey").alias("n_orders"))
+    )

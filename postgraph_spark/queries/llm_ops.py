@@ -1,0 +1,252 @@
+"""Training-data-pipeline queries: dedup, similarity search, text
+analysis — each backed by operators in postgraph_spark.operators /
+functions and mirrored by an exact DuckDB oracle (same md5-based hashes,
+same fold order for float math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgraph_spark.functions import text as TX
+from postgraph_spark.operators import dedup as DD
+from postgraph_spark.operators import similarity as SIM
+from postgraph_spark.queries.registry import register, t
+
+# shared oracle CTEs: tokenization + distinct 3-shingles per doc
+_TOKS = r"""
+toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents)
+"""
+_SHINGLES = (
+    _TOKS
+    + r""",
+sh AS (SELECT DISTINCT doc_id,
+              unnest(CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(generate_series(0, len(tk)-3),
+                                         j -> array_to_string(tk[j+1:j+3], ' ')) END) AS shingle
+       FROM toks)
+"""
+)
+
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS fp, count(*) AS cnt, min(doc_id) AS keep_id
+    FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    """Exact dedup: one shuffle on the md5 digest."""
+    return DD.exact_dup_groups(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dedup_bag_fingerprint",
+    r"""
+    WITH fps AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(text), '\s+'))), ' ')) AS fp
+      FROM documents)
+    SELECT fp, count(*) AS cnt, min(doc_id) AS keep_id
+    FROM fps GROUP BY fp HAVING count(*) > 1
+    """,
+)
+def dedup_bag_fingerprint(spark, sf_dir):
+    """Order-insensitive near-dup groups via sorted-token-bag fingerprint
+    (document fingerprinting family)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", TX.bag_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+@register(
+    "minhash_signatures",
+    f"""
+    WITH {_SHINGLES},
+    hs AS (SELECT doc_id, g.h AS h,
+                  substr(md5(CAST(g.h AS VARCHAR) || shingle), 1, 8) AS hv
+           FROM sh CROSS JOIN generate_series(0, 7) AS g(h))
+    SELECT doc_id, h, min(hv) AS minhash FROM hs GROUP BY doc_id, h
+    """,
+)
+def minhash_signatures(spark, sf_dir):
+    """MinHash signatures (8 hash functions, 3-token shingles)."""
+    return DD.minhash_signatures(t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, k=3)
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH {_SHINGLES},
+    hs AS (SELECT doc_id, g.h AS h,
+                  substr(md5(CAST(g.h AS VARCHAR) || shingle), 1, 8) AS hv
+           FROM sh CROSS JOIN generate_series(0, 7) AS g(h)),
+    sig AS (SELECT doc_id, h, min(hv) AS minhash FROM hs GROUP BY doc_id, h),
+    bands AS (SELECT doc_id, h // 2 AS band,
+                     md5(array_to_string(list_sort(list(CAST(h AS VARCHAR) || ':' || minhash)), '|')) AS bucket
+              FROM sig GROUP BY doc_id, h // 2)
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+    WHERE x.doc_id < y.doc_id
+    """,
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs: 8 hashes, 4 bands x 2 rows."""
+    return DD.lsh_candidate_pairs(t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, bands=4, k=3)
+
+
+@register(
+    "dedup_jaccard_pairs",
+    f"""
+    WITH {_SHINGLES},
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM sh x JOIN sh y USING (shingle)
+              WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+    SELECT a, b, round(i / (sa.sz + sb.sz - i), 6) AS jac
+    FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+    WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5
+    """,
+)
+def dedup_jaccard_pairs(spark, sf_dir):
+    """Exact 3-shingle Jaccard similarity join at t=0.5."""
+    return DD.jaccard_pairs(t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5, k=3)
+
+
+@register(
+    "simhash_fingerprints",
+    f"""
+    WITH {_TOKS},
+    tok AS (SELECT doc_id, substr(md5(unnest(tk)), 1, 8) AS th FROM toks),
+    bits AS (SELECT doc_id, th, g.b AS b FROM tok CROSS JOIN generate_series(0, 31) AS g(b)),
+    votes AS (SELECT doc_id, b,
+                     sum(((strpos('0123456789abcdef', substr(th, b // 4 + 1, 1)) - 1 >> (b % 4)) & 1) * 2 - 1) AS v
+              FROM bits GROUP BY doc_id, b)
+    SELECT doc_id, sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def simhash_fingerprints(spark, sf_dir):
+    """32-bit SimHash fingerprints for near-dup detection."""
+    return DD.simhash32(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "text_stats",
+    r"""
+    WITH toks AS (SELECT doc_id, n_chars, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents)
+    SELECT doc_id,
+           CAST(len(tk) AS INT) AS n_tokens,
+           CAST(len(list_distinct(tk)) AS INT) AS n_distinct,
+           round(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / greatest(len(tk), 1), 4) AS avg_tok_len,
+           round(least(len(tk) / 100.0, 1.0) * (len(list_distinct(tk)) / CAST(greatest(len(tk), 1) AS DOUBLE)), 4) AS quality,
+           n_chars
+    FROM toks
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Token counting + quality scoring (pure expressions, no UDF)."""
+    d = t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    n = F.size(toks)
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+            / F.greatest(n, F.lit(1)),
+            4,
+        ).alias("avg_tok_len"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        "n_chars",
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    r"""
+    WITH toks AS (SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents),
+    rat AS (SELECT doc_id, lang,
+                   len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in','is','it','for','on'], x)))
+                   / CAST(greatest(len(tk), 1) AS DOUBLE) AS sw_ratio
+            FROM toks)
+    SELECT doc_id, lang,
+           CASE WHEN sw_ratio >= 0.05 THEN 'en' ELSE 'unk' END AS pred_lang,
+           round(sw_ratio, 4) AS sw_ratio
+    FROM rat
+    """,
+)
+def lang_id_heuristic(spark, sf_dir):
+    """Stopword-density language ID."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        TX.lang_id(F.col("text")).alias("pred_lang"),
+        F.round(TX.stopword_ratio(F.col("text")), 4).alias("sw_ratio"),
+    )
+
+
+@register(
+    "sim_topk_cosine",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 10),
+    sims AS (SELECT q.vec_id AS q, c.vec_id AS n,
+                    round(list_dot_product(q.v, c.v)
+                          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+             FROM q CROSS JOIN e c WHERE c.vec_id <> q.vec_id)
+    SELECT q, n, sim, rn FROM (
+      SELECT q, n, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, n) AS rn FROM sims)
+    WHERE rn <= 5
+    """,
+)
+def sim_topk_cosine(spark, sf_dir):
+    """Brute-force exact top-5 cosine ANN baseline (queries: vec_id<10)."""
+    e = t(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(e.filter(F.col("vec_id") < 10), e, k=5)
+
+
+@register(
+    "sim_topk_ivf",
+    """
+    WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 10),
+    sims AS (SELECT q.vec_id AS q, c.vec_id AS n,
+                    round(list_dot_product(q.v, c.v)
+                          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+             FROM q JOIN e c ON c.label = q.label AND c.vec_id <> q.vec_id)
+    SELECT q, n, sim, rn FROM (
+      SELECT q, n, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, n) AS rn FROM sims)
+    WHERE rn <= 5
+    """,
+)
+def sim_topk_ivf(spark, sf_dir):
+    """IVF-style top-k: candidates restricted to the query's cluster
+    (probe=1) — the partition-pruned scale path (SURVEY §2.7)."""
+    e = t(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(e.filter(F.col("vec_id") < 10), e, k=5, bucket_col="label")
+
+
+@register(
+    "embed_neardup_pairs",
+    """
+    WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+    """,
+)
+def embed_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within clusters (t=0.4 on this
+    synthetic corpus; production threshold ~0.95)."""
+    return SIM.neardup_pairs_cosine(t(spark, sf_dir, "embeddings"), threshold=0.4)

@@ -1,0 +1,3 @@
+from postgraph_spark.sources.relational import TABLES, load_table, load_tables, register_views
+
+__all__ = ["TABLES", "load_table", "load_tables", "register_views"]
