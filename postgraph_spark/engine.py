@@ -1,0 +1,195 @@
+"""CypherEngine — the user-facing query surface.
+
+Statement lifecycle mirrors SURVEY §3: text -> parse (plans.parser) ->
+clause IR -> DataFrame compile (plans.compiler) -> Catalyst. Graph DDL
+(CREATE/USE/DROP GRAPH — reference graph_commands.c) and data-writing
+CREATE are dispatched before the read compiler.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from postgraph_spark.functions import gtype as G
+from postgraph_spark.graph import Graph, GraphCatalog
+from postgraph_spark.plans import ast as A
+from postgraph_spark.plans.compiler import Compiler
+from postgraph_spark.plans.parser import parse
+
+_DDL_RE = re.compile(
+    r"^\s*(CREATE|USE|DROP)\s+GRAPH\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*(CASCADE)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+class CypherEngine:
+    def __init__(self, spark: SparkSession, catalog: GraphCatalog | None = None):
+        self.spark = spark
+        self.catalog = catalog or GraphCatalog(spark)
+
+    @property
+    def graph(self) -> Graph | None:
+        if self.catalog.current is None:
+            return None
+        return self.catalog.graphs[self.catalog.current]
+
+    # ------------------------------------------------------------- execute
+
+    def execute(self, text: str) -> DataFrame | None:
+        ddl = _DDL_RE.match(text)
+        if ddl:
+            verb, _, name, cascade = ddl.groups()
+            verb = verb.upper()
+            if verb == "CREATE":
+                self.catalog.create_graph(name)
+            elif verb == "USE":
+                self.catalog.use_graph(name)
+            else:
+                self.catalog.drop_graph(name)
+            return None
+
+        q = parse(text)
+        if isinstance(q, A.SingleQuery) and all(isinstance(c, A.CreateClause) for c in q.clauses):
+            for c in q.clauses:
+                self._execute_create(c)
+            return None
+        return Compiler(self.spark, self.graph).compile_query(q)
+
+    def fetch(self, text: str) -> list[tuple]:
+        """Execute and decode gval/entity columns to python values."""
+        df = self.execute(text)
+        if df is None:
+            return []
+        rows = df.collect()
+        out = []
+        for row in rows:
+            vals = []
+            for idx, field in enumerate(df.schema.fields):
+                v = row[idx]
+                names = set(field.dataType.fieldNames()) if hasattr(field.dataType, "fieldNames") else set()
+                if names == {"t", "b", "i", "d", "s", "j"}:
+                    vals.append(G.decode(v))
+                elif v is not None and "properties" in names:
+                    d = v.asDict()
+                    d["properties"] = json.loads(d["properties"])
+                    vals.append(d)
+                else:
+                    vals.append(v)
+            out.append(tuple(vals))
+        return out
+
+    def fetch_values(self, text: str) -> list:
+        """Single-column fetch -> flat list."""
+        return [r[0] for r in self.fetch(text)]
+
+    # -------------------------------------------------------------- CREATE
+
+    def _execute_create(self, c: A.CreateClause) -> None:
+        """Literal CREATE executed into the current graph (fixture-scale;
+        the reference allocates graphids from label sequences and inserts
+        heap tuples, cypher_create.c:332-540 — here we append rows).
+
+        Vertex variables bind across paths within the statement and
+        across CREATE statements in this engine (names are remembered so
+        edge patterns can reference earlier-created vertices)."""
+        g = self.graph
+        if g is None:
+            raise ValueError("no graph selected (USE GRAPH first)")
+        if not hasattr(self, "_created_vars"):
+            self._created_vars: dict[str, int] = {}
+
+        def lit_props(props: A.MapLit | None) -> dict:
+            if props is None:
+                return {}
+            out = {}
+            for k, v in props.items.items():
+                out[k] = _literal_value(v)
+            return out
+
+        vrows: list[tuple[str, dict]] = []
+        pending_edges = []  # (label, src_ref, dst_ref, props)
+        local_vars: dict[str, int] = {}
+
+        def node_ref(n: A.NodePat):
+            if n.var and n.var in local_vars:
+                return ("new", local_vars[n.var])
+            if n.var and n.var in self._created_vars:
+                return ("old", self._created_vars[n.var])
+            idx = len(vrows)
+            vrows.append((n.label or "_ag_label_vertex", lit_props(n.props)))
+            if n.var:
+                local_vars[n.var] = idx
+            return ("new", idx)
+
+        for path in c.paths:
+            els = path.elements
+            prev = node_ref(els[0])
+            i = 1
+            while i < len(els):
+                rel: A.RelPat = els[i]
+                nxt = node_ref(els[i + 1])
+                i += 2
+                if rel.direction == "in":
+                    src, dst = nxt, prev
+                else:
+                    src, dst = prev, nxt
+                pending_edges.append((rel.label or "_ag_label_edge", src, dst, lit_props(rel.props)))
+                prev = nxt
+
+        base_ids = self._append_vertices(g, vrows)
+        for var, idx in local_vars.items():
+            self._created_vars[var] = base_ids[idx]
+
+        def resolve(ref):
+            kind, v = ref
+            return base_ids[v] if kind == "new" else v
+
+        erows = [(lbl, resolve(s), resolve(d), props) for lbl, s, d, props in pending_edges]
+        self._append_edges(g, erows)
+
+    def _append_vertices(self, g: Graph, rows: list[tuple[str, dict]]) -> list[int]:
+        from postgraph_spark.graph import VERTEX_SCHEMA, make_graphid
+
+        if not hasattr(g, "_next_entry"):
+            g._next_entry = {}
+        ids = []
+        data = []
+        for label, props in rows:
+            lid = g.label_ids.setdefault(label, len(g.label_ids) + 1)
+            eid = g._next_entry.get(label, 0) + 1
+            g._next_entry[label] = eid
+            gid = make_graphid(lid, eid)
+            ids.append(gid)
+            data.append((gid, label, json.dumps(props)))
+        if data:
+            g.vertices = g.vertices.unionByName(self.spark.createDataFrame(data, VERTEX_SCHEMA))
+        return ids
+
+    def _append_edges(self, g: Graph, rows: list[tuple[str, int, int, dict]]) -> None:
+        from postgraph_spark.graph import EDGE_SCHEMA, make_graphid
+
+        if not hasattr(g, "_next_entry"):
+            g._next_entry = {}
+        data = []
+        for label, src, dst, props in rows:
+            lid = g.label_ids.setdefault(label, len(g.label_ids) + 1)
+            eid = g._next_entry.get(label, 0) + 1
+            g._next_entry[label] = eid
+            data.append((make_graphid(lid, eid), src, dst, label, json.dumps(props)))
+        if data:
+            g.edges = g.edges.unionByName(self.spark.createDataFrame(data, EDGE_SCHEMA))
+
+
+def _literal_value(e):
+    if isinstance(e, A.Lit):
+        return e.value
+    if isinstance(e, A.ListLit):
+        return [_literal_value(x) for x in e.items]
+    if isinstance(e, A.MapLit):
+        return {k: _literal_value(v) for k, v in e.items.items()}
+    if isinstance(e, A.UnaryOp) and e.op == "-":
+        return -_literal_value(e.operand)
+    raise ValueError("CREATE supports literal properties only")

@@ -1,0 +1,416 @@
+"""gtype — the reference's dynamically-typed document scalar
+(src/include/utils/gtype.h:454-503) re-expressed as a tagged struct
+column ("gval") of pure Spark expressions.
+
+gval = struct<t:int, b:boolean, i:long, d:double, s:string, j:string>
+  t — type rank, EXACTLY the reference's btree sort priority
+      (get_type_sort_priority, src/backend/utils/adt/gtype_util.c:194-221):
+      0 object, 1 array, 2 string, 3 bool, 4 number, 5 timestamp,
+      6 date, 7 time, 8 interval, 11 null. A gtype null is t=11 (never a
+      SQL-null struct) so three-valued logic is explicit.
+  b/i/d/s — payload for bool/int/float+int/string. Numbers always fill
+      d (the comparison key); i additionally when the value is integral,
+      preserving int-vs-float identity (1 vs 1.0) for output while
+      cross-type numeric comparison uses d (compare_gtype_scalar_values,
+      gtype_util.c:1763-1900: int/float/numeric compare numerically).
+  j — JSON text for containers (heterogeneous arrays/objects).
+
+Orderability: sort_key() returns struct(t, d, s, bi, j) — Spark's struct
+ordering compares fields left-to-right, nulls-first within a field, and
+treats NaN as equal-to-NaN and greater than all doubles, which is the
+reference's float orderability (compare_two_floats_orderability,
+gtype_util.c:1546-1560).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# type ranks (gtype_util.c:194-221)
+T_OBJECT = 0
+T_ARRAY = 1
+T_STRING = 2
+T_BOOL = 3
+T_NUMBER = 4
+T_TIMESTAMP = 5
+T_DATE = 6
+T_NULL = 11
+
+def _mk(t: Column | int, b=None, i=None, d=None, s=None, j=None) -> Column:
+    tt = F.lit(t) if isinstance(t, int) else t
+    n = F.lit(None)
+    return F.struct(
+        tt.cast("int").alias("t"),
+        (b if b is not None else n).cast("boolean").alias("b"),
+        (i if i is not None else n).cast("long").alias("i"),
+        (d if d is not None else n).cast("double").alias("d"),
+        (s if s is not None else n).cast("string").alias("s"),
+        (j if j is not None else n).cast("string").alias("j"),
+    )
+
+
+def gv_null() -> Column:
+    return _mk(T_NULL)
+
+
+def gv_bool(c: Column | bool) -> Column:
+    c = F.lit(c) if isinstance(c, bool) else c
+    return F.when(c.isNull(), gv_null()).otherwise(_mk(T_BOOL, b=c))
+
+
+def gv_int(c: Column | int) -> Column:
+    c = F.lit(c) if isinstance(c, int) else c
+    return F.when(c.isNull(), gv_null()).otherwise(_mk(T_NUMBER, i=c, d=c.cast("double")))
+
+
+def gv_float(c: Column | float) -> Column:
+    c = F.lit(c) if isinstance(c, float) else c
+    return F.when(c.isNull(), gv_null()).otherwise(_mk(T_NUMBER, d=c))
+
+
+def gv_str(c: Column | str) -> Column:
+    c = F.lit(c) if isinstance(c, str) else c
+    return F.when(c.isNull(), gv_null()).otherwise(_mk(T_STRING, s=c))
+
+
+def gv_array_json(c: Column) -> Column:
+    return F.when(c.isNull(), gv_null()).otherwise(_mk(T_ARRAY, j=c))
+
+
+def gv_object_json(c: Column) -> Column:
+    return F.when(c.isNull(), gv_null()).otherwise(_mk(T_OBJECT, j=c))
+
+
+def gv_lit(v: Any) -> Column:
+    """Python literal -> gval."""
+    if v is None:
+        return gv_null()
+    if isinstance(v, bool):
+        return gv_bool(v)
+    if isinstance(v, int):
+        return gv_int(v)
+    if isinstance(v, float):
+        return gv_float(v)
+    if isinstance(v, str):
+        return gv_str(v)
+    if isinstance(v, list):
+        return gv_array_json(F.lit(json.dumps(v)))
+    if isinstance(v, dict):
+        return gv_object_json(F.lit(json.dumps(v)))
+    raise TypeError(f"unsupported literal: {v!r}")
+
+
+def from_variant(x: Column) -> Column:
+    """VARIANT -> gval: runtime type dispatch on schema_of_variant.
+    JSON decimals surface as DECIMAL(p,s) — treated as float (the
+    reference parses bare decimals to gtype float/numeric)."""
+    sch = F.schema_of_variant(x)
+    return (
+        F.when(x.isNull() | F.is_variant_null(x), gv_null())
+        .when(sch == "BIGINT", _mk(T_NUMBER, i=F.variant_get(x, "$", "bigint"), d=F.variant_get(x, "$", "double")))
+        .when(
+            sch.startswith("DECIMAL") | (sch == "DOUBLE") | (sch == "FLOAT"),
+            _mk(T_NUMBER, d=F.variant_get(x, "$", "double")),
+        )
+        .when(sch == "STRING", _mk(T_STRING, s=F.variant_get(x, "$", "string")))
+        .when(sch == "BOOLEAN", _mk(T_BOOL, b=F.variant_get(x, "$", "boolean")))
+        .when(sch.startswith("ARRAY"), _mk(T_ARRAY, j=x.cast("string")))
+        .when(sch.startswith("OBJECT") | sch.startswith("STRUCT"), _mk(T_OBJECT, j=x.cast("string")))
+        .otherwise(gv_null())
+    )
+
+
+def prop_access(props_json: Column, path: list[str]) -> Column:
+    """properties JSON -> gval at $.a.b...; missing key -> gtype null
+    (reference `->` semantics, gtype.c:1621-1832)."""
+    p = "$." + ".".join(path)
+    return from_variant(F.try_variant_get(F.try_parse_json(props_json), p, "variant"))
+
+
+def element_access(gv: Column, idx: Column) -> Column:
+    """list[index] with 0-based Cypher indexing and negative wraparound."""
+    arr = to_variant_array(gv)
+    n = F.size(arr)
+    i0 = F.when(idx < 0, idx + n).otherwise(idx)
+    return F.when(
+        (gv.t == T_ARRAY) & (i0 >= 0) & (i0 < n), from_variant(F.element_at(arr, (i0 + 1).cast("int")))
+    ).otherwise(gv_null())
+
+
+def to_variant_array(gv: Column) -> Column:
+    """gval array -> array<variant> (for UNWIND/explode and indexing)."""
+    return F.from_json(gv.j, "array<variant>")
+
+
+# ------------------------------------------------------------------ rendering
+
+def to_json_text(gv: Column) -> Column:
+    """gval -> its JSON text (the reference's gtype_out shape)."""
+    # JSON-escape a bare string by serializing a 1-element array and
+    # stripping the brackets (keeps escaping JVM-side and exact)
+    arr_txt = F.to_json(F.array(gv.s))
+    quoted = arr_txt.substr(F.lit(2), F.length(arr_txt) - 2)
+    return (
+        F.when(gv.isNull() | (gv.t == T_NULL), F.lit(None).cast("string"))
+        .when(gv.t == T_STRING, quoted)
+        .when(gv.t == T_BOOL, F.when(gv.b, F.lit("true")).otherwise(F.lit("false")))
+        .when((gv.t == T_NUMBER) & gv.i.isNotNull(), gv.i.cast("string"))
+        .when(gv.t == T_NUMBER, gv.d.cast("string"))
+        .otherwise(gv.j)
+    )
+
+
+# ---------------------------------------------------------------- orderability
+
+def sort_key(gv: Column) -> Column:
+    """Total-order sort key. bool false<true via int; NaN handled by
+    Spark's double ordering (NaN last = reference's NaN > non-NaN)."""
+    return F.struct(
+        gv.t.alias("k0"),
+        gv.d.alias("k1"),
+        gv.s.alias("k2"),
+        gv.b.cast("int").alias("k3"),
+        gv.j.alias("k4"),
+    )
+
+
+def cmp_lt(a: Column, b: Column) -> Column:
+    return sort_key(a) < sort_key(b)
+
+
+def _num_eq(a: Column, b: Column) -> Column:
+    # NaN = NaN true under orderability (compare_two_floats_orderability)
+    return (a.d == b.d) | (F.isnan(a.d) & F.isnan(b.d))
+
+
+def cmp_eq(a: Column, b: Column) -> Column:
+    """Orderability equality (btree semantics: cross-type -> false, same
+    type -> value compare; null = null -> true under orderability but the
+    expression layer routes through 3VL wrappers where Cypher requires)."""
+    return (
+        F.when((a.t == T_NULL) & (b.t == T_NULL), F.lit(True))
+        .when((a.t == T_NULL) | (b.t == T_NULL), F.lit(False))
+        .when((a.t == T_NUMBER) & (b.t == T_NUMBER), _num_eq(a, b))
+        .when(a.t != b.t, F.lit(False))
+        .when(a.t == T_STRING, a.s == b.s)
+        .when(a.t == T_BOOL, a.b == b.b)
+        .otherwise(F.coalesce(a.j == b.j, F.lit(False)))
+    )
+
+
+def _with_null3vl(a: Column, b: Column, res: Column) -> Column:
+    """Cypher comparison 3VL: any gtype-null operand -> gtype null."""
+    return F.when((a.t == T_NULL) | (b.t == T_NULL), gv_null()).otherwise(res)
+
+
+def op_eq(a: Column, b: Column) -> Column:
+    return _with_null3vl(a, b, gv_bool(cmp_eq(a, b)))
+
+
+def op_neq(a: Column, b: Column) -> Column:
+    return _with_null3vl(a, b, gv_bool(~cmp_eq(a, b)))
+
+
+def op_lt(a: Column, b: Column) -> Column:
+    return _with_null3vl(a, b, gv_bool(sort_key(a) < sort_key(b)))
+
+
+def op_le(a: Column, b: Column) -> Column:
+    return _with_null3vl(a, b, gv_bool(sort_key(a) <= sort_key(b)))
+
+
+def op_gt(a: Column, b: Column) -> Column:
+    return _with_null3vl(a, b, gv_bool(sort_key(a) > sort_key(b)))
+
+
+def op_ge(a: Column, b: Column) -> Column:
+    return _with_null3vl(a, b, gv_bool(sort_key(a) >= sort_key(b)))
+
+
+# ----------------------------------------------------------------- arithmetic
+
+def _both_int(a: Column, b: Column) -> Column:
+    return a.i.isNotNull() & b.i.isNotNull()
+
+
+def op_add(a: Column, b: Column) -> Column:
+    """`+` dispatch (gtype_ops.c:153-280): int+int->int, any float ->
+    float, string + stringy -> concat, array concat (JSON splice)."""
+    num = a.t == T_NUMBER
+    return (
+        F.when((a.t == T_NULL) | (b.t == T_NULL), gv_null())
+        .when(num & (b.t == T_NUMBER) & _both_int(a, b), gv_int(a.i + b.i))
+        .when(num & (b.t == T_NUMBER), gv_float(a.d + b.d))
+        .when((a.t == T_STRING) & (b.t == T_STRING), gv_str(F.concat(a.s, b.s)))
+        .when((a.t == T_STRING), gv_str(F.concat(a.s, to_json_text(b))))
+        .when((b.t == T_STRING), gv_str(F.concat(to_json_text(a), b.s)))
+        .when(
+            (a.t == T_ARRAY) & (b.t == T_ARRAY),
+            gv_array_json(
+                F.when(a.j == "[]", b.j)
+                .when(b.j == "[]", a.j)
+                .otherwise(
+                    F.concat(
+                        F.regexp_replace(a.j, r"\]$", ""), F.lit(","), F.regexp_replace(b.j, r"^\[", "")
+                    )
+                )
+            ),
+        )
+        .otherwise(gv_null())
+    )
+
+
+def _arith(a: Column, b: Column, int_res: Column, float_res: Column) -> Column:
+    return (
+        F.when((a.t == T_NULL) | (b.t == T_NULL), gv_null())
+        .when((a.t == T_NUMBER) & (b.t == T_NUMBER) & _both_int(a, b), int_res)
+        .when((a.t == T_NUMBER) & (b.t == T_NUMBER), float_res)
+        .otherwise(gv_null())
+    )
+
+
+def op_sub(a: Column, b: Column) -> Column:
+    return _arith(a, b, gv_int(a.i - b.i), gv_float(a.d - b.d))
+
+
+def op_mul(a: Column, b: Column) -> Column:
+    return _arith(a, b, gv_int(a.i * b.i), gv_float(a.d * b.d))
+
+
+def op_div(a: Column, b: Column) -> Column:
+    """int/int -> truncated int division (Postgres int4div semantics)."""
+    trunc = F.when((a.d / b.d) < 0, F.ceil(a.i.cast("double") / b.i)).otherwise(F.floor(a.i.cast("double") / b.i))
+    return _arith(
+        a,
+        b,
+        F.when(b.i == 0, gv_null()).otherwise(gv_int(trunc.cast("long"))),
+        gv_float(a.d / b.d),
+    )
+
+
+def op_mod(a: Column, b: Column) -> Column:
+    # Spark's % on longs/doubles keeps the dividend's sign = PG int4mod/fmod
+    return _arith(
+        a,
+        b,
+        F.when(b.i == 0, gv_null()).otherwise(gv_int(a.i % b.i)),
+        gv_float(a.d % b.d),
+    )
+
+
+def op_pow(a: Column, b: Column) -> Column:
+    return _arith(a, b, gv_float(F.pow(a.d, b.d)), gv_float(F.pow(a.d, b.d)))
+
+
+def op_neg(a: Column) -> Column:
+    return (
+        F.when(a.t == T_NULL, gv_null())
+        .when((a.t == T_NUMBER) & a.i.isNotNull(), gv_int(-a.i))
+        .when(a.t == T_NUMBER, gv_float(-a.d))
+        .otherwise(gv_null())
+    )
+
+
+# -------------------------------------------------------------- boolean logic
+
+def truth(gv: Column) -> Column:
+    """gval -> SQL boolean for WHERE (null/non-bool -> false)."""
+    return F.coalesce((gv.t == T_BOOL) & gv.b, F.lit(False))
+
+
+def _b3(gv: Column) -> Column:
+    """gval -> three-valued SQL boolean (gtype null -> SQL null)."""
+    return F.when(gv.t == T_NULL, F.lit(None).cast("boolean")).otherwise(gv.t == T_BOOL).cast("boolean") & gv.b
+
+
+def op_and(a: Column, b: Column) -> Column:
+    r = _b3(a) & _b3(b)
+    return F.when(r.isNull(), gv_null()).otherwise(gv_bool(r))
+
+
+def op_or(a: Column, b: Column) -> Column:
+    r = _b3(a) | _b3(b)
+    return F.when(r.isNull(), gv_null()).otherwise(gv_bool(r))
+
+
+def op_not(a: Column) -> Column:
+    r = ~_b3(a)
+    return F.when(r.isNull(), gv_null()).otherwise(gv_bool(r))
+
+
+def op_xor(a: Column, b: Column) -> Column:
+    """XOR (make_xor_expr, cypher_gram.y:16941): (a OR b) AND NOT (a AND b)."""
+    r = _b3(a) != _b3(b)
+    return F.when(r.isNull(), gv_null()).otherwise(gv_bool(r))
+
+
+def op_is_null(a: Column) -> Column:
+    return gv_bool(a.t == T_NULL)
+
+
+def op_is_not_null(a: Column) -> Column:
+    return gv_bool(a.t != T_NULL)
+
+
+# ------------------------------------------------------------- string predicates
+
+def _str3vl(a: Column, b: Column, res: Column) -> Column:
+    return F.when(
+        (a.t == T_NULL) | (b.t == T_NULL) | (a.t != T_STRING) | (b.t != T_STRING), gv_null()
+    ).otherwise(gv_bool(res))
+
+
+def op_starts_with(a: Column, b: Column) -> Column:
+    return _str3vl(a, b, a.s.startswith(b.s))
+
+
+def op_ends_with(a: Column, b: Column) -> Column:
+    return _str3vl(a, b, a.s.endswith(b.s))
+
+
+def op_contains(a: Column, b: Column) -> Column:
+    return _str3vl(a, b, a.s.contains(b.s))
+
+
+def op_regex(a: Column, b: Column) -> Column:
+    """`=~` full-match regex (reference gtype_eq_tilde: PG regex is
+    anchored-by-match semantics; Cypher =~ is a full match)."""
+    return _str3vl(a, b, F.regexp_like(a.s, F.concat(F.lit("^(?:"), b.s, F.lit(")$"))))
+
+
+def op_in_list(x: Column, lst: Column) -> Column:
+    """x IN [..] (gtype.c:1833-1892): membership with 3VL."""
+    arr = to_variant_array(lst)
+    found = F.exists(arr, lambda e: cmp_eq(from_variant(e), x))
+    has_null = F.exists(arr, lambda e: from_variant(e).t == T_NULL)
+    return (
+        F.when((x.t == T_NULL) | (lst.t == T_NULL), gv_null())
+        .when(lst.t != T_ARRAY, gv_null())
+        .when(found, gv_bool(F.lit(True)))
+        .when(has_null, gv_null())
+        .otherwise(gv_bool(F.lit(False)))
+    )
+
+
+# ---------------------------------------------------------------- decoding
+
+def decode(value) -> Any:
+    """Collected gval Row -> python value (tests/clients)."""
+    if value is None:
+        return None
+    t = value["t"]
+    if t == T_NULL:
+        return None
+    if t == T_BOOL:
+        return value["b"]
+    if t == T_NUMBER:
+        return value["i"] if value["i"] is not None else value["d"]
+    if t == T_STRING:
+        return value["s"]
+    if t in (T_ARRAY, T_OBJECT):
+        return json.loads(value["j"])
+    return value["j"]

@@ -39,7 +39,11 @@ def _directed_edges(graph: Graph, direction: str, label: str | None) -> DataFram
         return out_e
     if direction == "in":
         return in_e
-    return out_e.unionByName(in_e)
+    # Undirected: an edge may be walked either way, but a self-loop's two
+    # orientations are the SAME (src, dst, eid) row — keep it once, or every
+    # path through it is counted 2^k times (reference DFS considers each
+    # incident edge once: dfs.c:382-477).
+    return out_e.unionByName(in_e).distinct()
 
 
 def vle(

@@ -1,0 +1,207 @@
+"""Clause IR — the analog of the reference's cypher_nodes.h ExtensibleNode
+ASTs (src/include/nodes/cypher_nodes.h): one dataclass per clause /
+pattern element / expression form.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+# ------------------------------------------------------------- expressions
+
+
+@dataclass
+class Lit:
+    value: Any  # None | bool | int | float | str
+
+
+@dataclass
+class ListLit:
+    items: list
+
+
+@dataclass
+class MapLit:
+    items: dict  # str -> expr
+
+
+@dataclass
+class Var:
+    name: str
+
+
+@dataclass
+class Prop:
+    base: Any  # expr (usually Var)
+    path: list[str]
+
+
+@dataclass
+class Index:
+    base: Any
+    index: Any  # expr
+
+
+@dataclass
+class Slice:
+    base: Any
+    lo: Any | None
+    hi: Any | None
+
+
+@dataclass
+class BinOp:
+    op: str  # + - * / % ^ = <> < <= > >= AND OR XOR IN STARTS ENDS CONTAINS =~
+    left: Any
+    right: Any
+
+
+@dataclass
+class UnaryOp:
+    op: str  # NOT, -
+    operand: Any
+
+
+@dataclass
+class IsNull:
+    operand: Any
+    negated: bool = False
+
+
+@dataclass
+class FuncCall:
+    name: str  # lowercase
+    args: list
+    distinct: bool = False
+    star: bool = False  # count(*)
+
+
+@dataclass
+class CaseExpr:
+    operand: Any | None  # simple CASE operand or None (searched)
+    whens: list  # [(cond_or_value, result)]
+    default: Any | None
+
+
+@dataclass
+class ExistsPattern:
+    """EXISTS ( pattern ) predicate."""
+
+    pattern: "Path"
+
+
+# ---------------------------------------------------------------- patterns
+
+
+@dataclass
+class NodePat:
+    var: Optional[str]
+    label: Optional[str]
+    props: Optional[MapLit]
+
+
+@dataclass
+class RelPat:
+    var: Optional[str]
+    label: Optional[str]
+    props: Optional[MapLit]
+    direction: str  # 'out' (->), 'in' (<-), 'both'
+    varlen: Optional[tuple] = None  # (lo, hi|None); None = fixed single hop
+
+
+@dataclass
+class Path:
+    var: Optional[str]  # named path p = (...)
+    elements: list  # NodePat, RelPat, NodePat, ...
+
+
+# ----------------------------------------------------------------- clauses
+
+
+@dataclass
+class SortItem:
+    expr: Any
+    descending: bool = False
+    nulls_first: Optional[bool] = None
+
+
+@dataclass
+class MatchClause:
+    paths: list
+    where: Any | None = None
+    optional: bool = False
+    order_by: list = field(default_factory=list)
+
+
+@dataclass
+class ReturnItem:
+    expr: Any
+    alias: Optional[str]
+
+
+@dataclass
+class WithClause:
+    items: list  # ReturnItem
+    distinct: bool = False
+    where: Any | None = None
+    order_by: list = field(default_factory=list)
+    skip: Any | None = None
+    limit: Any | None = None
+    star: bool = False  # WITH *
+
+
+@dataclass
+class ReturnClause:
+    items: list
+    distinct: bool = False
+    order_by: list = field(default_factory=list)
+    skip: Any | None = None
+    limit: Any | None = None
+
+
+@dataclass
+class UnwindClause:
+    expr: Any
+    alias: str
+
+
+@dataclass
+class CreateClause:
+    paths: list
+
+
+@dataclass
+class SetItem:
+    target: Any  # Prop or Var
+    expr: Any
+    is_add: bool = False  # SET n += map
+
+
+@dataclass
+class SetClause:
+    items: list
+    is_remove: bool = False
+
+
+@dataclass
+class DeleteClause:
+    exprs: list
+    detach: bool = False
+
+
+@dataclass
+class MergeClause:
+    path: Path
+
+
+@dataclass
+class SingleQuery:
+    clauses: list
+
+
+@dataclass
+class SetOp:
+    op: str  # 'union' | 'union_all' | 'intersect' | 'except'
+    left: Any  # SingleQuery | SetOp
+    right: Any

@@ -1,0 +1,646 @@
+"""Cypher clause IR -> DataFrame compiler.
+
+The reference compiles each clause into a Query wrapping the previous
+clause as a subquery RTE (transform_cypher_clause_as_subquery,
+src/backend/parser/cypher_clause.c:2290-2304). Here each clause is a
+transformation of the previous clause's DataFrame — the same pipeline
+shape as lazy lineage, optimized whole by Catalyst.
+
+Variable binding model: the working DataFrame has ONE column per bound
+Cypher variable —
+  vertex  -> struct(id, label, properties)
+  edge    -> struct(id, start_id, end_id, label, properties)
+  vle     -> struct(start_id, end_id, edge_ids, hops)
+  value   -> gval struct (functions/gtype.py)
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgraph_spark.functions import gtype as G
+from postgraph_spark.graph import Graph
+from postgraph_spark.plans import ast as A
+
+AGG_FNS = {
+    "count", "sum", "avg", "min", "max", "collect", "stdev", "stdevp",
+    "percentilecont", "percentiledisc", "corr", "covar_pop", "covar_samp",
+    "regr_slope", "regr_intercept", "regr_r2", "regr_avgx", "regr_avgy",
+    "regr_count", "regr_sxx", "regr_syy", "regr_sxy",
+}
+
+VKIND_VERTEX = "vertex"
+VKIND_EDGE = "edge"
+VKIND_VLE = "vle"
+VKIND_VALUE = "value"
+
+
+class CompileError(ValueError):
+    pass
+
+
+def _entity_struct_vertex(prefix: str = "") -> list[str]:
+    return ["id", "label", "properties"]
+
+
+class Scope:
+    """Bound variables: name -> kind."""
+
+    def __init__(self):
+        self.kinds: dict[str, str] = {}
+
+    def copy(self) -> "Scope":
+        s = Scope()
+        s.kinds = dict(self.kinds)
+        return s
+
+
+class Compiler:
+    def __init__(self, spark: SparkSession, graph: Graph | None):
+        self.spark = spark
+        self.graph = graph
+        self._anon = itertools.count()
+
+    # ------------------------------------------------------------ entry
+
+    def compile_query(self, q) -> DataFrame:
+        if isinstance(q, A.SetOp):
+            left = self.compile_query(q.left)
+            right = self.compile_query(q.right)
+            if q.op == "union_all":
+                return left.unionByName(right)
+            if q.op == "union":
+                return left.unionByName(right).distinct()
+            if q.op == "intersect":
+                return left.intersect(right)
+            if q.op == "except":
+                return left.exceptAll(right).distinct()
+            raise CompileError(q.op)
+        return self.compile_single(q)
+
+    def compile_single(self, q: A.SingleQuery) -> DataFrame:
+        df: DataFrame | None = None
+        scope = Scope()
+        for clause in q.clauses:
+            df, scope = self.compile_clause(clause, df, scope)
+        if df is None:
+            raise CompileError("query produced no result")
+        return df
+
+    def compile_clause(self, clause, df, scope):
+        if isinstance(clause, A.MatchClause):
+            return self.compile_match(clause, df, scope)
+        if isinstance(clause, A.UnwindClause):
+            return self.compile_unwind(clause, df, scope)
+        if isinstance(clause, (A.WithClause, A.ReturnClause)):
+            return self.compile_projection(clause, df, scope)
+        raise CompileError(f"unsupported clause {type(clause).__name__} in read path")
+
+    # ------------------------------------------------------------- MATCH
+
+    def _vertex_scan(self, label: str | None, var: str) -> DataFrame:
+        v = self.graph.vertices_with_label(label)
+        return v.select(F.struct("id", "label", "properties").alias(var))
+
+    def _oriented_edges(self, rel: A.RelPat, var: str) -> DataFrame:
+        """Edge scan -> (var: edge_struct, __src, __dst) honoring direction
+        (make_directed_edge_join_conditions, cypher_clause.c:3029-3060:
+        undirected = OR of both orientations, expressed here as a union so
+        every hop stays an equi-join)."""
+        e = self.graph.edges_with_label(rel.label)
+        if rel.props:
+            for k, vexpr in rel.props.items.items():
+                e = e.filter(self._prop_constraint(F.col("properties"), k, vexpr))
+        struct = F.struct("id", "start_id", "end_id", "label", "properties").alias(var)
+        out_e = e.select(struct, F.col("start_id").alias("__src"), F.col("end_id").alias("__dst"))
+        in_e = e.select(struct, F.col("end_id").alias("__src"), F.col("start_id").alias("__dst"))
+        if rel.direction == "out":
+            return out_e
+        if rel.direction == "in":
+            return in_e
+        return out_e.unionByName(in_e)
+
+    def _prop_constraint(self, props_col: Column, key: str, vexpr) -> Column:
+        """Pattern property map {k: v} -> containment qual
+        (create_property_constraints, cypher_clause.c:106)."""
+        gv = self.compile_expr(vexpr, None)
+        return G.truth(G.op_eq(G.prop_access(props_col, [key]), gv))
+
+    def _node_filters(self, df: DataFrame, node: A.NodePat, var: str) -> DataFrame:
+        if node.props:
+            for k, vexpr in node.props.items.items():
+                df = df.filter(self._prop_constraint(F.col(var)["properties"], k, vexpr))
+        return df
+
+    def compile_match(self, m: A.MatchClause, df, scope):
+        if self.graph is None:
+            raise CompileError("no graph selected")
+        new_scope = scope.copy()
+        new_edge_vars: list[str] = []
+        new_vle_vars: list[str] = []
+
+        if m.optional:
+            pat = Compiler(self.spark, self.graph)
+            pdf, pscope = pat.compile_match(
+                A.MatchClause(m.paths, m.where, False, []), None, Scope()
+            )
+            shared = [v for v in pscope.kinds if v in scope.kinds]
+            new_cols = [v for v in pscope.kinds if v not in scope.kinds]
+            if df is None:
+                raise CompileError("OPTIONAL MATCH without a preceding clause")
+            pdf2 = pdf
+            for v in shared:
+                pdf2 = pdf2.withColumnRenamed(v, f"__opt_{v}")
+            if shared:
+                cond = None
+                for v in shared:
+                    c = df[v]["id"] == pdf2[f"__opt_{v}"]["id"]
+                    cond = c if cond is None else (cond & c)
+            else:
+                cond = F.lit(True)
+            joined = df.join(pdf2, cond, "left_outer")
+            result = joined.select(*[df[c] for c in df.columns], *[pdf2[c] for c in new_cols])
+            for v in new_cols:
+                new_scope.kinds[v] = pscope.kinds[v]
+            return result, new_scope
+
+        for path in m.paths:
+            df = self._compile_path(path, df, new_scope, new_edge_vars, new_vle_vars)
+
+        # edge-uniqueness quals (prevent_duplicate_edges, c.c:2962-3026)
+        for a, b in itertools.combinations(new_edge_vars, 2):
+            df = df.filter(F.col(a)["id"] != F.col(b)["id"])
+        for ev, vv in itertools.product(new_edge_vars, new_vle_vars):
+            df = df.filter(~F.array_contains(F.col(vv)["edge_ids"], F.col(ev)["id"]))
+        for a, b in itertools.combinations(new_vle_vars, 2):
+            df = df.filter(~F.arrays_overlap(F.col(a)["edge_ids"], F.col(b)["edge_ids"]))
+
+        if m.where is not None:
+            df = df.filter(G.truth(self.compile_expr(m.where, df, new_scope)))
+        if m.order_by:
+            df = df.orderBy(*[self._sort_col(si, df, new_scope) for si in m.order_by])
+        return df, new_scope
+
+    def _compile_path(self, path: A.Path, df, scope: Scope, new_edge_vars, new_vle_vars):
+        elements = path.elements
+        node0 = elements[0]
+        df, prev_var = self._bind_node(node0, df, scope)
+
+        i = 1
+        while i < len(elements):
+            rel: A.RelPat = elements[i]
+            node: A.NodePat = elements[i + 1]
+            i += 2
+            if rel.varlen is not None:
+                df, prev_var = self._bind_vle(rel, node, df, prev_var, scope, new_vle_vars)
+                continue
+            evar = rel.var or f"_e{next(self._anon)}"
+            if rel.var and rel.var in scope.kinds:
+                raise CompileError(f"edge variable {rel.var!r} reused in pattern")
+            oriented = self._oriented_edges(rel, evar)
+            df = df.join(oriented, F.col(prev_var)["id"] == F.col("__src"))
+            scope.kinds[evar] = VKIND_EDGE
+            new_edge_vars.append(evar)
+
+            if node.var and node.var in scope.kinds:
+                # bound node: close the triangle, no rescan
+                df = df.filter(F.col("__dst") == F.col(node.var)["id"])
+                if node.label:
+                    df = df.filter(F.col(node.var)["label"] == node.label)
+                df = self._node_filters(df, node, node.var)
+                nvar = node.var
+            else:
+                nvar = node.var or f"_n{next(self._anon)}"
+                nscan = self._vertex_scan(node.label, nvar)
+                df = df.join(nscan, F.col("__dst") == F.col(nvar)["id"])
+                df = self._node_filters(df, node, nvar)
+                scope.kinds[nvar] = VKIND_VERTEX
+            df = df.drop("__src", "__dst")
+            prev_var = nvar
+        return df
+
+    def _bind_node(self, node: A.NodePat, df, scope: Scope):
+        if node.var and node.var in scope.kinds:
+            if node.label:
+                df = df.filter(F.col(node.var)["label"] == node.label)
+            df = self._node_filters(df, node, node.var)
+            return df, node.var
+        var = node.var or f"_n{next(self._anon)}"
+        scan = self._vertex_scan(node.label, var)
+        scan = self._node_filters(scan, node, var)
+        df = scan if df is None else df.crossJoin(scan)
+        scope.kinds[var] = VKIND_VERTEX
+        return df, var
+
+    def _bind_vle(self, rel: A.RelPat, node: A.NodePat, df, prev_var, scope: Scope, new_vle_vars):
+        from postgraph_spark.operators.vle import vle as vle_op
+
+        lo, hi = rel.varlen
+        prop_filter = None
+        if rel.props:
+            for k, vexpr in rel.props.items.items():
+                c = self._prop_constraint(F.col("properties"), k, vexpr)
+                prop_filter = c if prop_filter is None else (prop_filter & c)
+        # push the already-bound start set into the traversal: the
+        # reference's VLE gets its endpoints lazily from the lateral join
+        # (add_vle_to_query, c.c:2692-2710); here the frontier simply
+        # starts from the bound ids instead of every vertex
+        starts = df.select(F.col(prev_var)["id"].alias("id")).distinct()
+        paths = vle_op(
+            self.graph,
+            lo=lo,
+            hi=hi,
+            direction=rel.direction,
+            edge_label=rel.label,
+            edge_prop_filter=prop_filter,
+            start_ids=starts,
+        )
+        vvar = rel.var or f"_vle{next(self._anon)}"
+        pstruct = paths.select(
+            F.struct(
+                F.col("start_id"), F.col("end_id"), F.col("edge_ids"), F.col("hops")
+            ).alias(vvar)
+        )
+        df = df.join(pstruct, F.col(prev_var)["id"] == F.col(vvar)["start_id"])
+        scope.kinds[vvar] = VKIND_VLE
+        new_vle_vars.append(vvar)
+
+        if node.var and node.var in scope.kinds:
+            df = df.filter(F.col(vvar)["end_id"] == F.col(node.var)["id"])
+            if node.label:
+                df = df.filter(F.col(node.var)["label"] == node.label)
+            nvar = node.var
+        else:
+            nvar = node.var or f"_n{next(self._anon)}"
+            nscan = self._vertex_scan(node.label, nvar)
+            df = df.join(nscan, F.col(vvar)["end_id"] == F.col(nvar)["id"])
+            df = self._node_filters(df, node, nvar)
+            scope.kinds[nvar] = VKIND_VERTEX
+        return df, nvar
+
+    # ------------------------------------------------------------ UNWIND
+
+    def compile_unwind(self, u: A.UnwindClause, df, scope):
+        if df is None:
+            df = self.spark.range(1).select(F.lit(1).alias("__one"))
+            base_cols = []
+        else:
+            base_cols = list(df.columns)
+        gv = self.compile_expr(u.expr, df, scope)
+        arr = G.to_variant_array(gv)
+        df = df.select(*base_cols, F.explode(arr).alias("__unwound"))
+        df = df.select(*base_cols, G.from_variant(F.col("__unwound")).alias(u.alias))
+        new_scope = scope.copy()
+        new_scope.kinds[u.alias] = VKIND_VALUE
+        return df, new_scope
+
+    # -------------------------------------------------- WITH / RETURN
+
+    def _contains_agg(self, e) -> bool:
+        if isinstance(e, A.FuncCall):
+            if e.name in AGG_FNS:
+                return True
+            return any(self._contains_agg(a) for a in e.args)
+        if isinstance(e, A.BinOp):
+            return self._contains_agg(e.left) or self._contains_agg(e.right)
+        if isinstance(e, A.UnaryOp):
+            return self._contains_agg(e.operand)
+        if isinstance(e, A.IsNull):
+            return self._contains_agg(e.operand)
+        if isinstance(e, (A.Prop, A.Index)):
+            return self._contains_agg(e.base)
+        if isinstance(e, A.CaseExpr):
+            parts = [e.operand, e.default] + [x for w in e.whens for x in w]
+            return any(self._contains_agg(p) for p in parts if p is not None)
+        if isinstance(e, A.ListLit):
+            return any(self._contains_agg(x) for x in e.items)
+        return False
+
+    def _extract_aggs(self, e, found: list):
+        """Replace aggregate subtrees with Var placeholders (the analog of
+        the implicit-grouping walk, cypher_item.c:168-236)."""
+        if isinstance(e, A.FuncCall) and e.name in AGG_FNS:
+            found.append(e)
+            return A.Var(f"__agg{len(found) - 1}")
+        if isinstance(e, A.BinOp):
+            return A.BinOp(e.op, self._extract_aggs(e.left, found), self._extract_aggs(e.right, found))
+        if isinstance(e, A.UnaryOp):
+            return A.UnaryOp(e.op, self._extract_aggs(e.operand, found))
+        if isinstance(e, A.IsNull):
+            return A.IsNull(self._extract_aggs(e.operand, found), e.negated)
+        return e
+
+    def compile_projection(self, clause, df, scope):
+        items: list[A.ReturnItem] = list(clause.items)
+        is_with = isinstance(clause, A.WithClause)
+        # WITH ... WHERE resolves against the INPUT scope (the reference
+        # puts the qual in the same Query as the projection, so FROM
+        # columns are visible — regress/sql/cypher_with.sql:
+        # `MATCH (n) WITH n as a WHERE n.i = 1 RETURN a`)
+        if is_with and clause.where is not None and df is not None:
+            df = df.filter(G.truth(self.compile_expr(clause.where, df, scope)))
+        if is_with and clause.star:
+            items = [A.ReturnItem(A.Var(v), v) for v in scope.kinds] + items
+
+        names = []
+        for idx, item in enumerate(items):
+            if item.alias:
+                names.append(item.alias)
+            elif isinstance(item.expr, A.Var):
+                names.append(item.expr.name)
+            elif isinstance(item.expr, A.Prop) and isinstance(item.expr.base, A.Var):
+                names.append(item.expr.path[-1])
+            elif is_with:
+                raise CompileError("WITH expressions must be aliased")
+            else:
+                names.append(f"col{idx}")
+
+        has_agg = any(self._contains_agg(it.expr) for it in items)
+        new_scope = Scope()
+
+        if not has_agg:
+            cols = []
+            for item, name in zip(items, names):
+                col, kind = self._compile_item(item.expr, df, scope)
+                cols.append(col.alias(name))
+                new_scope.kinds[name] = kind
+            if df is None:
+                df = self.spark.range(1)
+            out = df.select(*cols)
+        else:
+            # implicit grouping: non-aggregate items become group keys
+            group_items, agg_nodes, outer = [], [], []
+            for item, name in zip(items, names):
+                if self._contains_agg(item.expr):
+                    rewritten = self._extract_aggs(item.expr, agg_nodes)
+                    outer.append((name, rewritten, True))
+                else:
+                    group_items.append((name, item.expr))
+                    outer.append((name, A.Var(name), False))
+            if df is None:
+                df = self.spark.range(1).select(F.lit(1).alias("__one"))
+            key_cols = []
+            for name, e in group_items:
+                col, kind = self._compile_item(e, df, scope)
+                key_cols.append(col.alias(name))
+                new_scope.kinds[name] = kind
+            agg_cols = [
+                self._compile_agg(node, df, scope).alias(f"__agg{i}") for i, node in enumerate(agg_nodes)
+            ]
+            if key_cols:
+                grouped = df.select(*key_cols, *[c for c in df.columns]).groupBy(*[F.col(n) for n, _ in group_items])
+                # regroup: build a projection first, then groupBy on names
+                pre = df.select(*key_cols, "*")
+                grouped = pre.groupBy(*[F.col(n) for n, _ in group_items])
+            else:
+                pre = df
+                grouped = pre.groupBy()
+            agg_df = grouped.agg(*agg_cols) if agg_cols else grouped.agg(F.count(F.lit(1)).alias("__cnt"))
+            # outer expressions over keys + agg placeholders
+            out_scope = Scope()
+            for name, _ in group_items:
+                out_scope.kinds[name] = new_scope.kinds[name]
+            for i in range(len(agg_nodes)):
+                out_scope.kinds[f"__agg{i}"] = VKIND_VALUE
+            final_cols = []
+            for name, e, is_agg in outer:
+                if is_agg:
+                    col, kind = self._compile_item(e, agg_df, out_scope)
+                    final_cols.append(col.alias(name))
+                    new_scope.kinds[name] = kind
+                else:
+                    final_cols.append(F.col(name))
+            out = agg_df.select(*final_cols)
+
+        if clause.distinct:
+            out = out.distinct()
+        if clause.order_by:
+            out = out.orderBy(*[self._sort_col(si, out, new_scope) for si in clause.order_by])
+        if clause.skip is not None:
+            out = out.offset(self._int_lit(clause.skip))
+        if clause.limit is not None:
+            out = out.limit(self._int_lit(clause.limit))
+        return out, new_scope
+
+    def _int_lit(self, e) -> int:
+        if isinstance(e, A.Lit) and isinstance(e.value, int):
+            return e.value
+        raise CompileError("SKIP/LIMIT must be integer literals")
+
+    def _sort_col(self, si: A.SortItem, df, scope) -> Column:
+        e = si.expr
+        if isinstance(e, A.Var) and e.name in scope.kinds:
+            kind = scope.kinds[e.name]
+            base = F.col(e.name)
+            col = G.sort_key(base) if kind == VKIND_VALUE else base["id"]
+        else:
+            col = G.sort_key(self.compile_expr(e, df, scope))
+        # type rank 11 = null places gtype nulls last on ASC, first on DESC
+        # (Postgres default NULLS LAST for ASC) automatically
+        return col.desc() if si.descending else col.asc()
+
+    def _compile_item(self, e, df, scope):
+        """Compile a projection item -> (Column, kind)."""
+        if isinstance(e, A.Var) and scope.kinds.get(e.name) in (VKIND_VERTEX, VKIND_EDGE, VKIND_VLE):
+            return F.col(e.name), scope.kinds[e.name]
+        return self.compile_expr(e, df, scope), VKIND_VALUE
+
+    # ------------------------------------------------------- aggregates
+
+    def _compile_agg(self, e: A.FuncCall, df, scope) -> Column:
+        name = e.name
+        if name == "count":
+            if e.star:
+                return G.gv_int(F.count(F.lit(1)))
+            arg, kind = self._compile_item(e.args[0], df, scope)
+            present = arg["t"] != G.T_NULL if kind == VKIND_VALUE else arg.isNotNull()
+            inner = F.when(present, F.lit(1))
+            if e.distinct:
+                key = F.when(present, G.sort_key(arg) if kind == VKIND_VALUE else arg["id"])
+                return G.gv_int(F.count_distinct(key))
+            return G.gv_int(F.count(inner))
+        arg = self.compile_expr(e.args[0], df, scope)
+        valid = arg["t"] != G.T_NULL
+        d = arg["d"]
+        if name == "sum":
+            all_int = F.min(F.when(arg["t"] == G.T_NUMBER, arg["i"].isNotNull()))
+            s_i = F.sum(arg["i"])
+            s_d = F.sum(d)
+            return (
+                F.when(s_d.isNull(), G.gv_null())
+                .when(all_int, G.gv_int(s_i))
+                .otherwise(G.gv_float(s_d))
+            )
+        if name == "avg":
+            return F.when(F.avg(d).isNull(), G.gv_null()).otherwise(G.gv_float(F.avg(d)))
+        if name in ("min", "max"):
+            key = F.when(valid, G.sort_key(arg))
+            val = F.when(valid, arg)
+            picked = F.min_by(val, key) if name == "min" else F.max_by(val, key)
+            return F.coalesce(picked, G.gv_null())
+        if name == "collect":
+            texts = F.collect_list(F.when(valid, G.to_json_text(arg)).otherwise(F.lit("null")))
+            limit = None
+            if len(e.args) > 1:
+                limit = self.compile_expr(e.args[1], df, scope)["i"]
+                texts = F.slice(texts, 1, limit.cast("int"))
+            return G.gv_array_json(F.concat(F.lit("["), F.array_join(texts, ","), F.lit("]")))
+        if name == "stdev":
+            # sample stdev; reference returns 0 (not NULL) for n=1
+            return F.when(F.count(d) == 0, G.gv_null()).otherwise(
+                G.gv_float(F.coalesce(F.stddev_samp(d), F.lit(0.0)))
+            )
+        if name == "stdevp":
+            return F.when(F.count(d) == 0, G.gv_null()).otherwise(G.gv_float(F.stddev_pop(d)))
+        if name in ("percentilecont", "percentiledisc"):
+            p = self.compile_expr(e.args[1], df, scope)["d"]
+            if name == "percentilecont":
+                return G.gv_float(F.percentile(d, p))
+            return G.gv_float(F.expr(f"percentile_disc({d._jc.toString()}, {p._jc.toString()})"))
+        two_arg = {
+            "corr": F.corr, "covar_pop": F.covar_pop, "covar_samp": F.covar_samp,
+            "regr_slope": F.regr_slope, "regr_intercept": F.regr_intercept,
+            "regr_r2": F.regr_r2, "regr_avgx": F.regr_avgx, "regr_avgy": F.regr_avgy,
+            "regr_sxx": F.regr_sxx, "regr_syy": F.regr_syy, "regr_sxy": F.regr_sxy,
+        }
+        if name in two_arg:
+            b = self.compile_expr(e.args[1], df, scope)["d"]
+            res = two_arg[name](d, b)
+            return F.when(res.isNull(), G.gv_null()).otherwise(G.gv_float(res))
+        if name == "regr_count":
+            b = self.compile_expr(e.args[1], df, scope)["d"]
+            return G.gv_int(F.regr_count(d, b))
+        raise CompileError(f"unknown aggregate {name}")
+
+    # ------------------------------------------------------ expressions
+
+    def compile_expr(self, e, df, scope: Scope | None = None) -> Column:
+        scope = scope or Scope()
+        if isinstance(e, A.Lit):
+            return G.gv_lit(e.value)
+        if isinstance(e, A.ListLit):
+            parts = [G.to_json_text(self.compile_expr(x, df, scope)) for x in e.items]
+            safe = [F.coalesce(p, F.lit("null")) for p in parts]
+            return G.gv_array_json(F.concat(F.lit("["), F.concat_ws(",", *safe), F.lit("]")))
+        if isinstance(e, A.MapLit):
+            import json as _json
+
+            kvs = []
+            for k, v in e.items.items():
+                tv = F.coalesce(G.to_json_text(self.compile_expr(v, df, scope)), F.lit("null"))
+                kvs.append(F.concat(F.lit(_json.dumps(k)), F.lit(":"), tv))
+            return G.gv_object_json(F.concat(F.lit("{"), F.concat_ws(",", *kvs), F.lit("}")))
+        if isinstance(e, A.Var):
+            kind = scope.kinds.get(e.name)
+            if kind is None:
+                raise CompileError(f"unbound variable {e.name!r}")
+            if kind == VKIND_VALUE:
+                return F.col(e.name)
+            if kind == VKIND_VERTEX or kind == VKIND_EDGE:
+                return F.col(e.name)  # entity struct; callers handle
+            return F.col(e.name)
+        if isinstance(e, A.Prop):
+            base = e.base
+            if isinstance(base, A.Var):
+                kind = scope.kinds.get(base.name)
+                if kind in (VKIND_VERTEX, VKIND_EDGE):
+                    return G.prop_access(F.col(base.name)["properties"], e.path)
+                if kind == VKIND_VALUE:
+                    gv = F.col(base.name)
+                    return G.from_variant(
+                        F.try_variant_get(F.try_parse_json(gv["j"]), "$." + ".".join(e.path), "variant")
+                    )
+                raise CompileError(f"cannot access property on {base.name!r}")
+            gv = self.compile_expr(base, df, scope)
+            return G.from_variant(
+                F.try_variant_get(F.try_parse_json(gv["j"]), "$." + ".".join(e.path), "variant")
+            )
+        if isinstance(e, A.Index):
+            base = self.compile_expr(e.base, df, scope)
+            idx = self.compile_expr(e.index, df, scope)
+            return G.element_access(base, idx["i"])
+        if isinstance(e, A.Slice):
+            return self._compile_slice(e, df, scope)
+        if isinstance(e, A.BinOp):
+            return self._compile_binop(e, df, scope)
+        if isinstance(e, A.UnaryOp):
+            operand = self.compile_expr(e.operand, df, scope)
+            if e.op == "NOT":
+                return G.op_not(operand)
+            if e.op == "-":
+                return G.op_neg(operand)
+            raise CompileError(e.op)
+        if isinstance(e, A.IsNull):
+            operand = self.compile_expr(e.operand, df, scope)
+            return G.op_is_not_null(operand) if e.negated else G.op_is_null(operand)
+        if isinstance(e, A.CaseExpr):
+            return self._compile_case(e, df, scope)
+        if isinstance(e, A.FuncCall):
+            return self._compile_func(e, df, scope)
+        raise CompileError(f"unsupported expression {type(e).__name__}")
+
+    def _compile_slice(self, e: A.Slice, df, scope) -> Column:
+        base = self.compile_expr(e.base, df, scope)
+        arr = G.to_variant_array(base)
+        n = F.size(arr)
+        lo = self.compile_expr(e.lo, df, scope)["i"] if e.lo is not None else F.lit(0)
+        hi = self.compile_expr(e.hi, df, scope)["i"] if e.hi is not None else n.cast("long")
+        lo0 = F.when(lo < 0, lo + n).otherwise(lo)
+        hi0 = F.when(hi < 0, hi + n).otherwise(hi)
+        lo0 = F.greatest(lo0, F.lit(0))
+        hi0 = F.least(hi0, n.cast("long"))
+        length = F.greatest(hi0 - lo0, F.lit(0))
+        sliced = F.slice(arr, (lo0 + 1).cast("int"), length.cast("int"))
+        texts = F.transform(sliced, lambda x: F.coalesce(G.to_json_text(G.from_variant(x)), F.lit("null")))
+        return F.when(base["t"] != G.T_ARRAY, G.gv_null()).otherwise(
+            G.gv_array_json(F.concat(F.lit("["), F.array_join(texts, ","), F.lit("]")))
+        )
+
+    _BINOPS = {
+        "+": G.op_add, "-": G.op_sub, "*": G.op_mul, "/": G.op_div,
+        "%": G.op_mod, "^": G.op_pow,
+        "=": G.op_eq, "<>": G.op_neq, "<": G.op_lt, "<=": G.op_le,
+        ">": G.op_gt, ">=": G.op_ge,
+        "AND": G.op_and, "OR": G.op_or, "XOR": G.op_xor,
+        "STARTS": G.op_starts_with, "ENDS": G.op_ends_with,
+        "CONTAINS": G.op_contains, "=~": G.op_regex, "IN": G.op_in_list,
+    }
+
+    def _compile_binop(self, e: A.BinOp, df, scope) -> Column:
+        fn = self._BINOPS.get(e.op)
+        if fn is None:
+            raise CompileError(f"unknown operator {e.op}")
+        # entity equality compares ids (vertex_btree_cmp compares id only)
+        if e.op in ("=", "<>") and isinstance(e.left, A.Var) and isinstance(e.right, A.Var):
+            lk = scope.kinds.get(e.left.name)
+            rk = scope.kinds.get(e.right.name)
+            if lk in (VKIND_VERTEX, VKIND_EDGE) and rk in (VKIND_VERTEX, VKIND_EDGE):
+                same = F.col(e.left.name)["id"] == F.col(e.right.name)["id"]
+                return G.gv_bool(same if e.op == "=" else ~same)
+        left = self.compile_expr(e.left, df, scope)
+        right = self.compile_expr(e.right, df, scope)
+        return fn(left, right)
+
+    def _compile_case(self, e: A.CaseExpr, df, scope) -> Column:
+        result = (
+            self.compile_expr(e.default, df, scope) if e.default is not None else G.gv_null()
+        )
+        for cond, then in reversed(e.whens):
+            then_c = self.compile_expr(then, df, scope)
+            if e.operand is not None:
+                op_c = self.compile_expr(e.operand, df, scope)
+                cond_c = G.truth(G.op_eq(op_c, self.compile_expr(cond, df, scope)))
+            else:
+                cond_c = G.truth(self.compile_expr(cond, df, scope))
+            result = F.when(cond_c, then_c).otherwise(result)
+        return result
+
+    # ------------------------------------------------- scalar functions
+
+    def _compile_func(self, e: A.FuncCall, df, scope) -> Column:
+        from postgraph_spark.plans.functions_map import compile_scalar_function
+
+        return compile_scalar_function(self, e, df, scope)

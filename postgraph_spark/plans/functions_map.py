@@ -1,0 +1,243 @@
+"""Cypher-callable scalar function library (SURVEY §2.5): each function
+maps to JVM-side Spark expressions over gval columns.
+
+Reference implementations: gtype.c (lists/general), gtype_string.c,
+gtype_numbers.c, gtype_temporal.c, gtype_typecasting.c, vertex.c/edge.c
+(entity accessors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from postgraph_spark.functions import gtype as G
+from postgraph_spark.plans import ast as A
+
+
+class _Ctx:
+    """Typed views of arguments with shared compile machinery."""
+
+    def __init__(self, compiler, e: A.FuncCall, df, scope):
+        self.compiler = compiler
+        self.e = e
+        self.df = df
+        self.scope = scope
+
+    def gv(self, i: int) -> Column:
+        return self.compiler.compile_expr(self.e.args[i], self.df, self.scope)
+
+    def entity(self, i: int):
+        a = self.e.args[i]
+        if isinstance(a, A.Var):
+            kind = self.scope.kinds.get(a.name)
+            if kind in ("vertex", "edge", "vle"):
+                return F.col(a.name), kind
+        return None, None
+
+    @property
+    def nargs(self) -> int:
+        return len(self.e.args)
+
+
+def _num1(ctx: _Ctx, fn, as_int: bool = False) -> Column:
+    a = ctx.gv(0)
+    res = fn(a["d"])
+    out = G.gv_int(res.cast("long")) if as_int else G.gv_float(res)
+    return F.when(a["t"] != G.T_NUMBER, G.gv_null()).otherwise(out)
+
+
+def _str1(ctx: _Ctx, fn) -> Column:
+    a = ctx.gv(0)
+    return F.when(a["t"] != G.T_STRING, G.gv_null()).otherwise(G.gv_str(fn(a["s"])))
+
+
+def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
+    name = e.name
+    ctx = _Ctx(compiler, e, df, scope)
+
+    # ---- entity accessors (vertex.c:304-391, edge.c:304-366) ----
+    if name in ("id", "start_id", "end_id", "label", "type", "properties", "startnode", "endnode"):
+        col, kind = ctx.entity(0)
+        if col is None:
+            raise ValueError(f"{name}() requires an entity argument")
+        if name == "id":
+            return G.gv_int(col["id"])
+        if name == "start_id":
+            return G.gv_int(col["start_id"])
+        if name == "end_id":
+            return G.gv_int(col["end_id"])
+        if name in ("label", "type"):
+            return G.gv_str(col["label"])
+        if name == "properties":
+            return G.gv_object_json(col["properties"])
+        raise ValueError(f"{name}() needs graph context; unsupported here")
+
+    # ---- list / general (gtype.c:2070-2914) ----
+    if name == "head":
+        return G.element_access(ctx.gv(0), F.lit(0))
+    if name == "last":
+        return G.element_access(ctx.gv(0), F.lit(-1))
+    if name in ("size", "length"):
+        a = ctx.gv(0)
+        return (
+            F.when(a["t"] == G.T_ARRAY, G.gv_int(F.size(G.to_variant_array(a))))
+            .when(a["t"] == G.T_STRING, G.gv_int(F.length(a["s"])))
+            .otherwise(G.gv_null())
+        )
+    if name == "reverse":
+        a = ctx.gv(0)
+        rev_arr = F.reverse(G.to_variant_array(a))
+        texts = F.transform(rev_arr, lambda x: F.coalesce(G.to_json_text(G.from_variant(x)), F.lit("null")))
+        return (
+            F.when(a["t"] == G.T_STRING, G.gv_str(F.reverse(a["s"])))
+            .when(
+                a["t"] == G.T_ARRAY,
+                G.gv_array_json(F.concat(F.lit("["), F.array_join(texts, ","), F.lit("]"))),
+            )
+            .otherwise(G.gv_null())
+        )
+    if name == "keys":
+        col, kind = ctx.entity(0)
+        src = col["properties"] if col is not None else ctx.gv(0)["j"]
+        keys = F.json_object_keys(src)
+        return G.gv_array_json(F.to_json(keys))
+    if name == "range":
+        lo = ctx.gv(0)["i"]
+        hi = ctx.gv(1)["i"]
+        step = ctx.gv(2)["i"] if ctx.nargs > 2 else F.lit(1).cast("long")
+        return G.gv_array_json(F.to_json(F.sequence(lo, hi, step)))
+    if name == "coalesce":
+        result = G.gv_null()
+        for i in reversed(range(ctx.nargs)):
+            gv = ctx.gv(i)
+            result = F.when(gv["t"] != G.T_NULL, gv).otherwise(result)
+        return result
+    if name == "exists":
+        # exists(n.prop) — property-existence test
+        return G.op_is_not_null(ctx.gv(0))
+
+    # ---- strings (gtype_string.c) ----
+    if name in ("toupper", "tolower", "ltrim", "rtrim", "trim", "initcap"):
+        fns = {
+            "toupper": F.upper, "tolower": F.lower, "ltrim": F.ltrim,
+            "rtrim": F.rtrim, "trim": F.trim, "initcap": F.initcap,
+        }
+        return _str1(ctx, fns[name])
+    if name == "replace":
+        a, b, c = ctx.gv(0), ctx.gv(1), ctx.gv(2)
+        return F.when(a["t"] != G.T_STRING, G.gv_null()).otherwise(
+            G.gv_str(F.replace(a["s"], b["s"], c["s"]))
+        )
+    if name == "substring":
+        a = ctx.gv(0)
+        start = ctx.gv(1)["i"] + 1  # Cypher 0-based -> SQL 1-based
+        if ctx.nargs > 2:
+            return F.when(a["t"] != G.T_STRING, G.gv_null()).otherwise(
+                G.gv_str(a["s"].substr(start, ctx.gv(2)["i"]))
+            )
+        return F.when(a["t"] != G.T_STRING, G.gv_null()).otherwise(
+            G.gv_str(a["s"].substr(start, F.length(a["s"])))
+        )
+    if name == "left":
+        a = ctx.gv(0)
+        return F.when(a["t"] != G.T_STRING, G.gv_null()).otherwise(
+            G.gv_str(a["s"].substr(F.lit(1), ctx.gv(1)["i"]))
+        )
+    if name == "right":
+        a = ctx.gv(0)
+        n = ctx.gv(1)["i"]
+        return F.when(a["t"] != G.T_STRING, G.gv_null()).otherwise(
+            G.gv_str(a["s"].substr(F.greatest(F.length(a["s"]) - n + 1, F.lit(1).cast("long")), n))
+        )
+    if name == "split":
+        a, d = ctx.gv(0), ctx.gv(1)
+        parts = F.split(a["s"], d["s"])  # literal-ish delimiter
+        return F.when((a["t"] != G.T_STRING) | (d["t"] != G.T_STRING), G.gv_null()).otherwise(
+            G.gv_array_json(F.to_json(parts))
+        )
+    if name in ("sha224", "sha256", "sha384", "sha512", "md5"):
+        a = ctx.gv(0)
+        bits = {"sha224": 224, "sha256": 256, "sha384": 384, "sha512": 512}
+        h = F.md5(a["s"]) if name == "md5" else F.sha2(a["s"], bits[name])
+        return F.when(a["t"] != G.T_STRING, G.gv_null()).otherwise(G.gv_str(h))
+
+    # ---- math (gtype_numbers.c) ----
+    simple = {
+        "sqrt": F.sqrt, "exp": F.exp, "log": F.log, "log10": F.log10,
+        "sin": F.sin, "cos": F.cos, "tan": F.tan, "cot": F.cot,
+        "asin": F.asin, "acos": F.acos, "atan": F.atan,
+        "sinh": F.sinh, "cosh": F.cosh, "tanh": F.tanh,
+        "degrees": F.degrees, "radians": F.radians, "cbrt": F.cbrt,
+    }
+    if name in simple:
+        return _num1(ctx, simple[name])
+    if name == "abs":
+        a = ctx.gv(0)
+        return (
+            F.when(a["t"] != G.T_NUMBER, G.gv_null())
+            .when(a["i"].isNotNull(), G.gv_int(F.abs(a["i"])))
+            .otherwise(G.gv_float(F.abs(a["d"])))
+        )
+    if name == "sign":
+        return _num1(ctx, F.signum, as_int=True)
+    if name in ("ceil", "ceiling"):
+        return _num1(ctx, F.ceil)
+    if name == "floor":
+        return _num1(ctx, F.floor)
+    if name == "round":
+        a = ctx.gv(0)
+        prec = ctx.gv(1)["i"].cast("int") if ctx.nargs > 1 else F.lit(0)
+        return F.when(a["t"] != G.T_NUMBER, G.gv_null()).otherwise(
+            G.gv_float(F.round(a["d"], prec))
+        )
+    if name == "atan2":
+        return G.gv_float(F.atan2(ctx.gv(0)["d"], ctx.gv(1)["d"]))
+    if name == "pi":
+        return G.gv_float(F.lit(3.141592653589793))
+    if name == "e":
+        return G.gv_float(F.lit(2.718281828459045))
+    if name == "rand":
+        return G.gv_float(F.rand())
+    if name == "factorial":
+        return _num1(ctx, lambda d: F.factorial(d.cast("int")), as_int=True)
+    # ---- typecasting (gtype_typecasting.c) ----
+    if name in ("tointeger", "toint"):
+        a = ctx.gv(0)
+        return (
+            F.when((a["t"] == G.T_NUMBER) & a["i"].isNotNull(), a)
+            .when(a["t"] == G.T_NUMBER, G.gv_int(a["d"].cast("long")))
+            .when(a["t"] == G.T_STRING, G.gv_int(a["s"].cast("double").cast("long")))
+            .when(a["t"] == G.T_BOOL, G.gv_int(a["b"].cast("long")))
+            .otherwise(G.gv_null())
+        )
+    if name == "tofloat":
+        a = ctx.gv(0)
+        return (
+            F.when(a["t"] == G.T_NUMBER, G.gv_float(a["d"]))
+            .when(a["t"] == G.T_STRING, G.gv_float(a["s"].cast("double")))
+            .otherwise(G.gv_null())
+        )
+    if name == "tostring":
+        a = ctx.gv(0)
+        return (
+            F.when(a["t"] == G.T_STRING, a)
+            .when((a["t"] == G.T_NUMBER) & a["i"].isNotNull(), G.gv_str(a["i"].cast("string")))
+            .when(a["t"] == G.T_NUMBER, G.gv_str(a["d"].cast("string")))
+            .when(a["t"] == G.T_BOOL, G.gv_str(F.when(a["b"], "true").otherwise("false")))
+            .when(a["t"] == G.T_NULL, G.gv_null())
+            .otherwise(G.gv_str(a["j"]))
+        )
+    if name == "toboolean":
+        a = ctx.gv(0)
+        return (
+            F.when(a["t"] == G.T_BOOL, a)
+            .when(a["t"] == G.T_STRING, G.gv_bool(F.lower(a["s"]) == "true"))
+            .otherwise(G.gv_null())
+        )
+
+    # ---- misc ----
+    if name == "throw_error":
+        return G.gv_str(F.raise_error(F.lit("throw_error")))
+
+    raise ValueError(f"unknown function {name!r}")

@@ -1,0 +1,580 @@
+"""Recursive-descent Cypher parser producing the clause IR in ast.py.
+
+Grammar follows the reference's cypher_gram.y (clauses at g.y:4907-5229,
+patterns at g.y:16778-16908, expressions at g.y:16941-17295) with
+openCypher operator precedence: OR < XOR < AND < NOT < comparison
+(chainable) < additive < multiplicative < unary < power < postfix.
+"""
+
+from __future__ import annotations
+
+from postgraph_spark.plans import ast as A
+from postgraph_spark.plans.lexer import Token, tokenize
+
+
+class ParseError(ValueError):
+    pass
+
+
+class Parser:
+    def __init__(self, text: str):
+        self.toks = tokenize(text)
+        self.i = 0
+
+    # ------------------------------------------------------------ helpers
+
+    @property
+    def cur(self) -> Token:
+        return self.toks[self.i]
+
+    def peek(self, off: int = 1) -> Token:
+        j = min(self.i + off, len(self.toks) - 1)
+        return self.toks[j]
+
+    def advance(self) -> Token:
+        t = self.cur
+        self.i += 1
+        return t
+
+    def at_kw(self, *kws: str) -> bool:
+        return self.cur.kind == "kw" and self.cur.value in kws
+
+    def at_op(self, *ops: str) -> bool:
+        return self.cur.kind == "op" and self.cur.value in ops
+
+    def eat_kw(self, kw: str) -> Token:
+        if not self.at_kw(kw):
+            raise ParseError(f"expected {kw.upper()} at {self.cur.pos}, got {self.cur.value!r}")
+        return self.advance()
+
+    def eat_op(self, op: str) -> Token:
+        if not self.at_op(op):
+            raise ParseError(f"expected {op!r} at {self.cur.pos}, got {self.cur.value!r}")
+        return self.advance()
+
+    def try_kw(self, *kws: str) -> bool:
+        if self.at_kw(*kws):
+            self.advance()
+            return True
+        return False
+
+    def name(self) -> str:
+        if self.cur.kind == "name":
+            return self.advance().value
+        # allow non-reserved keywords as identifiers where unambiguous
+        if self.cur.kind == "kw":
+            return self.advance().value
+        raise ParseError(f"expected name at {self.cur.pos}, got {self.cur.value!r}")
+
+    # -------------------------------------------------------------- query
+
+    def parse(self):
+        q = self.parse_setop()
+        if self.at_op(";"):
+            self.advance()
+        if self.cur.kind != "eof":
+            raise ParseError(f"trailing input at {self.cur.pos}: {self.cur.value!r}")
+        return q
+
+    def parse_setop(self):
+        left = self.parse_single()
+        while self.at_kw("union", "intersect", "except"):
+            op = self.advance().value
+            if op == "union":
+                op = "union_all" if self.try_kw("all") else "union"
+            else:
+                self.try_kw("distinct")
+            right = self.parse_single()
+            left = A.SetOp(op, left, right)
+        return left
+
+    def parse_single(self) -> A.SingleQuery:
+        clauses = []
+        while True:
+            if self.at_kw("optional"):
+                self.advance()
+                self.eat_kw("match")
+                clauses.append(self.parse_match(optional=True))
+            elif self.at_kw("match"):
+                self.advance()
+                clauses.append(self.parse_match())
+            elif self.at_kw("unwind"):
+                self.advance()
+                e = self.parse_expr()
+                self.eat_kw("as")
+                clauses.append(A.UnwindClause(e, self.name()))
+            elif self.at_kw("with"):
+                self.advance()
+                clauses.append(self.parse_with())
+            elif self.at_kw("return"):
+                self.advance()
+                clauses.append(self.parse_return())
+            elif self.at_kw("create"):
+                self.advance()
+                clauses.append(A.CreateClause(self.parse_pattern_list()))
+            elif self.at_kw("merge"):
+                self.advance()
+                clauses.append(A.MergeClause(self.parse_path()))
+            elif self.at_kw("set"):
+                self.advance()
+                clauses.append(self.parse_set())
+            elif self.at_kw("remove"):
+                self.advance()
+                clauses.append(self.parse_remove())
+            elif self.at_kw("delete"):
+                self.advance()
+                clauses.append(A.DeleteClause(self.parse_expr_list(), detach=False))
+            elif self.at_kw("detach"):
+                self.advance()
+                self.eat_kw("delete")
+                clauses.append(A.DeleteClause(self.parse_expr_list(), detach=True))
+            else:
+                break
+        if not clauses:
+            raise ParseError(f"expected a clause at {self.cur.pos}")
+        return A.SingleQuery(clauses)
+
+    # ------------------------------------------------------------- clauses
+
+    def parse_match(self, optional: bool = False) -> A.MatchClause:
+        paths = self.parse_pattern_list()
+        where = None
+        order_by: list = []
+        if self.try_kw("where"):
+            where = self.parse_expr()
+        if self.at_kw("order"):
+            order_by = self.parse_order_by()
+        return A.MatchClause(paths, where, optional, order_by)
+
+    def parse_order_by(self) -> list:
+        self.eat_kw("order")
+        self.eat_kw("by")
+        items = []
+        while True:
+            e = self.parse_expr()
+            desc = False
+            if self.try_kw("asc", "ascending"):
+                desc = False
+            elif self.try_kw("desc", "descending"):
+                desc = True
+            nulls_first = None
+            if self.try_kw("nulls"):
+                if self.try_kw("first"):
+                    nulls_first = True
+                else:
+                    self.eat_kw("last")
+                    nulls_first = False
+            items.append(A.SortItem(e, desc, nulls_first))
+            if not self.at_op(","):
+                break
+            self.advance()
+        return items
+
+    def _return_items(self):
+        distinct = self.try_kw("distinct")
+        star = False
+        items = []
+        if self.at_op("*"):
+            self.advance()
+            star = True
+            if self.at_op(","):
+                self.advance()
+            else:
+                return distinct, star, items
+        while True:
+            e = self.parse_expr()
+            alias = None
+            if self.try_kw("as"):
+                alias = self.name()
+            items.append(A.ReturnItem(e, alias))
+            if not self.at_op(","):
+                break
+            self.advance()
+        return distinct, star, items
+
+    def parse_with(self) -> A.WithClause:
+        distinct, star, items = self._return_items()
+        order_by = self.parse_order_by() if self.at_kw("order") else []
+        skip = limit = None
+        if self.try_kw("skip"):
+            skip = self.parse_expr()
+        if self.try_kw("limit"):
+            limit = self.parse_expr()
+        where = self.parse_expr() if self.try_kw("where") else None
+        return A.WithClause(items, distinct, where, order_by, skip, limit, star)
+
+    def parse_return(self) -> A.ReturnClause:
+        distinct, star, items = self._return_items()
+        if star:
+            raise ParseError("RETURN * is not supported; name the items")
+        order_by = self.parse_order_by() if self.at_kw("order") else []
+        skip = limit = None
+        if self.try_kw("skip"):
+            skip = self.parse_expr()
+        if self.try_kw("limit"):
+            limit = self.parse_expr()
+        return A.ReturnClause(items, distinct, order_by, skip, limit)
+
+    def parse_set(self) -> A.SetClause:
+        items = []
+        while True:
+            target = self.parse_expr_postfix_only()
+            if self.at_op("+="):
+                self.advance()
+                items.append(A.SetItem(target, self.parse_expr(), is_add=True))
+            else:
+                self.eat_op("=")
+                items.append(A.SetItem(target, self.parse_expr()))
+            if not self.at_op(","):
+                break
+            self.advance()
+        return A.SetClause(items)
+
+    def parse_remove(self) -> A.SetClause:
+        items = []
+        while True:
+            target = self.parse_expr_postfix_only()
+            items.append(A.SetItem(target, A.Lit(None)))
+            if not self.at_op(","):
+                break
+            self.advance()
+        return A.SetClause(items, is_remove=True)
+
+    def parse_expr_list(self) -> list:
+        out = [self.parse_expr()]
+        while self.at_op(","):
+            self.advance()
+            out.append(self.parse_expr())
+        return out
+
+    # ------------------------------------------------------------ patterns
+
+    def parse_pattern_list(self) -> list:
+        paths = [self.parse_path()]
+        while self.at_op(","):
+            self.advance()
+            paths.append(self.parse_path())
+        return paths
+
+    def parse_path(self) -> A.Path:
+        var = None
+        if self.cur.kind == "name" and self.peek().kind == "op" and self.peek().value == "=" and (
+            self.peek(2).kind == "op" and self.peek(2).value == "("
+        ):
+            var = self.advance().value
+            self.advance()  # =
+        elements = [self.parse_node()]
+        while self.at_op("-", "<-", "<"):
+            rel = self.parse_rel()
+            node = self.parse_node()
+            elements.append(rel)
+            elements.append(node)
+        return A.Path(var, elements)
+
+    def parse_node(self) -> A.NodePat:
+        self.eat_op("(")
+        var = label = None
+        props = None
+        if self.cur.kind == "name":
+            var = self.advance().value
+        if self.at_op(":"):
+            self.advance()
+            label = self.name()
+        if self.at_op("{"):
+            props = self.parse_map_literal()
+        self.eat_op(")")
+        return A.NodePat(var, label, props)
+
+    def parse_rel(self) -> A.RelPat:
+        # entry tokens: '-' (out/both) or '<-' (in)
+        direction = "both"
+        if self.at_op("<-"):
+            self.advance()
+            direction = "in"
+        else:
+            self.eat_op("-")
+        var = label = None
+        props = None
+        varlen = None
+        if self.at_op("["):
+            self.advance()
+            if self.cur.kind == "name":
+                var = self.advance().value
+            if self.at_op(":"):
+                self.advance()
+                label = self.name()
+            if self.at_op("*"):
+                self.advance()
+                lo_default = 1
+                lo = hi = None
+                if self.cur.kind == "int":
+                    lo = int(self.advance().value)
+                if self.at_op(".."):
+                    self.advance()
+                    if self.cur.kind == "int":
+                        hi = int(self.advance().value)
+                    varlen = (lo if lo is not None else lo_default, hi)
+                else:
+                    # bare *  -> (1, None); *n -> exactly n
+                    varlen = (lo if lo is not None else lo_default, lo if lo is not None else None)
+                if lo is None and varlen[0] == 1 and self.at_op(".."):
+                    pass
+            if self.at_op("{"):
+                props = self.parse_map_literal()
+            self.eat_op("]")
+        if self.at_op("->"):
+            self.advance()
+            if direction == "in":
+                raise ParseError("invalid relationship direction <- ... ->")
+            direction = "out"
+        elif self.at_op("-"):
+            self.advance()
+            # direction stays 'in' or 'both'
+        else:
+            raise ParseError(f"expected -> or - at {self.cur.pos}")
+        return A.RelPat(var, label, props, direction, varlen)
+
+    def parse_map_literal(self) -> A.MapLit:
+        self.eat_op("{")
+        items = {}
+        if not self.at_op("}"):
+            while True:
+                k = self.name() if self.cur.kind in ("name", "kw") else self.advance().value
+                self.eat_op(":")
+                items[k] = self.parse_expr()
+                if not self.at_op(","):
+                    break
+                self.advance()
+        self.eat_op("}")
+        return A.MapLit(items)
+
+    # --------------------------------------------------------- expressions
+
+    def parse_expr(self):
+        return self.parse_or()
+
+    def parse_or(self):
+        left = self.parse_xor()
+        while self.at_kw("or"):
+            self.advance()
+            left = A.BinOp("OR", left, self.parse_xor())
+        return left
+
+    def parse_xor(self):
+        left = self.parse_and()
+        while self.at_kw("xor"):
+            self.advance()
+            left = A.BinOp("XOR", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_not()
+        while self.at_kw("and"):
+            self.advance()
+            left = A.BinOp("AND", left, self.parse_not())
+        return left
+
+    def parse_not(self):
+        if self.at_kw("not"):
+            self.advance()
+            return A.UnaryOp("NOT", self.parse_not())
+        return self.parse_comparison()
+
+    _CMP = {"=", "<>", "<", "<=", ">", ">="}
+
+    def parse_comparison(self):
+        left = self.parse_additive()
+        chain = []
+        while True:
+            if self.cur.kind == "op" and self.cur.value in self._CMP:
+                op = self.advance().value
+                right = self.parse_additive()
+                chain.append(A.BinOp(op, left, right))
+                left = right
+            elif self.at_kw("starts"):
+                self.advance()
+                self.eat_kw("with")
+                chain.append(A.BinOp("STARTS", left, self.parse_additive()))
+                break
+            elif self.at_kw("ends"):
+                self.advance()
+                self.eat_kw("with")
+                chain.append(A.BinOp("ENDS", left, self.parse_additive()))
+                break
+            elif self.at_kw("contains"):
+                self.advance()
+                chain.append(A.BinOp("CONTAINS", left, self.parse_additive()))
+                break
+            elif self.at_op("=~"):
+                self.advance()
+                chain.append(A.BinOp("=~", left, self.parse_additive()))
+                break
+            elif self.at_kw("in"):
+                self.advance()
+                chain.append(A.BinOp("IN", left, self.parse_additive()))
+                break
+            elif self.at_kw("is"):
+                self.advance()
+                negated = self.try_kw("not")
+                self.eat_kw("null")
+                chain.append(A.IsNull(left, negated))
+                break
+            else:
+                break
+        if not chain:
+            return left
+        out = chain[0]
+        for c in chain[1:]:
+            out = A.BinOp("AND", out, c)
+        return out
+
+    def parse_additive(self):
+        left = self.parse_multiplicative()
+        while self.at_op("+", "-"):
+            op = self.advance().value
+            left = A.BinOp(op, left, self.parse_multiplicative())
+        return left
+
+    def parse_multiplicative(self):
+        left = self.parse_unary()
+        while self.at_op("*", "/", "%"):
+            op = self.advance().value
+            left = A.BinOp(op, left, self.parse_unary())
+        return left
+
+    def parse_unary(self):
+        if self.at_op("-"):
+            self.advance()
+            return A.UnaryOp("-", self.parse_unary())
+        if self.at_op("+"):
+            self.advance()
+            return self.parse_unary()
+        return self.parse_power()
+
+    def parse_power(self):
+        left = self.parse_postfix()
+        if self.at_op("^"):
+            self.advance()
+            return A.BinOp("^", left, self.parse_unary())  # right-assoc
+        return left
+
+    def parse_expr_postfix_only(self):
+        return self.parse_postfix()
+
+    def parse_postfix(self):
+        e = self.parse_atom()
+        while True:
+            if self.at_op("."):
+                self.advance()
+                key = self.name()
+                if isinstance(e, A.Prop):
+                    e.path.append(key)
+                else:
+                    e = A.Prop(e, [key])
+            elif self.at_op("["):
+                self.advance()
+                lo = None
+                if not self.at_op(".."):
+                    lo = self.parse_expr()
+                if self.at_op(".."):
+                    self.advance()
+                    hi = None
+                    if not self.at_op("]"):
+                        hi = self.parse_expr()
+                    e = A.Slice(e, lo, hi)
+                else:
+                    e = A.Index(e, lo)
+                self.eat_op("]")
+            else:
+                break
+        return e
+
+    def parse_atom(self):
+        t = self.cur
+        if t.kind == "int":
+            self.advance()
+            return A.Lit(int(t.value))
+        if t.kind == "float":
+            self.advance()
+            return A.Lit(float(t.value))
+        if t.kind == "string":
+            self.advance()
+            return A.Lit(t.value)
+        if t.kind == "kw":
+            if t.value == "null":
+                self.advance()
+                return A.Lit(None)
+            if t.value == "true":
+                self.advance()
+                return A.Lit(True)
+            if t.value == "false":
+                self.advance()
+                return A.Lit(False)
+            if t.value == "case":
+                return self.parse_case()
+            if t.value == "exists":
+                self.advance()
+                self.eat_op("(")
+                if self.at_op("("):
+                    pat = self.parse_path()
+                    self.eat_op(")")
+                    return A.ExistsPattern(pat)
+                e = self.parse_expr()
+                self.eat_op(")")
+                return A.FuncCall("exists", [e])
+            if t.value in ("count",):  # count(*) — count is also a kw-ish name
+                pass
+        if t.kind == "name" or t.kind == "kw":
+            # function call or variable
+            if self.peek().kind == "op" and self.peek().value == "(":
+                fname = self.advance().value.lower()
+                self.eat_op("(")
+                distinct = self.try_kw("distinct")
+                if self.at_op("*"):
+                    self.advance()
+                    self.eat_op(")")
+                    return A.FuncCall(fname, [], star=True)
+                args = []
+                if not self.at_op(")"):
+                    args = self.parse_expr_list()
+                self.eat_op(")")
+                return A.FuncCall(fname, args, distinct=distinct)
+            if t.kind == "name":
+                self.advance()
+                return A.Var(t.value)
+            raise ParseError(f"unexpected keyword {t.value!r} at {t.pos}")
+        if t.kind == "op" and t.value == "(":
+            self.advance()
+            e = self.parse_expr()
+            self.eat_op(")")
+            return e
+        if t.kind == "op" and t.value == "[":
+            self.advance()
+            items = []
+            if not self.at_op("]"):
+                items = self.parse_expr_list()
+            self.eat_op("]")
+            return A.ListLit(items)
+        if t.kind == "op" and t.value == "{":
+            return self.parse_map_literal()
+        raise ParseError(f"unexpected token {t.value!r} at {t.pos}")
+
+    def parse_case(self):
+        self.eat_kw("case")
+        operand = None
+        if not self.at_kw("when"):
+            operand = self.parse_expr()
+        whens = []
+        while self.try_kw("when"):
+            cond = self.parse_expr()
+            self.eat_kw("then")
+            whens.append((cond, self.parse_expr()))
+        default = None
+        if self.try_kw("else"):
+            default = self.parse_expr()
+        self.eat_kw("end")
+        return A.CaseExpr(operand, whens, default)
+
+
+def parse(text: str):
+    return Parser(text).parse()
