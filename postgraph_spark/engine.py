@@ -52,10 +52,17 @@ class CypherEngine:
             return None
 
         q = parse(text)
-        if isinstance(q, A.SingleQuery) and all(isinstance(c, A.CreateClause) for c in q.clauses):
-            for c in q.clauses:
-                self._execute_create(c)
-            return None
+        if isinstance(q, A.SingleQuery):
+            if all(isinstance(c, A.CreateClause) for c in q.clauses):
+                for c in q.clauses:
+                    self._execute_create(c)
+                return None
+            from postgraph_spark.plans.writes import WriteRunner, is_write_clause
+
+            if any(is_write_clause(c) for c in q.clauses):
+                if self.graph is None:
+                    raise ValueError("no graph selected (USE GRAPH first)")
+                return WriteRunner(self.spark, self.graph).run(q)
         return Compiler(self.spark, self.graph).compile_query(q)
 
     def fetch(self, text: str) -> list[tuple]:
