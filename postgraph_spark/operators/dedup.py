@@ -40,35 +40,55 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return keep.select(id_col)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Widen under-partitioned input to the cluster's parallelism before
+    CPU-heavy per-row work (tokenize/shingle/hash). A single small parquet
+    file arrives as ONE partition — without this every shingle of the
+    corpus is computed on one core. No-op when the input is already at
+    least as wide (the 100 TB case)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Distinct k-shingles per document: (id, shingle)."""
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), k))).alias("shingle"))
+        _spread(df).select(
+            F.col(id_col), F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), k))).alias("shingle")
+        )
     )
+
+
+def _minhash_wide(df: DataFrame, id_col: str, text_col: str, n_hashes: int, k: int) -> DataFrame:
+    """Wide MinHash: one row per doc, columns m0..m{n-1}.
+
+    h_i(s) = substr(md5(i || s), 1, 8) compared lexicographically — engine
+    portable and deterministic. All n hashes are computed in ONE projection
+    per shingle row and min-aggregated as n parallel partial aggs, so the
+    shuffle carries one narrow row per document (not n_hashes x shingles
+    rows — that long-form shape was 8x the rows for the same result)."""
+    sh = doc_shingles(df, id_col, text_col, k)
+    hv = sh.select(
+        F.col(id_col),
+        *[
+            F.substring(F.md5(F.concat(F.lit(str(i)), F.col("shingle"))), 1, 8).alias(f"hv{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    return hv.groupBy(id_col).agg(*[F.min(f"hv{i}").alias(f"m{i}") for i in range(n_hashes)])
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, k: int = 3
 ) -> DataFrame:
-    """Long-form MinHash signature: (id, h (hash index), minhash).
-
-    h_i(s) = substr(md5(i || s), 1, 8) compared lexicographically — engine
-    portable and deterministic. Per-doc min is a map-side partial agg, so
-    the shuffle carries n_hashes rows per document.
-    """
-    sh = doc_shingles(df, id_col, text_col, k)
-    hs = sh.select(
-        F.col(id_col), "shingle", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("h")
-    )
-    return (
-        hs.select(
-            F.col(id_col),
-            "h",
-            F.substring(F.md5(F.concat(F.col("h").cast("string"), F.col("shingle"))), 1, 8).alias("hv"),
-        )
-        .groupBy(id_col, "h")
-        .agg(F.min("hv").alias("minhash"))
-    )
+    """Long-form MinHash signature: (id, h (hash index), minhash) — the
+    wide per-doc aggregate unpivoted at the end (docs x n rows, cheap)."""
+    wide = _minhash_wide(df, id_col, text_col, n_hashes, k)
+    stack = ", ".join(f"{i}, m{i}" for i in range(n_hashes))
+    return wide.selectExpr(id_col, f"stack({n_hashes}, {stack}) AS (h, minhash)")
 
 
 def lsh_candidate_pairs(
@@ -81,16 +101,23 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (a < b) sharing >= 1 band bucket.
 
-    Band key = md5 of the concatenated signature rows of the band. The
+    Band key = md5 of the band's lex-sorted 'h:minhash' strings, built
+    straight from the wide signature columns (no per-band shuffle). The
     only all-to-all operation is the equi-join on (band, bucket) — skew
     (a giant bucket of boilerplate docs) is handled by AQE skew-join.
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, k)
-    band_keys = (
-        sig.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.md5(F.array_join(F.array_sort(F.collect_list(F.concat_ws(":", "h", "minhash"))), "|")).alias("bucket"))
+    wide = _minhash_wide(df, id_col, text_col, n_hashes, k)
+    band_structs = []
+    for b in range(bands):
+        parts = [
+            F.concat(F.lit(f"{h}:"), F.col(f"m{h}"))
+            for h in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        bucket = F.md5(F.array_join(F.array_sort(F.array(*parts)), "|"))
+        band_structs.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    band_keys = wide.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")).select(
+        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     a = band_keys.select(F.col(id_col).alias("a"), "band", "bucket")
     b = band_keys.select(F.col(id_col).alias("b"), "band", "bucket")
@@ -116,22 +143,31 @@ def jaccard_pairs(
     standard scalable set-similarity join (prefix filtering would trim
     further; omitted for clarity).
     """
-    sh = doc_shingles(df, id_col, text_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("a"), "shingle")
-    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    # The join key is the 64-bit shingle hash, not the text — the same
+    # equality classes (collisions negligible at 2^-64) with far smaller
+    # shuffle rows. Self-joining ONE plan via alias lets Spark reuse the
+    # shuffle exchange for both sides; the tiny per-doc size table joins
+    # back by broadcast, so the only large shuffle is the inverted-index
+    # join itself.
+    sh = doc_shingles(df, id_col, text_col, k).select(
+        F.col(id_col).alias("id"), F.xxhash64("shingle").alias("shingle")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        sh.alias("x")
+        .join(sh.alias("y"), F.col("x.shingle") == F.col("y.shingle"))
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
+    sa = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(sa, "a")
-        .join(sb, "b")
-        .withColumn("jac", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        inter.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .withColumn(
+            "jac", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6)
+        )
         .filter(F.col("jac") >= threshold)
         .select("a", "b", "jac")
     )
@@ -146,9 +182,12 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Per-token 32-bit hash = first 8 hex chars of md5(token); each bit
     votes +1/-1 weighted by occurrence; sign of the vote sets the output
     bit. Pure expressions + one groupBy — fully distributed, and exactly
-    reproducible in the SQL oracle.
+    reproducible in the SQL oracle. (The md5 is computed in its own
+    projection BEFORE the 32-bit explode; folding it into per-bit agg
+    expressions re-evaluates it 32x — aggs get no common-subexpression
+    elimination.)
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tok = _spread(df).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     tok = tok.withColumn("th", F.substring(F.md5("tok"), 1, 8))
     bits = tok.select(
         F.col(id_col),

@@ -25,6 +25,11 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(_d(a), _d(b), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _dotd(a: Column, b: Column) -> Column:
+    """dot over arrays already cast to double (skips the per-pair cast)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(_d(a), F.lit(0.0), lambda acc, x: acc + x * x))
 
@@ -64,14 +69,18 @@ def brute_force_topk(
     (IVF probe=1). Without it, a broadcast of the query set keeps the
     corpus scan shuffle-free until the final per-query top-k.
     """
+    # norms are computed per ROW before the join (one O(d) fold per vector,
+    # not one per candidate pair — a 3x cut in per-pair float work)
     q = queries.select(
         F.col(id_col).alias("q"),
-        F.col(vec_col).alias("qv"),
+        _d(F.col(vec_col)).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
         *([F.col(bucket_col).alias("qb")] if bucket_col else []),
     )
     c = corpus.select(
         F.col(id_col).alias("n"),
-        F.col(vec_col).alias("nv"),
+        _d(F.col(vec_col)).alias("nv"),
+        l2_norm(F.col(vec_col)).alias("nn"),
         *([F.col(bucket_col).alias("nb")] if bucket_col else []),
     )
     cond = F.col("q") != F.col("n")
@@ -79,7 +88,11 @@ def brute_force_topk(
         joined = c.join(F.broadcast(q), (F.col("qb") == F.col("nb")) & cond)
     else:
         joined = c.join(F.broadcast(q), cond)
-    sims = joined.select("q", "n", F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6).alias("sim"))
+    sims = joined.select(
+        "q",
+        "n",
+        F.round(_dotd(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6).alias("sim"),
+    )
     w = W.partitionBy("q").orderBy(F.col("sim").desc(), F.col("n"))
     return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
@@ -97,11 +110,26 @@ def neardup_pairs_cosine(
     (shuffle on bucket) instead of a full cross join. At scale the bucket
     is a k-means/LSH assignment; recall is traded per probe count.
     """
-    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("av"), F.col(bucket_col).alias("bk"))
-    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("bv"), F.col(bucket_col).alias("bk"))
+    # per-row norm + pre-cast before the self-join (see brute_force_topk)
+    a = df.select(
+        F.col(id_col).alias("a"),
+        _d(F.col(vec_col)).alias("av"),
+        l2_norm(F.col(vec_col)).alias("an"),
+        F.col(bucket_col).alias("bk"),
+    )
+    b = df.select(
+        F.col(id_col).alias("b"),
+        _d(F.col(vec_col)).alias("bv"),
+        l2_norm(F.col(vec_col)).alias("bn"),
+        F.col(bucket_col).alias("bk"),
+    )
     return (
         a.join(b, "bk")
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(cosine_similarity(F.col("av"), F.col("bv")), 6).alias("sim"))
+        .select(
+            "a",
+            "b",
+            F.round(_dotd(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 6).alias("sim"),
+        )
         .filter(F.col("sim") >= threshold)
     )
