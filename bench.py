@@ -34,6 +34,10 @@ HEADLINE = [
     "simhash_fingerprints",
     "sim_topk_cosine",
     "embed_neardup_pairs",
+    "rolling_hash_fingerprint",
+    "token_count_bpe",
+    "multimodal_meta",
+    "graph_vle_paths",
 ]
 
 

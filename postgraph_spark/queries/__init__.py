@@ -12,5 +12,6 @@ from postgraph_spark.queries.registry import QUERIES, ORACLES, register
 from postgraph_spark.queries import relational  # noqa: E402,F401
 from postgraph_spark.queries import llm_ops  # noqa: E402,F401
 from postgraph_spark.queries import graph_queries  # noqa: E402,F401
+from postgraph_spark.queries import streaming_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -73,3 +73,32 @@ def graph_match_2hop(spark, sf_dir):
         .groupBy("nation")
         .agg(F.countDistinct("okey").alias("n_orders"))
     )
+
+
+@register(
+    "graph_vle_paths",
+    """
+    SELECT 1 AS hops, 'orders' AS end_label, count(*) AS n_paths FROM orders
+    UNION ALL
+    SELECT 1 AS hops, 'nation' AS end_label, count(*) AS n_paths FROM customer
+    UNION ALL
+    SELECT 2 AS hops, 'part' AS end_label, count(*) AS n_paths FROM lineitem
+    """,
+)
+def graph_vle_paths(spark, sf_dir):
+    """MATCH (c:customer)-[*1..2]->(x) RETURN hops, label(x), count(*) —
+    the variable-length-edge operator (dfs.c:48-663 semantics) as the
+    iterative distributed BFS of operators/vle.py, grouped by path length
+    and endpoint label. Oracle: 1-hop = placed + from_nation edges from
+    customers; 2-hop = customer->order->part chains = lineitem rows."""
+    from postgraph_spark.operators.vle import vle
+
+    g = tpch_graph(spark, sf_dir)
+    starts = g.vertices_with_label("customer").select("id")
+    paths = vle(g, lo=1, hi=2, direction="out", start_ids=starts)
+    ends = g.vertices.select(F.col("id").alias("end_id"), F.col("label").alias("end_label"))
+    return (
+        paths.join(ends, "end_id")
+        .groupBy("hops", "end_label")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )

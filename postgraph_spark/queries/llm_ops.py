@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from postgraph_spark.functions import text as TX
 from postgraph_spark.operators import dedup as DD
+from postgraph_spark.operators import multimodal as MM
 from postgraph_spark.operators import similarity as SIM
 from postgraph_spark.queries.registry import register, t
 
@@ -250,3 +251,134 @@ def embed_neardup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs within clusters (t=0.4 on this
     synthetic corpus; production threshold ~0.95)."""
     return SIM.neardup_pairs_cosine(t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# 31^(7-t) for t=0..7 — Rabin-Karp polynomial coefficients, precomputed so
+# both engines evaluate the identical integer expression (fits in int64:
+# max window hash = 255 * sum(31^t) < 2^43).
+_RK_COEF = [31 ** (7 - i) for i in range(8)]
+
+
+@register(
+    "rolling_hash_fingerprint",
+    f"""
+    WITH w AS (
+      SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS j
+      FROM documents WHERE length(text) >= 8),
+    g AS (
+      SELECT doc_id,
+             {" + ".join(f"CAST(ascii(substr(text, CAST(j + {i} AS INT), 1)) AS BIGINT) * {c}" for i, c in enumerate(_RK_COEF))} AS h
+      FROM w)
+    SELECT doc_id,
+           array_to_string(list_transform(list_sort(list_distinct(list(h)))[1:4],
+                                          x -> CAST(x AS VARCHAR)), '|') AS fp
+    FROM g GROUP BY doc_id
+    """,
+)
+def rolling_hash_fingerprint(spark, sf_dir):
+    """Document fingerprinting via Rabin-Karp rolling hashes: polynomial
+    hash of every 8-char window, fingerprint = the 4 smallest distinct
+    window hashes (winnowing-style min-k sketch). Pure codegen'd
+    expressions — transform over a sequence, no UDF, no shuffle beyond
+    the final projection."""
+    d = t(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    txt = F.col("text")
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.length(txt) - 7),
+        lambda j: sum(
+            (F.ascii(txt.substr(j + F.lit(i), F.lit(1))).cast("long") * F.lit(c))
+            for i, c in enumerate(_RK_COEF[1:], 1)
+        )
+        + F.ascii(txt.substr(j, F.lit(1))).cast("long") * F.lit(_RK_COEF[0]),
+    )
+    fp = F.array_join(
+        F.slice(F.array_sort(F.array_distinct(hashes)), 1, 4).cast("array<string>"), "|"
+    )
+    return d.select("doc_id", fp.alias("fp"))
+
+
+#: GPT-2-style pretokenizer, lookahead-free so Java (Spark) and RE2
+#: (DuckDB) regex engines tokenize identically
+_BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s"
+
+
+@register(
+    "token_count_bpe",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INT) AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_RE}'))) AS INT) AS n_distinct_bpe,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def token_count_bpe(spark, sf_dir):
+    """Token counting with a BPE-ish pretokenizer regex (word / number /
+    punctuation-run / whitespace pieces) next to plain whitespace counts —
+    the corpus-sizing query, all JVM regexp, no UDF."""
+    d = t(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)
+    return d.select(
+        "doc_id",
+        F.size(pieces).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(pieces)).alias("n_distinct_bpe"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "multimodal_meta",
+    """
+    WITH m AS (
+      SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+             octet_length(encode(text)) AS n_bytes,
+             md5(text) AS digest
+      FROM documents)
+    SELECT modality, count(*) AS n_items, sum(n_bytes) AS total_bytes,
+           round(avg(n_bytes), 4) AS avg_bytes, count(DISTINCT digest) AS n_unique
+    FROM m GROUP BY modality
+    """,
+)
+def multimodal_meta(spark, sf_dir):
+    """Multimodal corpus stats over opaque binary payloads: the payload
+    never crosses into Python — md5/length are JVM expressions over the
+    binary column (the only sane plan at 100 TB of media)."""
+    media = MM.documents_as_media(t(spark, sf_dir, "documents"))
+    return MM.media_stats(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH v AS (
+      SELECT doc_id AS media_id, text, length(text) AS len,
+             CAST(length(text) % 24 + 1 AS INT) AS nf
+      FROM documents WHERE doc_id % 3 = 2),
+    fr AS (SELECT media_id, text, nf,
+                  greatest(len // nf, 1) AS fsize, (nf + 3) // 4 AS step
+           FROM v),
+    fi AS (SELECT media_id, text, fsize, step,
+                  unnest(generate_series(0, nf - 1)) AS i
+           FROM fr)
+    SELECT media_id, CAST(i AS INT) AS frame_index,
+           md5(substr(text, CAST(i * fsize + 1 AS INT), CAST(fsize AS INT))) AS frame_digest
+    FROM fi WHERE i % step = 0
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling: 1-row-in/N-rows-out mapInPandas demux stub
+    (deterministic byte-slice 'frames'); digest projected so the oracle
+    compares content without shipping blobs."""
+    media = MM.documents_as_media(t(spark, sf_dir, "documents"))
+    frames = MM.sample_frames(media, max_frames=4)
+    return frames.select("media_id", "frame_index", F.md5("frame_payload").alias("frame_digest"))
+
+
+@register("multimodal_decode")  # no SQL oracle: stubbed codec features (rows-only check)
+def multimodal_decode(spark, sf_dir):
+    """Decode + feature-extract via Arrow-batched mapInPandas. The codec
+    is stubbed (no image/audio libs in this container) behind a
+    deterministic byte-moment fake; the Spark plumbing — batch iterator,
+    schema, payload-column drop — is the real production shape."""
+    media = MM.documents_as_media(t(spark, sf_dir, "documents"))
+    return MM.decode_media(media, n_features=8)

@@ -1,0 +1,72 @@
+"""Oracle-checked batch equivalents of the Structured Streaming operators
+(postgraph_spark.streaming.ops). Structured Streaming guarantees a
+streaming query over an append source equals the same DataFrame program
+run in batch — these registry entries pin the batch side to a DuckDB
+oracle, and tests/test_streaming.py pins stream == batch, closing the
+loop streaming == oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgraph_spark.queries.registry import register, t
+from postgraph_spark.streaming import ops as S
+
+
+@register(
+    "stream_windowed_counts",
+    """
+    WITH w AS (
+      SELECT time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS ws,
+             event_type, value
+      FROM events)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(ws + INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_end,
+           event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+    FROM w GROUP BY ws, event_type
+    """,
+)
+def stream_windowed_counts(spark, sf_dir):
+    """Tumbling-window event counts — the exact DataFrame program
+    streaming/ops.py runs under a watermark on readStream (batch here:
+    the watermark is a no-op, the aggregation is identical)."""
+    out = S.windowed_event_counts(t(spark, sf_dir, "events"))
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "stream_sessionize",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    x AS (SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT user_id, ts, value,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x)
+    SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           user_id, count(*) AS n_events, round(sum(value), 6) AS session_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_sessionize(spark, sf_dir):
+    """Native session windows (session_window merge state) — oracled by
+    the classic gaps-and-islands rewrite: a session breaks where the gap
+    to the previous event reaches the 10-minute threshold."""
+    out = S.sessionize(t(spark, sf_dir, "events"), gap="10 minutes")
+    return out.select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "user_id",
+        "n_events",
+        "session_value",
+    )

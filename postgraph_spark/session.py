@@ -24,6 +24,13 @@ def get_spark(app_name: str = "postgraph_spark", *, cpus: int | None = None) -> 
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # local-mode Python workers inherit PYTHONPATH, not the driver's
+    # sys.path — make this package importable on workers regardless of
+    # the driver's cwd (module-level UDFs pickle by reference)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{pp}" if pp else repo_root
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -1,0 +1,209 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has NO streaming surface (SURVEY.md §2.9 — it is a Postgres
+extension); these are the additive stream-processing capabilities a
+large-scale ingest pipeline needs, built on Structured Streaming so the
+same DataFrame expressions run identically in batch and stream:
+
+- file-source ingest of an append-only event directory,
+- tumbling / sliding windowed aggregation with watermark-bounded state,
+- streaming deduplication (exact within watermark),
+- session windows (native ``session_window``),
+- a custom stateful operator via ``applyInPandasWithState`` (running
+  per-key accumulators with processing-time timeout).
+
+Scale notes: every operator keys its state (user_id / window / dedup key)
+so state is hash-partitioned across executors; watermarks bound state
+size; no driver-side state anywhere. At 100 TB/day the same topology runs
+with a Kafka source instead of files — the transformations are unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: the events table schema (ts normalized to microsecond timestamps —
+#: sources.relational.load_table does the nanos conversion for batch;
+#: stream ingest expects already-normalized parquet/json)
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, fmt: str = "parquet", max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source ingest of an append-only event directory."""
+    reader = spark.readStream.schema(EVENT_SCHEMA).format(fmt)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type with late-data bound.
+
+    Watermark caps state: windows older than max(ts) - watermark are
+    finalized and dropped. Works identically on a batch DataFrame (the
+    watermark is a no-op there) — tests exploit that equivalence.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_user_activity(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Sliding-window per-user activity (each event lands in
+    window/slide overlapping windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n_events")
+    )
+
+
+def stream_dedup(events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes") -> DataFrame:
+    """Exact streaming dedup on key columns within the watermark horizon.
+
+    State = one entry per key seen, expired past the watermark — the
+    streaming analog of the batch exact-dedup groupBy."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows per user: events closer than `gap` chain into one
+    session (native session_window — state merges adjacent windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("session_value"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# ------------------------------------------------- custom stateful operator
+
+RUNNING_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+)
+
+
+def running_user_stats(events: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
+    """Custom stateful op: per-user running totals via
+    applyInPandasWithState (Arrow-batched, keyed state).
+
+    ``idle_timeout_ms`` expires idle keys (bounds state growth) in a
+    continuously-running deployment. Default None = NoTimeout: a
+    processing-time timeout keeps a trigger(availableNow) drain alive
+    forever (the engine schedules empty 'state cleanup' batches until
+    keys expire, so the query never self-terminates — and
+    processAllAvailable blocks on the same condition).
+
+    The state function is a local closure so cloudpickle ships it BY
+    VALUE — executor Python workers never need this package importable.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout if idle_timeout_ms else GroupStateTimeout.NoTimeout
+    )
+
+    def running_stats_fn(key, pdf_iter, state):
+        # per-user running (count, sum); each micro-batch emits the
+        # updated running totals for keys that saw data
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if idle_timeout_ms:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            running_stats_fn,
+            outputStructType=RUNNING_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout_conf,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "complete"):
+    """Drain all available input into an in-memory table (test/dev sink);
+    returns the StreamingQuery after it has processed everything.
+
+    Caveat: the drained query must not use processing-time state
+    timeouts — those keep scheduling 'state cleanup' batches, so neither
+    awaitTermination nor processAllAvailable ever returns (see
+    running_user_stats)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

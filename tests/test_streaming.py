@@ -1,0 +1,92 @@
+"""Structured Streaming operators: stream results must equal the batch
+computation over the same data (the batch/stream equivalence Structured
+Streaming guarantees for append sources + availableNow drains)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgraph_spark.sources.relational import load_table
+from postgraph_spark.streaming import ops as S
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """events sf0.001 re-written as 3 parquet chunks (simulated arrivals)."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, "events", SF_DIR)
+    n = ev.count()
+    ev1 = ev.filter(F.col("event_id") % 3 == 0)
+    ev2 = ev.filter(F.col("event_id") % 3 == 1)
+    ev3 = ev.filter(F.col("event_id") % 3 == 2)
+    for i, chunk in enumerate((ev1, ev2, ev3)):
+        chunk.coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def rows_sorted(df_or_rows):
+    rows = df_or_rows.collect() if hasattr(df_or_rows, "collect") else df_or_rows
+    return sorted(map(tuple, rows))
+
+
+def test_windowed_counts_stream_equals_batch(spark, event_dir):
+    stream = S.read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    S.run_to_memory(S.windowed_event_counts(stream), "win_counts")
+    got = rows_sorted(spark.table("win_counts"))
+    batch = load_table(spark, "events", SF_DIR)
+    want = rows_sorted(S.windowed_event_counts(batch))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_sliding_window_stream_equals_batch(spark, event_dir):
+    stream = S.read_event_stream(spark, event_dir)
+    S.run_to_memory(S.sliding_user_activity(stream), "slide_counts")
+    got = rows_sorted(spark.table("slide_counts"))
+    want = rows_sorted(S.sliding_user_activity(load_table(spark, "events", SF_DIR)))
+    assert got == want
+
+
+def test_stream_dedup(spark, event_dir, tmp_path):
+    # duplicate every event into a second chunk file; dedup must restore
+    # the original cardinality
+    d = str(tmp_path / "dup_events")
+    ev = load_table(spark, "events", SF_DIR)
+    ev.coalesce(1).write.mode("append").parquet(d)
+    ev.coalesce(1).write.mode("append").parquet(d)
+    stream = S.read_event_stream(spark, d)
+    S.run_to_memory(S.stream_dedup(stream), "dedup_out", output_mode="append")
+    assert spark.table("dedup_out").count() == ev.count()
+
+
+def test_sessionize_stream_equals_batch(spark, event_dir):
+    stream = S.read_event_stream(spark, event_dir)
+    S.run_to_memory(S.sessionize(stream, gap="10 minutes"), "sessions")
+    got = rows_sorted(spark.table("sessions"))
+    want = rows_sorted(S.sessionize(load_table(spark, "events", SF_DIR), gap="10 minutes"))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_running_user_stats_stateful(spark, event_dir):
+    stream = S.read_event_stream(spark, event_dir)
+    S.run_to_memory(S.running_user_stats(stream), "run_stats", output_mode="update")
+    # final per-user update must equal the batch totals; with multiple
+    # micro-batches the memory sink keeps every update row, so take the
+    # row with the max n_events per user
+    upd = spark.table("run_stats")
+    final = (
+        upd.groupBy("user_id")
+        .agg(F.max_by(F.struct("n_events", "total_value"), "n_events").alias("s"))
+        .select("user_id", F.col("s.n_events").alias("n_events"), F.col("s.total_value").alias("total_value"))
+    )
+    batch = (
+        load_table(spark, "events", SF_DIR)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+    )
+    assert rows_sorted(final) == rows_sorted(batch)
