@@ -40,6 +40,16 @@ T_TIMESTAMP = 5
 T_DATE = 6
 T_NULL = 11
 
+# IMPORTANT — expression-size discipline: a gval must ALWAYS be built as
+# ONE flat F.struct(...) whose fields are small conditional expressions,
+# NEVER as F.when(cond, struct_a).otherwise(struct_b). Field access on a
+# flat CreateNamedStruct collapses in Catalyst (SimplifyExtractValueOps)
+# to just that field's expression; field access on a CASE-of-structs
+# duplicates the whole tree per access, which compounds multiplicatively
+# under nesting and blows whole-stage codegen past Janino's 64 KB method
+# limit (≈40 s of failed compiles per MERGE before this was fixed).
+
+
 def _mk(t: Column | int, b=None, i=None, d=None, s=None, j=None) -> Column:
     tt = F.lit(t) if isinstance(t, int) else t
     n = F.lit(None)
@@ -53,36 +63,47 @@ def _mk(t: Column | int, b=None, i=None, d=None, s=None, j=None) -> Column:
     )
 
 
+def _t_or_null(c: Column, t: int) -> Column:
+    """type tag: T_NULL when the payload is SQL-null, else t."""
+    return F.when(c.isNull(), F.lit(T_NULL)).otherwise(F.lit(t))
+
+
 def gv_null() -> Column:
     return _mk(T_NULL)
 
 
 def gv_bool(c: Column | bool) -> Column:
     c = F.lit(c) if isinstance(c, bool) else c
-    return F.when(c.isNull(), gv_null()).otherwise(_mk(T_BOOL, b=c))
+    return _mk(_t_or_null(c, T_BOOL), b=c)
 
 
 def gv_int(c: Column | int) -> Column:
     c = F.lit(c) if isinstance(c, int) else c
-    return F.when(c.isNull(), gv_null()).otherwise(_mk(T_NUMBER, i=c, d=c.cast("double")))
+    return _mk(_t_or_null(c, T_NUMBER), i=c, d=c.cast("double"))
 
 
 def gv_float(c: Column | float) -> Column:
     c = F.lit(c) if isinstance(c, float) else c
-    return F.when(c.isNull(), gv_null()).otherwise(_mk(T_NUMBER, d=c))
+    return _mk(_t_or_null(c, T_NUMBER), d=c)
+
+
+def gv_num(i: Column, d: Column) -> Column:
+    """number gval with optional integer identity (i may be null for a
+    pure float); d SQL-null -> gtype null."""
+    return _mk(_t_or_null(d, T_NUMBER), i=F.when(d.isNotNull(), i), d=d)
 
 
 def gv_str(c: Column | str) -> Column:
     c = F.lit(c) if isinstance(c, str) else c
-    return F.when(c.isNull(), gv_null()).otherwise(_mk(T_STRING, s=c))
+    return _mk(_t_or_null(c, T_STRING), s=c)
 
 
 def gv_array_json(c: Column) -> Column:
-    return F.when(c.isNull(), gv_null()).otherwise(_mk(T_ARRAY, j=c))
+    return _mk(_t_or_null(c, T_ARRAY), j=c)
 
 
 def gv_object_json(c: Column) -> Column:
-    return F.when(c.isNull(), gv_null()).otherwise(_mk(T_OBJECT, j=c))
+    return _mk(_t_or_null(c, T_OBJECT), j=c)
 
 
 def gv_lit(v: Any) -> Column:
@@ -109,18 +130,29 @@ def from_variant(x: Column) -> Column:
     JSON decimals surface as DECIMAL(p,s) — treated as float (the
     reference parses bare decimals to gtype float/numeric)."""
     sch = F.schema_of_variant(x)
-    return (
-        F.when(x.isNull() | F.is_variant_null(x), gv_null())
-        .when(sch == "BIGINT", _mk(T_NUMBER, i=F.variant_get(x, "$", "bigint"), d=F.variant_get(x, "$", "double")))
-        .when(
-            sch.startswith("DECIMAL") | (sch == "DOUBLE") | (sch == "FLOAT"),
-            _mk(T_NUMBER, d=F.variant_get(x, "$", "double")),
-        )
-        .when(sch == "STRING", _mk(T_STRING, s=F.variant_get(x, "$", "string")))
-        .when(sch == "BOOLEAN", _mk(T_BOOL, b=F.variant_get(x, "$", "boolean")))
-        .when(sch.startswith("ARRAY"), _mk(T_ARRAY, j=x.cast("string")))
-        .when(sch.startswith("OBJECT") | sch.startswith("STRUCT"), _mk(T_OBJECT, j=x.cast("string")))
-        .otherwise(gv_null())
+    isn = x.isNull() | F.is_variant_null(x)
+    is_int = sch == "BIGINT"
+    is_num = is_int | sch.startswith("DECIMAL") | (sch == "DOUBLE") | (sch == "FLOAT")
+    is_str = sch == "STRING"
+    is_bool = sch == "BOOLEAN"
+    is_arr = sch.startswith("ARRAY")
+    is_obj = sch.startswith("OBJECT") | sch.startswith("STRUCT")
+    t = (
+        F.when(isn, F.lit(T_NULL))
+        .when(is_num, F.lit(T_NUMBER))
+        .when(is_str, F.lit(T_STRING))
+        .when(is_bool, F.lit(T_BOOL))
+        .when(is_arr, F.lit(T_ARRAY))
+        .when(is_obj, F.lit(T_OBJECT))
+        .otherwise(F.lit(T_NULL))
+    )
+    return _mk(
+        t,
+        b=F.when(~isn & is_bool, F.variant_get(x, "$", "boolean")),
+        i=F.when(~isn & is_int, F.variant_get(x, "$", "bigint")),
+        d=F.when(~isn & is_num, F.variant_get(x, "$", "double")),
+        s=F.when(~isn & is_str, F.variant_get(x, "$", "string")),
+        j=F.when(~isn & (is_arr | is_obj), x.cast("string")),
     )
 
 
@@ -136,9 +168,9 @@ def element_access(gv: Column, idx: Column) -> Column:
     arr = to_variant_array(gv)
     n = F.size(arr)
     i0 = F.when(idx < 0, idx + n).otherwise(idx)
-    return F.when(
-        (gv.t == T_ARRAY) & (i0 >= 0) & (i0 < n), from_variant(F.element_at(arr, (i0 + 1).cast("int")))
-    ).otherwise(gv_null())
+    ok = (gv.t == T_ARRAY) & (i0 >= 0) & (i0 < n)
+    # out-of-range/non-array -> variant null -> gtype null (flat struct)
+    return from_variant(F.when(ok, F.element_at(arr, (i0 + 1).cast("int"))))
 
 
 def to_variant_array(gv: Column) -> Column:
@@ -161,6 +193,31 @@ def to_json_text(gv: Column) -> Column:
         .when((gv.t == T_NUMBER) & gv.i.isNotNull(), gv.i.cast("string"))
         .when(gv.t == T_NUMBER, gv.d.cast("string"))
         .otherwise(gv.j)
+    )
+
+
+#: reserved prefix for a probe-side null key; real canon texts always
+#: start with a digit type rank, so the sentinel can never collide
+NULL_KEY_SENTINEL = "\x00"
+
+
+def canon_key_text(gv: Column, null_as_sentinel: bool = False) -> Column:
+    """Canonical equality-key text implementing gtype orderability
+    equality (cmp_eq) as a plain STRING so joins on it are EQUI joins
+    (hash/sort-merge, broadcastable) instead of nested-loop joins over
+    gval expressions. Numbers canonicalize through their double image
+    (1 = 1.0 — exactly _num_eq's comparison); other types prefix their
+    type rank. A gtype null maps to SQL null (equi-join: matches
+    nothing) or, with null_as_sentinel, to a reserved sentinel that can
+    only match same-side sentinels (used to re-join created MERGE rows
+    whose key expression was null)."""
+    nullv = F.lit(NULL_KEY_SENTINEL) if null_as_sentinel else F.lit(None).cast("string")
+    return (
+        F.when(gv.t == T_NULL, nullv)
+        .when(gv.t == T_NUMBER, F.concat(F.lit("4:"), gv.d.cast("string")))
+        .otherwise(
+            F.concat(gv.t.cast("string"), F.lit(":"), F.coalesce(to_json_text(gv), F.lit("")))
+        )
     )
 
 
@@ -202,33 +259,34 @@ def cmp_eq(a: Column, b: Column) -> Column:
     )
 
 
-def _with_null3vl(a: Column, b: Column, res: Column) -> Column:
-    """Cypher comparison 3VL: any gtype-null operand -> gtype null."""
-    return F.when((a.t == T_NULL) | (b.t == T_NULL), gv_null()).otherwise(res)
+def _cmp3vl(a: Column, b: Column, res: Column) -> Column:
+    """Cypher comparison 3VL: any gtype-null operand -> gtype null,
+    else boolean result — as one flat gv_bool (null bool = gtype null)."""
+    return gv_bool(F.when((a.t != T_NULL) & (b.t != T_NULL), res))
 
 
 def op_eq(a: Column, b: Column) -> Column:
-    return _with_null3vl(a, b, gv_bool(cmp_eq(a, b)))
+    return _cmp3vl(a, b, cmp_eq(a, b))
 
 
 def op_neq(a: Column, b: Column) -> Column:
-    return _with_null3vl(a, b, gv_bool(~cmp_eq(a, b)))
+    return _cmp3vl(a, b, ~cmp_eq(a, b))
 
 
 def op_lt(a: Column, b: Column) -> Column:
-    return _with_null3vl(a, b, gv_bool(sort_key(a) < sort_key(b)))
+    return _cmp3vl(a, b, sort_key(a) < sort_key(b))
 
 
 def op_le(a: Column, b: Column) -> Column:
-    return _with_null3vl(a, b, gv_bool(sort_key(a) <= sort_key(b)))
+    return _cmp3vl(a, b, sort_key(a) <= sort_key(b))
 
 
 def op_gt(a: Column, b: Column) -> Column:
-    return _with_null3vl(a, b, gv_bool(sort_key(a) > sort_key(b)))
+    return _cmp3vl(a, b, sort_key(a) > sort_key(b))
 
 
 def op_ge(a: Column, b: Column) -> Column:
-    return _with_null3vl(a, b, gv_bool(sort_key(a) >= sort_key(b)))
+    return _cmp3vl(a, b, sort_key(a) >= sort_key(b))
 
 
 # ----------------------------------------------------------------- arithmetic
@@ -239,80 +297,99 @@ def _both_int(a: Column, b: Column) -> Column:
 
 def op_add(a: Column, b: Column) -> Column:
     """`+` dispatch (gtype_ops.c:153-280): int+int->int, any float ->
-    float, string + stringy -> concat, array concat (JSON splice)."""
-    num = a.t == T_NUMBER
-    return (
-        F.when((a.t == T_NULL) | (b.t == T_NULL), gv_null())
-        .when(num & (b.t == T_NUMBER) & _both_int(a, b), gv_int(a.i + b.i))
-        .when(num & (b.t == T_NUMBER), gv_float(a.d + b.d))
-        .when((a.t == T_STRING) & (b.t == T_STRING), gv_str(F.concat(a.s, b.s)))
-        .when((a.t == T_STRING), gv_str(F.concat(a.s, to_json_text(b))))
-        .when((b.t == T_STRING), gv_str(F.concat(to_json_text(a), b.s)))
-        .when(
-            (a.t == T_ARRAY) & (b.t == T_ARRAY),
-            gv_array_json(
-                F.when(a.j == "[]", b.j)
-                .when(b.j == "[]", a.j)
-                .otherwise(
-                    F.concat(
-                        F.regexp_replace(a.j, r"\]$", ""), F.lit(","), F.regexp_replace(b.j, r"^\[", "")
-                    )
-                )
-            ),
-        )
-        .otherwise(gv_null())
+    float, string + stringy -> concat, array concat (JSON splice).
+    Built as ONE flat struct (see expression-size discipline above)."""
+    nul = (a.t == T_NULL) | (b.t == T_NULL)
+    bothnum = (a.t == T_NUMBER) & (b.t == T_NUMBER)
+    is_int = bothnum & _both_int(a, b)
+    # string-concat only applies when the number branches did not
+    # (reference dispatch order: numeric first, then string+stringy)
+    is_cat = ~bothnum & ((a.t == T_STRING) | (b.t == T_STRING))
+    is_arr = (a.t == T_ARRAY) & (b.t == T_ARRAY)
+    t = (
+        F.when(nul, F.lit(T_NULL))
+        .when(bothnum, F.lit(T_NUMBER))
+        .when(is_cat, F.lit(T_STRING))
+        .when(is_arr, F.lit(T_ARRAY))
+        .otherwise(F.lit(T_NULL))
+    )
+    s = F.when(
+        ~nul & is_cat,
+        F.when((a.t == T_STRING) & (b.t == T_STRING), F.concat(a.s, b.s))
+        .when(a.t == T_STRING, F.concat(a.s, to_json_text(b)))
+        .otherwise(F.concat(to_json_text(a), b.s)),
+    )
+    j = F.when(
+        ~nul & is_arr,
+        F.when(a.j == "[]", b.j)
+        .when(b.j == "[]", a.j)
+        .otherwise(
+            F.concat(F.regexp_replace(a.j, r"\]$", ""), F.lit(","), F.regexp_replace(b.j, r"^\[", ""))
+        ),
+    )
+    return _mk(
+        t,
+        i=F.when(~nul & is_int, a.i + b.i),
+        d=F.when(~nul & bothnum, a.d + b.d),
+        s=s,
+        j=j,
     )
 
 
-def _arith(a: Column, b: Column, int_res: Column, float_res: Column) -> Column:
-    return (
-        F.when((a.t == T_NULL) | (b.t == T_NULL), gv_null())
-        .when((a.t == T_NUMBER) & (b.t == T_NUMBER) & _both_int(a, b), int_res)
-        .when((a.t == T_NUMBER) & (b.t == T_NUMBER), float_res)
-        .otherwise(gv_null())
+def _arith(
+    a: Column, b: Column, i_val: Column | None, d_val: Column, int_invalid: Column | None = None
+) -> Column:
+    """Numeric-only binary op as one flat struct. i_val=None -> the op
+    always yields float (pow). int_invalid (e.g. division by zero) makes
+    the int branch a gtype null (reference: errors -> we yield null)."""
+    nul = (a.t == T_NULL) | (b.t == T_NULL)
+    bothnum = (a.t == T_NUMBER) & (b.t == T_NUMBER)
+    if i_val is None:
+        t = F.when(nul, F.lit(T_NULL)).when(bothnum, F.lit(T_NUMBER)).otherwise(F.lit(T_NULL))
+        return _mk(t, d=F.when(~nul & bothnum, d_val))
+    is_int = bothnum & _both_int(a, b)
+    bad = is_int & int_invalid if int_invalid is not None else F.lit(False)
+    t = (
+        F.when(nul | bad, F.lit(T_NULL))
+        .when(bothnum, F.lit(T_NUMBER))
+        .otherwise(F.lit(T_NULL))
+    )
+    ok = ~nul & ~bad
+    return _mk(
+        t,
+        i=F.when(ok & is_int, i_val),
+        d=F.when(ok & is_int, i_val.cast("double")).when(ok & bothnum, d_val),
     )
 
 
 def op_sub(a: Column, b: Column) -> Column:
-    return _arith(a, b, gv_int(a.i - b.i), gv_float(a.d - b.d))
+    return _arith(a, b, a.i - b.i, a.d - b.d)
 
 
 def op_mul(a: Column, b: Column) -> Column:
-    return _arith(a, b, gv_int(a.i * b.i), gv_float(a.d * b.d))
+    return _arith(a, b, a.i * b.i, a.d * b.d)
 
 
 def op_div(a: Column, b: Column) -> Column:
     """int/int -> truncated int division (Postgres int4div semantics)."""
-    trunc = F.when((a.d / b.d) < 0, F.ceil(a.i.cast("double") / b.i)).otherwise(F.floor(a.i.cast("double") / b.i))
-    return _arith(
-        a,
-        b,
-        F.when(b.i == 0, gv_null()).otherwise(gv_int(trunc.cast("long"))),
-        gv_float(a.d / b.d),
-    )
+    q = a.i.cast("double") / b.i
+    trunc = F.when(q < 0, F.ceil(q)).otherwise(F.floor(q))
+    return _arith(a, b, trunc.cast("long"), a.d / b.d, int_invalid=b.i == 0)
 
 
 def op_mod(a: Column, b: Column) -> Column:
     # Spark's % on longs/doubles keeps the dividend's sign = PG int4mod/fmod
-    return _arith(
-        a,
-        b,
-        F.when(b.i == 0, gv_null()).otherwise(gv_int(a.i % b.i)),
-        gv_float(a.d % b.d),
-    )
+    return _arith(a, b, a.i % b.i, a.d % b.d, int_invalid=b.i == 0)
 
 
 def op_pow(a: Column, b: Column) -> Column:
-    return _arith(a, b, gv_float(F.pow(a.d, b.d)), gv_float(F.pow(a.d, b.d)))
+    return _arith(a, b, None, F.pow(a.d, b.d))
 
 
 def op_neg(a: Column) -> Column:
-    return (
-        F.when(a.t == T_NULL, gv_null())
-        .when((a.t == T_NUMBER) & a.i.isNotNull(), gv_int(-a.i))
-        .when(a.t == T_NUMBER, gv_float(-a.d))
-        .otherwise(gv_null())
-    )
+    isnum = a.t == T_NUMBER
+    t = F.when(isnum, F.lit(T_NUMBER)).otherwise(F.lit(T_NULL))
+    return _mk(t, i=F.when(isnum, -a.i), d=F.when(isnum, -a.d))
 
 
 # -------------------------------------------------------------- boolean logic
@@ -328,24 +405,21 @@ def _b3(gv: Column) -> Column:
 
 
 def op_and(a: Column, b: Column) -> Column:
-    r = _b3(a) & _b3(b)
-    return F.when(r.isNull(), gv_null()).otherwise(gv_bool(r))
+    return gv_bool(_b3(a) & _b3(b))
 
 
 def op_or(a: Column, b: Column) -> Column:
-    r = _b3(a) | _b3(b)
-    return F.when(r.isNull(), gv_null()).otherwise(gv_bool(r))
+    return gv_bool(_b3(a) | _b3(b))
 
 
 def op_not(a: Column) -> Column:
-    r = ~_b3(a)
-    return F.when(r.isNull(), gv_null()).otherwise(gv_bool(r))
+    return gv_bool(~_b3(a))
 
 
 def op_xor(a: Column, b: Column) -> Column:
     """XOR (make_xor_expr, cypher_gram.y:16941): (a OR b) AND NOT (a AND b)."""
     r = _b3(a) != _b3(b)
-    return F.when(r.isNull(), gv_null()).otherwise(gv_bool(r))
+    return gv_bool(r)
 
 
 def op_is_null(a: Column) -> Column:
@@ -359,9 +433,8 @@ def op_is_not_null(a: Column) -> Column:
 # ------------------------------------------------------------- string predicates
 
 def _str3vl(a: Column, b: Column, res: Column) -> Column:
-    return F.when(
-        (a.t == T_NULL) | (b.t == T_NULL) | (a.t != T_STRING) | (b.t != T_STRING), gv_null()
-    ).otherwise(gv_bool(res))
+    ok = (a.t == T_STRING) & (b.t == T_STRING)  # excludes T_NULL too
+    return gv_bool(F.when(ok, res))
 
 
 def op_starts_with(a: Column, b: Column) -> Column:
@@ -387,13 +460,14 @@ def op_in_list(x: Column, lst: Column) -> Column:
     arr = to_variant_array(lst)
     found = F.exists(arr, lambda e: cmp_eq(from_variant(e), x))
     has_null = F.exists(arr, lambda e: from_variant(e).t == T_NULL)
-    return (
-        F.when((x.t == T_NULL) | (lst.t == T_NULL), gv_null())
-        .when(lst.t != T_ARRAY, gv_null())
-        .when(found, gv_bool(F.lit(True)))
-        .when(has_null, gv_null())
-        .otherwise(gv_bool(F.lit(False)))
+    nullb = F.lit(None).cast("boolean")
+    r = (
+        F.when((x.t == T_NULL) | (lst.t != T_ARRAY), nullb)
+        .when(found, F.lit(True))
+        .when(has_null, nullb)
+        .otherwise(F.lit(False))
     )
+    return gv_bool(r)
 
 
 # ---------------------------------------------------------------- decoding

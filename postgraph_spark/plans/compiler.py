@@ -469,13 +469,9 @@ class Compiler:
             all_int = F.min(F.when(arg["t"] == G.T_NUMBER, arg["i"].isNotNull()))
             s_i = F.sum(arg["i"])
             s_d = F.sum(d)
-            return (
-                F.when(s_d.isNull(), G.gv_null())
-                .when(all_int, G.gv_int(s_i))
-                .otherwise(G.gv_float(s_d))
-            )
+            return G.gv_num(i=F.when(all_int, s_i), d=s_d)
         if name == "avg":
-            return F.when(F.avg(d).isNull(), G.gv_null()).otherwise(G.gv_float(F.avg(d)))
+            return G.gv_float(F.avg(d))
         if name in ("min", "max"):
             key = F.when(valid, G.sort_key(arg))
             val = F.when(valid, arg)
@@ -490,11 +486,9 @@ class Compiler:
             return G.gv_array_json(F.concat(F.lit("["), F.array_join(texts, ","), F.lit("]")))
         if name == "stdev":
             # sample stdev; reference returns 0 (not NULL) for n=1
-            return F.when(F.count(d) == 0, G.gv_null()).otherwise(
-                G.gv_float(F.coalesce(F.stddev_samp(d), F.lit(0.0)))
-            )
+            return G.gv_float(F.when(F.count(d) > 0, F.coalesce(F.stddev_samp(d), F.lit(0.0))))
         if name == "stdevp":
-            return F.when(F.count(d) == 0, G.gv_null()).otherwise(G.gv_float(F.stddev_pop(d)))
+            return G.gv_float(F.stddev_pop(d))
         if name in ("percentilecont", "percentiledisc"):
             p = self.compile_expr(e.args[1], df, scope)["d"]
             if name == "percentilecont":
@@ -508,8 +502,7 @@ class Compiler:
         }
         if name in two_arg:
             b = self.compile_expr(e.args[1], df, scope)["d"]
-            res = two_arg[name](d, b)
-            return F.when(res.isNull(), G.gv_null()).otherwise(G.gv_float(res))
+            return G.gv_float(two_arg[name](d, b))
         if name == "regr_count":
             b = self.compile_expr(e.args[1], df, scope)["d"]
             return G.gv_int(F.regr_count(d, b))
@@ -595,9 +588,8 @@ class Compiler:
         length = F.greatest(hi0 - lo0, F.lit(0))
         sliced = F.slice(arr, (lo0 + 1).cast("int"), length.cast("int"))
         texts = F.transform(sliced, lambda x: F.coalesce(G.to_json_text(G.from_variant(x)), F.lit("null")))
-        return F.when(base["t"] != G.T_ARRAY, G.gv_null()).otherwise(
-            G.gv_array_json(F.concat(F.lit("["), F.array_join(texts, ","), F.lit("]")))
-        )
+        body = F.concat(F.lit("["), F.array_join(texts, ","), F.lit("]"))
+        return G.gv_array_json(F.when(base["t"] == G.T_ARRAY, body))
 
     _BINOPS = {
         "+": G.op_add, "-": G.op_sub, "*": G.op_mul, "/": G.op_div,

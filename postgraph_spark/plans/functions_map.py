@@ -40,16 +40,20 @@ class _Ctx:
         return len(self.e.args)
 
 
+# Flat-struct discipline (see functions/gtype.py): wrap the type guard
+# around the PAYLOAD (null payload -> gtype null) instead of CASE-ing
+# between whole structs, so field access stays collapsible.
+
+
 def _num1(ctx: _Ctx, fn, as_int: bool = False) -> Column:
     a = ctx.gv(0)
-    res = fn(a["d"])
-    out = G.gv_int(res.cast("long")) if as_int else G.gv_float(res)
-    return F.when(a["t"] != G.T_NUMBER, G.gv_null()).otherwise(out)
+    res = F.when(a["t"] == G.T_NUMBER, fn(a["d"]))
+    return G.gv_int(res.cast("long")) if as_int else G.gv_float(res)
 
 
 def _str1(ctx: _Ctx, fn) -> Column:
     a = ctx.gv(0)
-    return F.when(a["t"] != G.T_STRING, G.gv_null()).otherwise(G.gv_str(fn(a["s"])))
+    return G.gv_str(F.when(a["t"] == G.T_STRING, fn(a["s"])))
 
 
 def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
@@ -80,11 +84,10 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
         return G.element_access(ctx.gv(0), F.lit(-1))
     if name in ("size", "length"):
         a = ctx.gv(0)
-        return (
-            F.when(a["t"] == G.T_ARRAY, G.gv_int(F.size(G.to_variant_array(a))))
-            .when(a["t"] == G.T_STRING, G.gv_int(F.length(a["s"])))
-            .otherwise(G.gv_null())
+        n = F.when(a["t"] == G.T_ARRAY, F.size(G.to_variant_array(a)).cast("long")).when(
+            a["t"] == G.T_STRING, F.length(a["s"]).cast("long")
         )
+        return G.gv_int(n)
     if name == "reverse":
         a = ctx.gv(0)
         rev_arr = F.reverse(G.to_variant_array(a))
@@ -126,41 +129,34 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
         return _str1(ctx, fns[name])
     if name == "replace":
         a, b, c = ctx.gv(0), ctx.gv(1), ctx.gv(2)
-        return F.when(a["t"] != G.T_STRING, G.gv_null()).otherwise(
-            G.gv_str(F.replace(a["s"], b["s"], c["s"]))
-        )
+        return G.gv_str(F.when(a["t"] == G.T_STRING, F.replace(a["s"], b["s"], c["s"])))
     if name == "substring":
         a = ctx.gv(0)
         start = ctx.gv(1)["i"] + 1  # Cypher 0-based -> SQL 1-based
-        if ctx.nargs > 2:
-            return F.when(a["t"] != G.T_STRING, G.gv_null()).otherwise(
-                G.gv_str(a["s"].substr(start, ctx.gv(2)["i"]))
-            )
-        return F.when(a["t"] != G.T_STRING, G.gv_null()).otherwise(
-            G.gv_str(a["s"].substr(start, F.length(a["s"])))
-        )
+        length = ctx.gv(2)["i"] if ctx.nargs > 2 else F.length(a["s"])
+        return G.gv_str(F.when(a["t"] == G.T_STRING, a["s"].substr(start, length)))
     if name == "left":
         a = ctx.gv(0)
-        return F.when(a["t"] != G.T_STRING, G.gv_null()).otherwise(
-            G.gv_str(a["s"].substr(F.lit(1), ctx.gv(1)["i"]))
-        )
+        return G.gv_str(F.when(a["t"] == G.T_STRING, a["s"].substr(F.lit(1), ctx.gv(1)["i"])))
     if name == "right":
         a = ctx.gv(0)
         n = ctx.gv(1)["i"]
-        return F.when(a["t"] != G.T_STRING, G.gv_null()).otherwise(
-            G.gv_str(a["s"].substr(F.greatest(F.length(a["s"]) - n + 1, F.lit(1).cast("long")), n))
+        return G.gv_str(
+            F.when(
+                a["t"] == G.T_STRING,
+                a["s"].substr(F.greatest(F.length(a["s"]) - n + 1, F.lit(1).cast("long")), n),
+            )
         )
     if name == "split":
         a, d = ctx.gv(0), ctx.gv(1)
         parts = F.split(a["s"], d["s"])  # literal-ish delimiter
-        return F.when((a["t"] != G.T_STRING) | (d["t"] != G.T_STRING), G.gv_null()).otherwise(
-            G.gv_array_json(F.to_json(parts))
-        )
+        ok = (a["t"] == G.T_STRING) & (d["t"] == G.T_STRING)
+        return G.gv_array_json(F.when(ok, F.to_json(parts)))
     if name in ("sha224", "sha256", "sha384", "sha512", "md5"):
         a = ctx.gv(0)
         bits = {"sha224": 224, "sha256": 256, "sha384": 384, "sha512": 512}
         h = F.md5(a["s"]) if name == "md5" else F.sha2(a["s"], bits[name])
-        return F.when(a["t"] != G.T_STRING, G.gv_null()).otherwise(G.gv_str(h))
+        return G.gv_str(F.when(a["t"] == G.T_STRING, h))
 
     # ---- math (gtype_numbers.c) ----
     simple = {
@@ -174,11 +170,8 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
         return _num1(ctx, simple[name])
     if name == "abs":
         a = ctx.gv(0)
-        return (
-            F.when(a["t"] != G.T_NUMBER, G.gv_null())
-            .when(a["i"].isNotNull(), G.gv_int(F.abs(a["i"])))
-            .otherwise(G.gv_float(F.abs(a["d"])))
-        )
+        num = a["t"] == G.T_NUMBER
+        return G.gv_num(i=F.when(num, F.abs(a["i"])), d=F.when(num, F.abs(a["d"])))
     if name == "sign":
         return _num1(ctx, F.signum, as_int=True)
     if name in ("ceil", "ceiling"):
@@ -188,9 +181,7 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
     if name == "round":
         a = ctx.gv(0)
         prec = ctx.gv(1)["i"].cast("int") if ctx.nargs > 1 else F.lit(0)
-        return F.when(a["t"] != G.T_NUMBER, G.gv_null()).otherwise(
-            G.gv_float(F.round(a["d"], prec))
-        )
+        return G.gv_float(F.when(a["t"] == G.T_NUMBER, F.round(a["d"], prec)))
     if name == "atan2":
         return G.gv_float(F.atan2(ctx.gv(0)["d"], ctx.gv(1)["d"]))
     if name == "pi":
@@ -204,37 +195,36 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
     # ---- typecasting (gtype_typecasting.c) ----
     if name in ("tointeger", "toint"):
         a = ctx.gv(0)
-        return (
-            F.when((a["t"] == G.T_NUMBER) & a["i"].isNotNull(), a)
-            .when(a["t"] == G.T_NUMBER, G.gv_int(a["d"].cast("long")))
-            .when(a["t"] == G.T_STRING, G.gv_int(a["s"].cast("double").cast("long")))
-            .when(a["t"] == G.T_BOOL, G.gv_int(a["b"].cast("long")))
-            .otherwise(G.gv_null())
+        i = (
+            F.when((a["t"] == G.T_NUMBER) & a["i"].isNotNull(), a["i"])
+            .when(a["t"] == G.T_NUMBER, a["d"].cast("long"))
+            .when(a["t"] == G.T_STRING, a["s"].cast("double").cast("long"))
+            .when(a["t"] == G.T_BOOL, a["b"].cast("long"))
         )
+        return G.gv_int(i)
     if name == "tofloat":
         a = ctx.gv(0)
-        return (
-            F.when(a["t"] == G.T_NUMBER, G.gv_float(a["d"]))
-            .when(a["t"] == G.T_STRING, G.gv_float(a["s"].cast("double")))
-            .otherwise(G.gv_null())
+        d = F.when(a["t"] == G.T_NUMBER, a["d"]).when(
+            a["t"] == G.T_STRING, a["s"].cast("double")
         )
+        return G.gv_float(d)
     if name == "tostring":
         a = ctx.gv(0)
-        return (
-            F.when(a["t"] == G.T_STRING, a)
-            .when((a["t"] == G.T_NUMBER) & a["i"].isNotNull(), G.gv_str(a["i"].cast("string")))
-            .when(a["t"] == G.T_NUMBER, G.gv_str(a["d"].cast("string")))
-            .when(a["t"] == G.T_BOOL, G.gv_str(F.when(a["b"], "true").otherwise("false")))
-            .when(a["t"] == G.T_NULL, G.gv_null())
-            .otherwise(G.gv_str(a["j"]))
+        s = (
+            F.when(a["t"] == G.T_STRING, a["s"])
+            .when((a["t"] == G.T_NUMBER) & a["i"].isNotNull(), a["i"].cast("string"))
+            .when(a["t"] == G.T_NUMBER, a["d"].cast("string"))
+            .when(a["t"] == G.T_BOOL, F.when(a["b"], "true").otherwise("false"))
+            .when(a["t"] == G.T_NULL, F.lit(None).cast("string"))
+            .otherwise(a["j"])
         )
+        return G.gv_str(s)
     if name == "toboolean":
         a = ctx.gv(0)
-        return (
-            F.when(a["t"] == G.T_BOOL, a)
-            .when(a["t"] == G.T_STRING, G.gv_bool(F.lower(a["s"]) == "true"))
-            .otherwise(G.gv_null())
+        b = F.when(a["t"] == G.T_BOOL, a["b"]).when(
+            a["t"] == G.T_STRING, F.lower(a["s"]) == "true"
         )
+        return G.gv_bool(b)
 
     # ---- misc ----
     if name == "throw_error":

@@ -392,27 +392,50 @@ class WriteRunner:
         raise CompileError("MERGE supports a single node or a single relationship pattern")
 
     def _merge_single_node(self, node: A.NodePat, df: DataFrame, scope: Scope):
+        """Probe is an EQUI join on canonical key text (G.canon_key_text):
+        hash/broadcast join, never a nested-loop over gval conditions —
+        the only probe shape that survives a 100 TB vertex table."""
         var = node.var or self._fresh("mv")
         label = node.label or DEFAULT_VLABEL
         keys = list(node.props.items.items()) if node.props else []
 
-        probe = self.graph.vertices_with_label(node.label if node.label else None).select(
-            F.struct("id", "label", "properties").alias("__m")
-        )
+        # df side: __k{i} = JSON text (for the created props); __ck{i} =
+        # canonical join key (null key -> sentinel: matches no probe row
+        # but re-joins this statement's own created rows)
         df = df.withColumn("__kc", F.lit(1))
-        key_cols = ["__kc"]
-        cond = F.lit(True)
+        json_cols, canon_cols = [], []
         for i, (k, vexpr) in enumerate(keys):
             val = self.comp.compile_expr(vexpr, df, scope)
-            ktxt = F.coalesce(G.to_json_text(val), F.lit("null"))
-            df = df.withColumn(f"__k{i}", ktxt)
-            key_cols.append(f"__k{i}")
-            cond = cond & G.truth(
-                G.op_eq(G.prop_access(F.col("__m")["properties"], [k]), val)
-            )
-        joined = df.join(probe, cond, "left_outer")
+            df = df.withColumn(f"__k{i}", F.coalesce(G.to_json_text(val), F.lit("null")))
+            df = df.withColumn(f"__ck{i}", G.canon_key_text(val, null_as_sentinel=True))
+            json_cols.append(f"__k{i}")
+            canon_cols.append(f"__ck{i}")
 
-        misses = joined.filter(F.col("__m").isNull()).select(*key_cols).distinct()
+        probe = self.graph.vertices_with_label(node.label if node.label else None).select(
+            F.struct("id", "label", "properties").alias("__m"),
+            F.lit(1).alias("__pkc"),
+            *[
+                G.canon_key_text(G.prop_access(F.col("properties"), [k])).alias(f"__p{i}")
+                for i, (k, _) in enumerate(keys)
+            ],
+        )
+        cond = F.col("__kc") == F.col("__pkc")
+        for i in range(len(keys)):
+            cond = cond & (F.col(f"__ck{i}") == F.col(f"__p{i}"))
+        joined = df.join(probe, cond, "left_outer").drop(
+            "__pkc", *[f"__p{i}" for i in range(len(keys))]
+        )
+
+        # one create per distinct canonical key (first-seen JSON text);
+        # created entities are visible to every probe row (check_path,
+        # cypher_merge.c:199-246)
+        misses = (
+            joined.filter(F.col("__m").isNull())
+            .groupBy("__kc", *canon_cols)
+            .agg(*[F.first(c).alias(c) for c in json_cols])
+            if keys
+            else joined.filter(F.col("__m").isNull()).select("__kc").distinct()
+        )
         n_miss = misses.count()
         if n_miss:
             lid, base = self._alloc_base(label, n_miss)
@@ -427,32 +450,30 @@ class WriteRunner:
             else:
                 props = F.lit("{}")
             created = misses.select(
-                gid.alias("id"), F.lit(label).alias("label"), props.alias("properties"), *key_cols
+                gid.alias("id"), F.lit(label).alias("label"), props.alias("properties"), "__kc", *canon_cols
             ).localCheckpoint(eager=True)
             self._commit_vertices(created.select("id", "label", "properties"))
             created_structs = created.select(
                 F.struct("id", "label", "properties").alias("__c"),
-                *[F.col(k).alias(f"__c_{k}") for k in key_cols],
+                F.col("__kc").alias("__c__kc"),
+                *[F.col(c).alias(f"__c_{c}") for c in canon_cols],
             )
-            joined = joined.join(
-                created_structs,
-                F.col("__m").isNull() & self._key_eq(key_cols),
-                "left_outer",
+            # pure equi join-back; matched rows also join but coalesce
+            # below prefers __m, so only miss rows bind the created entity
+            ccond = F.col("__kc") == F.col("__c__kc")
+            for c in canon_cols:
+                ccond = ccond & (F.col(c) == F.col(f"__c_{c}"))
+            joined = joined.join(created_structs, ccond, "left_outer").drop(
+                "__c__kc", *[f"__c_{c}" for c in canon_cols]
             )
         else:
             joined = joined.withColumn("__c", F.lit(None).cast("struct<id:bigint,label:string,properties:string>"))
 
         out = joined.withColumn(var, F.coalesce(F.col("__m"), F.col("__c")))
-        drop = ["__m", "__c", "__one", *key_cols, *[f"__c_{k}" for k in key_cols if f"__c_{k}" in out.columns]]
+        drop = ["__m", "__c", "__one", "__kc", *json_cols, *canon_cols]
         out = out.drop(*[d for d in drop if d in out.columns])
         scope.kinds[var] = VKIND_VERTEX
         return out.localCheckpoint(eager=True), scope
-
-    def _key_eq(self, key_cols: list[str]) -> Column:
-        cond = F.lit(True)
-        for k in key_cols:
-            cond = cond & (F.col(k) == F.col(f"__c_{k}"))
-        return cond
 
     def _merge_edge(self, n0: A.NodePat, rel: A.RelPat, n1: A.NodePat, df: DataFrame, scope: Scope):
         if not (n0.var and n0.var in scope.kinds and n1.var and n1.var in scope.kinds):
@@ -464,26 +485,39 @@ class WriteRunner:
         label = rel.label or DEFAULT_ELABEL
         keys = list(rel.props.items.items()) if rel.props else []
 
+        # equi probe: endpoint ids + canonical key text (hash join — the
+        # edge table at 100 TB shuffles on (start,end,keys), no BNLJ)
+        json_cols, canon_cols = [], []
+        for i, (k, vexpr) in enumerate(keys):
+            val = self.comp.compile_expr(vexpr, df, scope)
+            df = df.withColumn(f"__k{i}", F.coalesce(G.to_json_text(val), F.lit("null")))
+            df = df.withColumn(f"__ck{i}", G.canon_key_text(val, null_as_sentinel=True))
+            json_cols.append(f"__k{i}")
+            canon_cols.append(f"__ck{i}")
+
         probe = self.graph.edges_with_label(rel.label if rel.label else None).select(
-            F.struct("id", "start_id", "end_id", "label", "properties").alias("__m")
+            F.struct("id", "start_id", "end_id", "label", "properties").alias("__m"),
+            *[
+                G.canon_key_text(G.prop_access(F.col("properties"), [k])).alias(f"__p{i}")
+                for i, (k, _) in enumerate(keys)
+            ],
         )
         cond = (F.col("__m")["start_id"] == F.col(a)["id"]) & (
             F.col("__m")["end_id"] == F.col(b)["id"]
         )
-        key_cols = []
-        for i, (k, vexpr) in enumerate(keys):
-            val = self.comp.compile_expr(vexpr, df, scope)
-            df = df.withColumn(f"__k{i}", F.coalesce(G.to_json_text(val), F.lit("null")))
-            key_cols.append(f"__k{i}")
-            cond = cond & G.truth(G.op_eq(G.prop_access(F.col("__m")["properties"], [k]), val))
-        joined = df.join(probe, cond, "left_outer")
+        for i in range(len(keys)):
+            cond = cond & (F.col(f"__ck{i}") == F.col(f"__p{i}"))
+        joined = df.join(probe, cond, "left_outer").drop(*[f"__p{i}" for i in range(len(keys))])
 
-        miss_keys = ["__ms", "__md", *key_cols]
-        misses = (
-            joined.filter(F.col("__m").isNull())
-            .select(F.col(a)["id"].alias("__ms"), F.col(b)["id"].alias("__md"), *key_cols)
-            .distinct()
-        )
+        miss_rows = joined.filter(F.col("__m").isNull())
+        if keys:
+            misses = miss_rows.groupBy(
+                F.col(a)["id"].alias("__ms"), F.col(b)["id"].alias("__md"), *canon_cols
+            ).agg(*[F.first(c).alias(c) for c in json_cols])
+        else:
+            misses = miss_rows.select(
+                F.col(a)["id"].alias("__ms"), F.col(b)["id"].alias("__md")
+            ).distinct()
         n_miss = misses.count()
         if n_miss:
             lid, base = self._alloc_base(label, n_miss)
@@ -503,21 +537,23 @@ class WriteRunner:
                 F.col("__md").alias("end_id"),
                 F.lit(label).alias("label"),
                 props.alias("properties"),
-                *key_cols,
+                *canon_cols,
             ).localCheckpoint(eager=True)
             self._commit_edges(created.select("id", "start_id", "end_id", "label", "properties"))
             cstruct = created.select(
                 F.struct("id", "start_id", "end_id", "label", "properties").alias("__c"),
-                *[F.col(k).alias(f"__c_{k}") for k in key_cols],
+                *[F.col(c).alias(f"__c_{c}") for c in canon_cols],
             )
-            ccond = (
-                F.col("__m").isNull()
-                & (F.col("__c")["start_id"] == F.col(a)["id"])
-                & (F.col("__c")["end_id"] == F.col(b)["id"])
+            # pure equi join-back on endpoints + canon keys; coalesce
+            # below prefers __m for rows that already matched
+            ccond = (F.col("__c")["start_id"] == F.col(a)["id"]) & (
+                F.col("__c")["end_id"] == F.col(b)["id"]
             )
-            for k in key_cols:
-                ccond = ccond & (F.col(k) == F.col(f"__c_{k}"))
-            joined = joined.join(cstruct, ccond, "left_outer")
+            for c in canon_cols:
+                ccond = ccond & (F.col(c) == F.col(f"__c_{c}"))
+            joined = joined.join(cstruct, ccond, "left_outer").drop(
+                *[f"__c_{c}" for c in canon_cols]
+            )
         else:
             joined = joined.withColumn(
                 "__c",
@@ -526,7 +562,7 @@ class WriteRunner:
                 ),
             )
         out = joined.withColumn(evar, F.coalesce(F.col("__m"), F.col("__c")))
-        drop = ["__m", "__c", "__one", *key_cols, *[f"__c_{k}" for k in key_cols]]
+        drop = ["__m", "__c", "__one", *json_cols, *canon_cols]
         out = out.drop(*[d for d in drop if d in out.columns])
         scope.kinds[evar] = VKIND_EDGE
         return out.localCheckpoint(eager=True), scope
