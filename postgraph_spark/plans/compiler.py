@@ -325,6 +325,14 @@ class Compiler:
         if isinstance(e, A.FuncCall) and e.name in AGG_FNS:
             found.append(e)
             return A.Var(f"__agg{len(found) - 1}")
+        if isinstance(e, A.FuncCall):
+            # scalar fn over an aggregate, e.g. round(sum(x), 2)
+            return A.FuncCall(
+                e.name,
+                [self._extract_aggs(a, found) for a in e.args],
+                distinct=e.distinct,
+                star=e.star,
+            )
         if isinstance(e, A.BinOp):
             return A.BinOp(e.op, self._extract_aggs(e.left, found), self._extract_aggs(e.right, found))
         if isinstance(e, A.UnaryOp):

@@ -180,7 +180,15 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
         return _num1(ctx, F.floor)
     if name == "round":
         a = ctx.gv(0)
-        prec = ctx.gv(1)["i"].cast("int") if ctx.nargs > 1 else F.lit(0)
+        # Spark's Round requires a FOLDABLE scale (it evaluates it at
+        # plan time), so a gval field extraction is not accepted — take
+        # the literal from the AST
+        prec = 0
+        if ctx.nargs > 1:
+            arg1 = ctx.e.args[1]
+            if not (isinstance(arg1, A.Lit) and isinstance(arg1.value, int)):
+                raise ValueError("round() precision must be an integer literal")
+            prec = arg1.value
         return G.gv_float(F.when(a["t"] == G.T_NUMBER, F.round(a["d"], prec)))
     if name == "atan2":
         return G.gv_float(F.atan2(ctx.gv(0)["d"], ctx.gv(1)["d"]))

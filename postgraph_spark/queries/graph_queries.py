@@ -12,6 +12,15 @@ from postgraph_spark.graph import tpch_graph
 from postgraph_spark.queries.registry import register
 
 
+def _tpch_engine(spark, sf_dir):
+    """CypherEngine bound to the TPC-H property-graph projection."""
+    from postgraph_spark.engine import CypherEngine
+
+    eng = CypherEngine(spark)
+    eng.catalog.register(tpch_graph(spark, sf_dir))
+    return eng
+
+
 @register(
     "graph_match_1hop",
     """
@@ -101,4 +110,103 @@ def graph_vle_paths(spark, sf_dir):
         paths.join(ends, "end_id")
         .groupBy("hops", "end_label")
         .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+
+
+# ------- queries executed through the FULL Cypher surface (parse ->
+# clause IR -> DataFrame compile, SURVEY §3) — the engine itself is what
+# the oracle checks here, not a hand-built DataFrame
+
+
+@register(
+    "cypher_match_agg",
+    """
+    SELECT n.n_name AS nation, count(*) AS n_customers
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def cypher_match_agg(spark, sf_dir):
+    """Cypher text -> result: pattern join + implicit grouping (all
+    non-aggregate RETURN items become group keys, cypher_item.c:168-236)."""
+    eng = _tpch_engine(spark, sf_dir)
+    out = eng.execute(
+        "MATCH (n:nation)<-[:from_nation]-(c:customer) "
+        "RETURN n.n_name AS nation, count(*) AS n_customers"
+    )
+    return out.select(
+        F.col("nation")["s"].alias("nation"), F.col("n_customers")["i"].alias("n_customers")
+    )
+
+
+@register(
+    "cypher_match_where",
+    """
+    SELECT c.c_custkey AS custkey, count(*) AS n_orders, max(o.o_totalprice) AS max_price
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 300000
+    GROUP BY c.c_custkey
+    """,
+)
+def cypher_match_where(spark, sf_dir):
+    """Cypher WHERE over a JSON property + gtype max aggregate (ordered
+    by the cross-type sort key, gtype_max_trans gtype.c:2397-2425)."""
+    eng = _tpch_engine(spark, sf_dir)
+    out = eng.execute(
+        "MATCH (c:customer)-[:placed]->(o:orders) WHERE o.o_totalprice > 300000 "
+        "RETURN c.c_custkey AS custkey, count(*) AS n_orders, max(o.o_totalprice) AS max_price"
+    )
+    return out.select(
+        F.col("custkey")["i"].alias("custkey"),
+        F.col("n_orders")["i"].alias("n_orders"),
+        F.col("max_price")["d"].alias("max_price"),
+    )
+
+
+@register(
+    "cypher_optional_match",
+    """
+    SELECT p.p_partkey AS partkey, count(DISTINCT l.l_orderkey) AS n_orders
+    FROM part p LEFT JOIN lineitem l ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey
+    """,
+)
+def cypher_optional_match(spark, sf_dir):
+    """OPTIONAL MATCH = lateral left join (cypher_clause.c:2440):
+    unmatched parts keep a row with o = null; count(DISTINCT o) counts
+    entities by id and skips nulls -> 0 for never-ordered parts."""
+    eng = _tpch_engine(spark, sf_dir)
+    out = eng.execute(
+        "MATCH (p:part) OPTIONAL MATCH (p)<-[:contains]-(o:orders) "
+        "RETURN p.p_partkey AS partkey, count(DISTINCT o) AS n_orders"
+    )
+    return out.select(
+        F.col("partkey")["i"].alias("partkey"), F.col("n_orders")["i"].alias("n_orders")
+    )
+
+
+@register(
+    "cypher_with_orderby_limit",
+    """
+    SELECT n.n_name AS nation, round(sum(o.o_totalprice), 2) AS revenue
+    FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    LIMIT 5
+    """,
+)
+def cypher_with_orderby_limit(spark, sf_dir):
+    """WITH projection barrier + aggregate, then ORDER BY/LIMIT attached
+    to WITH (the reference moves ORDER BY off RETURN, cypher_gram.y:5099)."""
+    eng = _tpch_engine(spark, sf_dir)
+    out = eng.execute(
+        "MATCH (n:nation)<-[:from_nation]-(c:customer)-[:placed]->(o:orders) "
+        "WITH n.n_name AS nation, round(sum(o.o_totalprice), 2) AS revenue "
+        "ORDER BY revenue DESC, nation LIMIT 5 "
+        "RETURN nation, revenue"
+    )
+    return out.select(
+        F.col("nation")["s"].alias("nation"), F.col("revenue")["d"].alias("revenue")
     )

@@ -282,14 +282,23 @@ def rolling_hash_fingerprint(spark, sf_dir):
     expressions — transform over a sequence, no UDF, no shuffle beyond
     the final projection."""
     d = t(spark, sf_dir, "documents").filter(F.length("text") >= 8)
-    txt = F.col("text")
+    # CPU-bound per-row work: spread across cores — a small local file
+    # is one input split, which would serialize the whole transform (on
+    # a cluster, input files already provide the splits)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    # one pass to char codes: substr(j, 1) on UTF8 strings re-scans from
+    # the start (O(len) per window -> O(len^2) per doc); element_at on a
+    # materialized array is O(1). The __codes projection boundary keeps
+    # the array evaluated once, not once per coefficient.
+    codes = F.transform(F.split(F.col("text"), ""), lambda ch: F.ascii(ch).cast("long"))
+    d = d.withColumn("__codes", codes)
     hashes = F.transform(
-        F.sequence(F.lit(1), F.length(txt) - 7),
+        F.sequence(F.lit(1), F.length("text") - 7),
         lambda j: sum(
-            (F.ascii(txt.substr(j + F.lit(i), F.lit(1))).cast("long") * F.lit(c))
+            (F.element_at(F.col("__codes"), (j + F.lit(i)).cast("int")) * F.lit(c))
             for i, c in enumerate(_RK_COEF[1:], 1)
         )
-        + F.ascii(txt.substr(j, F.lit(1))).cast("long") * F.lit(_RK_COEF[0]),
+        + F.element_at(F.col("__codes"), j.cast("int")) * F.lit(_RK_COEF[0]),
     )
     fp = F.array_join(
         F.slice(F.array_sort(F.array_distinct(hashes)), 1, 4).cast("array<string>"), "|"
