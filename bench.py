@@ -38,6 +38,9 @@ HEADLINE = [
     "token_count_bpe",
     "multimodal_meta",
     "graph_vle_paths",
+    "vector_distance_funcs",
+    "tsearch_match",
+    "cypher_with_orderby_limit",
 ]
 
 

@@ -1,0 +1,109 @@
+"""Network address function kit (reference gtype_network.c, 213 LoC,
+13 fns over inet/cidr/macaddr: abbrev broadcast family host hostmask
+masklen netmask network set_masklen ... plus subnet operators
+`<< <<= >> >>= &&` in gtype_ops.c:756-827).
+
+Spark has no inet type; addresses travel as strings ('10.1.2.3/24').
+The kit is a family of **vectorized pandas UDFs** over Python's
+``ipaddress`` module — Arrow-batched (one Python crossing per batch,
+not per row), the sanctioned slow-path shape when no JVM expression
+exists. Functions are defined at import time against module-scope
+helpers; closures capture everything by value so executor workers do
+not need this package importable.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def _mk_udf(fn, ret=T.StringType()):
+    @pandas_udf(ret)
+    def _udf(s: pd.Series) -> pd.Series:
+        import ipaddress
+
+        def safe(v):
+            if v is None:
+                return None
+            try:
+                return fn(ipaddress.ip_interface(v))
+            except ValueError:
+                return None
+
+        return s.map(safe)
+
+    return _udf
+
+
+#: host(inet) — the bare address, no mask (gtype_network.c host)
+host = _mk_udf(lambda i: str(i.ip))
+#: masklen(inet) — prefix length
+masklen = _mk_udf(lambda i: i.network.prefixlen, ret=T.IntegerType())
+#: family(inet) — 4 or 6
+family = _mk_udf(lambda i: i.version, ret=T.IntegerType())
+#: network(inet) — the network part as cidr text
+network = _mk_udf(lambda i: str(i.network))
+#: broadcast(inet) — highest address in the network
+broadcast = _mk_udf(lambda i: str(i.network.broadcast_address))
+#: netmask(inet)
+netmask = _mk_udf(lambda i: str(i.network.netmask))
+#: hostmask(inet)
+hostmask = _mk_udf(lambda i: str(i.network.hostmask))
+#: abbrev(inet) — display form (PG abbrev(inet) = text without /32)
+abbrev = _mk_udf(lambda i: str(i.ip) if i.network.prefixlen == i.ip.max_prefixlen else str(i))
+
+
+def set_masklen(col: Column, prefix: int) -> Column:
+    @pandas_udf(T.StringType())
+    def _set(s: pd.Series) -> pd.Series:
+        import ipaddress
+
+        def safe(v):
+            if v is None:
+                return None
+            try:
+                iface = ipaddress.ip_interface(v)
+                return f"{iface.ip}/{prefix}"
+            except ValueError:
+                return None
+
+        return s.map(safe)
+
+    return _set(col)
+
+
+@pandas_udf(T.BooleanType())
+def subnet_contains(net: pd.Series, addr: pd.Series) -> pd.Series:
+    """`>>` — net strictly contains addr's network (gtype_ops.c:756-827)."""
+    import ipaddress
+
+    def safe(n, a):
+        if n is None or a is None:
+            return None
+        try:
+            nn = ipaddress.ip_interface(n).network
+            an = ipaddress.ip_interface(a).network
+            return an.subnet_of(nn) and an != nn
+        except (ValueError, TypeError):
+            return None
+
+    return pd.Series([safe(n, a) for n, a in zip(net, addr)])
+
+
+@pandas_udf(T.BooleanType())
+def inet_same_family(a: pd.Series, b: pd.Series) -> pd.Series:
+    import ipaddress
+
+    def safe(x, y):
+        if x is None or y is None:
+            return None
+        try:
+            return ipaddress.ip_interface(x).version == ipaddress.ip_interface(y).version
+        except ValueError:
+            return None
+
+    return pd.Series([safe(x, y) for x, y in zip(a, b)])

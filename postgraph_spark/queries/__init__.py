@@ -13,5 +13,6 @@ from postgraph_spark.queries import relational  # noqa: E402,F401
 from postgraph_spark.queries import llm_ops  # noqa: E402,F401
 from postgraph_spark.queries import graph_queries  # noqa: E402,F401
 from postgraph_spark.queries import streaming_queries  # noqa: E402,F401
+from postgraph_spark.queries import reference_funcs  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -1,0 +1,282 @@
+"""Reference function-family parity queries (SURVEY §2.5): vector
+distances, typecasting, JSON containment/existence operators,
+quantified subqueries, text-search-lite, ranges, network functions,
+date_bin — each pinned to the DuckDB oracle on the driver tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgraph_spark.functions import network as NET
+from postgraph_spark.functions import ranges as R
+from postgraph_spark.functions import vector as V
+from postgraph_spark.queries.registry import register, t
+
+
+@register(
+    "vector_distance_funcs",
+    """
+    WITH p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(a.embedding AS DOUBLE[]) AS va, CAST(b.embedding AS DOUBLE[]) AS vb
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id < 200)
+    SELECT id_a, id_b,
+           CAST(len(va) AS INT) AS dims,
+           round(list_distance(va, vb), 4) AS l2,
+           round(list_inner_product(va, vb), 4) AS ip,
+           round(1.0 - list_cosine_similarity(va, vb), 4) AS cos_dist,
+           round(list_sum(list_transform(list_zip(va, vb), x -> abs(CAST(x[1] AS DOUBLE) - x[2]))), 4) AS l1,
+           round(sqrt(list_sum(list_transform(va, x -> CAST(x AS DOUBLE) * x))), 4) AS norm_a
+    FROM p
+    """,
+)
+def vector_distance_funcs(spark, sf_dir):
+    """The vector function family (vector.c: l2_distance `<->`,
+    inner_product, cosine_distance `<=>`, l1_distance, norm, dims) as
+    pure zip_with/aggregate expressions — the same kernels the ANN
+    operators reuse inside each cluster partition."""
+    e = t(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = e.select((F.col("vec_id")).alias("id_b"), F.col("embedding").alias("vb"))
+    p = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    return p.select(
+        "id_a",
+        "id_b",
+        V.dims(F.col("va")).alias("dims"),
+        F.round(V.l2_distance(F.col("va"), F.col("vb")), 4).alias("l2"),
+        F.round(V.inner_product(F.col("va"), F.col("vb")), 4).alias("ip"),
+        F.round(V.cosine_distance(F.col("va"), F.col("vb")), 4).alias("cos_dist"),
+        F.round(V.l1_distance(F.col("va"), F.col("vb")), 4).alias("l1"),
+        F.round(V.l2_norm(F.col("va")), 4).alias("norm_a"),
+    )
+
+
+@register(
+    "typecasting_funcs",
+    """
+    SELECT doc_id,
+           TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT) AS int_roundtrip,
+           CAST(doc_id AS VARCHAR) AS id_str,
+           TRY_CAST(CAST(doc_id AS VARCHAR) || '.5' AS DOUBLE) AS float_parse,
+           TRY_CAST(lang AS BIGINT) AS bad_int,
+           (CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END) = 'true' AS bool_parse,
+           CAST(CAST(n_chars AS DOUBLE) AS BIGINT) AS float_to_int
+    FROM documents
+    """,
+)
+def typecasting_funcs(spark, sf_dir):
+    """Typecasting family (gtype_typecasting.c, 112 fns: toInteger
+    toFloat toString toBoolean...): Spark cast is TRY_CAST-shaped
+    (invalid parse -> null, the reference's error-free to* semantics)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("string").cast("long").alias("int_roundtrip"),
+        F.col("doc_id").cast("string").alias("id_str"),
+        F.concat(F.col("doc_id").cast("string"), F.lit(".5")).cast("double").alias("float_parse"),
+        F.col("lang").try_cast("long").alias("bad_int"),
+        (F.when(F.col("doc_id") % 2 == 0, F.lit("true")).otherwise(F.lit("false")) == "true").alias(
+            "bool_parse"
+        ),
+        F.col("n_chars").cast("double").cast("long").alias("float_to_int"),
+    )
+
+
+@register(
+    "json_containment_ops",
+    """
+    SELECT event_type,
+           count(*) FILTER (WHERE json_extract(props, '$.k') IS NOT NULL) AS has_k,
+           count(*) FILTER (WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) = 5) AS k_eq_5,
+           count(*) FILTER (WHERE json_extract(props, '$.tags') IS NOT NULL
+                              AND json_extract(props, '$.k') IS NOT NULL) AS has_both,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_containment_ops(spark, sf_dir):
+    """jsonb-style existence `?` and containment `@>` (gtype_ops.c:
+    849-1080): key-existence and key/value containment tests compiled to
+    JSON-path expressions the scan can evaluate."""
+    e = t(spark, sf_dir, "events")
+    has_k = F.get_json_object("props", "$.k").isNotNull()
+    k_eq_5 = F.get_json_object("props", "$.k").cast("long") == 5
+    has_both = F.get_json_object("props", "$.tags").isNotNull() & has_k
+    return e.groupBy("event_type").agg(
+        F.count(F.when(has_k, 1)).alias("has_k"),
+        F.count(F.when(k_eq_5, 1)).alias("k_eq_5"),
+        F.count(F.when(has_both, 1)).alias("has_both"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "quantified_all_rewrite",
+    """
+    SELECT p.p_brand AS brand, count(*) AS n_dominant
+    FROM part p
+    WHERE p.p_size > ALL (SELECT p2.p_size FROM part p2 WHERE p2.p_brand = 'Brand#11' AND p2.p_size < 30)
+    GROUP BY p.p_brand
+    """,
+)
+def quantified_all_rewrite(spark, sf_dir):
+    """`op ALL (subquery)` (cypher_gram.y:17110-17126): Spark SQL has no
+    quantified comparisons, so the compiler rewrite is `> ALL S` ==
+    `> max(S)` (empty S -> true; S containing NULL -> NULL — the
+    subquery here is non-null by construction)."""
+    p = t(spark, sf_dir, "part")
+    sub = p.filter((F.col("p_brand") == "Brand#11") & (F.col("p_size") < 30)).agg(
+        F.max("p_size").alias("mx"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        p.crossJoin(F.broadcast(sub))
+        .filter((F.col("cnt") == 0) | (F.col("p_size") > F.col("mx")))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("n_dominant"))
+    )
+
+
+@register(
+    "tsearch_match",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\W+') AS toks FROM documents)
+    SELECT doc_id,
+           list_contains(toks, 'spark') AND list_contains(toks, 'table') AS match_and,
+           list_contains(toks, 'spark') OR list_contains(toks, 'join') AS match_or,
+           list_contains(toks, 'spark') AND NOT list_contains(toks, 'slow') AS match_not,
+           CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf_spark
+    FROM d
+    """,
+)
+def tsearch_match(spark, sf_dir):
+    """Text-search-lite (reference gtype_tsearch.c: to_tsvector/tsquery
+    + `@@` match): document -> token array; AND/OR/NOT query-tree match
+    and term frequency as array expressions (the tsvector is the sorted
+    token array; no positions needed for boolean match)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\W+")
+    d = d.select("doc_id", toks.alias("toks"))
+    has = lambda term: F.array_contains("toks", term)  # noqa: E731
+    return d.select(
+        "doc_id",
+        (has("spark") & has("table")).alias("match_and"),
+        (has("spark") | has("join")).alias("match_or"),
+        (has("spark") & ~has("slow")).alias("match_not"),
+        F.size(F.filter("toks", lambda x: x == "spark")).cast("long").alias("tf_spark"),
+    )
+
+
+@register(
+    "range_ops",
+    """
+    WITH r AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice / 50000) * 50000 AS DOUBLE) AS lo,
+             CAST(floor(o_totalprice / 50000) * 50000 + 50000 AS DOUBLE) AS hi,
+             o_totalprice AS v
+      FROM orders)
+    SELECT o_orderkey,
+           v >= lo AND v < hi AS contains_v,
+           (lo < 100000.0 + 50000 AND 100000.0 < hi) AS overlaps_mid,
+           (lo >= 100000.0 AND hi <= 200000.0) AS within_big,
+           hi = 150000.0 AS adjacent_150k
+    FROM r
+    """,
+)
+def range_ops(spark, sf_dir):
+    """Range family (gtype_range.c: constructors + `@>`/`&&`/`-|-`):
+    numranges as struct(lo,hi,inc,inc) with pure-expression predicates.
+    Each order's price bucket [lo,hi) is tested for containment of its
+    own price, overlap with [100k,150k), containment in [100k,200k],
+    and adjacency to a range starting at 150k."""
+    o = t(spark, sf_dir, "orders")
+    lo = (F.floor(F.col("o_totalprice") / 50000) * 50000).cast("double")
+    o = o.select("o_orderkey", F.col("o_totalprice").alias("v"), R.make_range(lo, lo + 50000).alias("r"))
+    mid = R.make_range(F.lit(100000.0), F.lit(150000.0))
+    big = R.make_range(F.lit(100000.0), F.lit(200000.0), hi_inc=True)
+    at150 = R.make_range(F.lit(150000.0), F.lit(9e9))
+    return o.select(
+        "o_orderkey",
+        R.contains_value(F.col("r"), F.col("v")).alias("contains_v"),
+        R.overlaps(F.col("r"), mid).alias("overlaps_mid"),
+        R.contains_range(big, F.col("r")).alias("within_big"),
+        R.adjacent(F.col("r"), at150).alias("adjacent_150k"),
+    )
+
+
+@register(
+    "network_funcs",
+    """
+    WITH ip AS (
+      SELECT event_id,
+             '10.' || CAST((user_id // 256) % 256 AS VARCHAR) || '.' ||
+             CAST(user_id % 256 AS VARCHAR) || '.' ||
+             CAST(event_id % 200 + 1 AS VARCHAR) || '/24' AS addr,
+             '10.' || CAST((user_id // 256) % 256 AS VARCHAR) || '.' ||
+             CAST(user_id % 256 AS VARCHAR) AS net_prefix
+      FROM events WHERE event_id < 2000)
+    SELECT event_id,
+           split_part(addr, '/', 1) AS host,
+           24 AS masklen,
+           4 AS family,
+           net_prefix || '.0/24' AS network,
+           net_prefix || '.255' AS broadcast,
+           '255.255.255.0' AS netmask
+    FROM ip
+    """,
+)
+def network_funcs(spark, sf_dir):
+    """inet function kit (gtype_network.c: host masklen family network
+    broadcast netmask...) as Arrow-batched pandas UDFs over ipaddress —
+    the oracle recomputes the expected values with string arithmetic on
+    the synthetic /24 addresses."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    addr = F.concat(
+        F.lit("10."),
+        ((F.col("user_id") / 256).cast("long") % 256).cast("string"),
+        F.lit("."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("event_id") % 200 + 1).cast("string"),
+        F.lit("/24"),
+    )
+    e = e.select("event_id", addr.alias("addr"))
+    return e.select(
+        "event_id",
+        NET.host(F.col("addr")).alias("host"),
+        NET.masklen(F.col("addr")).alias("masklen"),
+        NET.family(F.col("addr")).alias("family"),
+        NET.network(F.col("addr")).alias("network"),
+        NET.broadcast(F.col("addr")).alias("broadcast"),
+        NET.netmask(F.col("addr")).alias("netmask"),
+    )
+
+
+@register(
+    "date_bin_events",
+    """
+    SELECT strftime(time_bucket(INTERVAL 7 MINUTE, CAST(ts AS TIMESTAMP), TIMESTAMP '1970-01-01'),
+                    '%Y-%m-%d %H:%M:%S') AS bin_start,
+           count(*) AS n, round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
+    FROM events GROUP BY 1
+    """,
+)
+def date_bin_events(spark, sf_dir):
+    """date_bin (gtype_temporal.c date_bin): epoch-aligned 7-minute bins
+    — a non-round stride that date_trunc cannot express; floor-divide on
+    the epoch keeps it a codegen'd expression."""
+    e = t(spark, sf_dir, "events")
+    bin_start = F.timestamp_seconds((F.unix_timestamp("ts") / 420).cast("long") * 420)
+    return (
+        e.groupBy(F.date_format(bin_start, "yyyy-MM-dd HH:mm:ss").alias("bin_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+    )
