@@ -487,6 +487,9 @@ class Compiler:
             return F.coalesce(picked, G.gv_null())
         if name == "collect":
             texts = F.collect_list(F.when(valid, G.to_json_text(arg)).otherwise(F.lit("null")))
+            if e.distinct:
+                # DISTINCT over gtype values = distinct canonical texts
+                texts = F.array_distinct(texts)
             limit = None
             if len(e.args) > 1:
                 limit = self.compile_expr(e.args[1], df, scope)["i"]

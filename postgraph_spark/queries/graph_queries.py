@@ -186,6 +186,52 @@ def cypher_optional_match(spark, sf_dir):
 
 
 @register(
+    "cypher_union_labels",
+    """
+    SELECT c_name AS name, 'customer' AS kind FROM customer WHERE c_acctbal > 9000
+    UNION
+    SELECT s_name AS name, 'supplier' AS kind FROM supplier WHERE s_acctbal > 9000
+    """,
+)
+def cypher_union_labels(spark, sf_dir):
+    """UNION between full Cypher queries (transform_cypher_union,
+    cypher_clause.c:445-560): distinct set semantics across two labeled
+    scans."""
+    eng = _tpch_engine(spark, sf_dir)
+    out = eng.execute(
+        "MATCH (c:customer) WHERE c.c_acctbal > 9000 RETURN c.c_name AS name, 'customer' AS kind "
+        "UNION "
+        "MATCH (s:supplier) WHERE s.s_acctbal > 9000 RETURN s.s_name AS name, 'supplier' AS kind"
+    )
+    return out.select(F.col("name")["s"].alias("name"), F.col("kind")["s"].alias("kind"))
+
+
+@register(
+    "cypher_unwind_collect",
+    """
+    WITH ag AS (
+      SELECT n.n_name AS nation, list(DISTINCT c.c_mktsegment) AS segs
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name)
+    SELECT nation, unnest(segs) AS seg FROM ag
+    """,
+)
+def cypher_unwind_collect(spark, sf_dir):
+    """collect(DISTINCT) aggregate then UNWIND back to rows (gtype.c:2633
+    and the unnest SRF, cypher_clause.c:984-1040) — the round-trip
+    exercises the list container plus explode semantics through the
+    engine."""
+    eng = _tpch_engine(spark, sf_dir)
+    out = eng.execute(
+        "MATCH (n:nation)<-[:from_nation]-(c:customer) "
+        "WITH n.n_name AS nation, collect(DISTINCT c.c_mktsegment) AS segs "
+        "UNWIND segs AS seg "
+        "RETURN nation, seg"
+    )
+    return out.select(F.col("nation")["s"].alias("nation"), F.col("seg")["s"].alias("seg"))
+
+
+@register(
     "cypher_with_orderby_limit",
     """
     SELECT n.n_name AS nation, round(sum(o.o_totalprice), 2) AS revenue
