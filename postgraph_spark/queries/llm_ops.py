@@ -383,6 +383,22 @@ def multimodal_frame_sample(spark, sf_dir):
     return frames.select("media_id", "frame_index", F.md5("frame_payload").alias("frame_digest"))
 
 
+@register(
+    "multimodal_resize",
+    """
+    SELECT doc_id AS media_id, 224 AS width, 224 AS height, false AS resized
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Image-resize plumbing: mapInPandas pass-through of the payload
+    with rewritten dimensions (codec stubbed — resized=false in this
+    container); the oracle checks the row expansion and metadata."""
+    media = MM.documents_as_media(t(spark, sf_dir, "documents"))
+    out = MM.resize_images(media, width=224, height=224)
+    return out.select("media_id", "width", "height", "resized")
+
+
 @register("multimodal_decode")  # no SQL oracle: stubbed codec features (rows-only check)
 def multimodal_decode(spark, sf_dir):
     """Decode + feature-extract via Arrow-batched mapInPandas. The codec
