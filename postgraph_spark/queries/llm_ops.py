@@ -128,7 +128,7 @@ def dedup_jaccard_pairs(spark, sf_dir):
     votes AS (SELECT doc_id, b,
                      sum(((strpos('0123456789abcdef', substr(th, b // 4 + 1, 1)) - 1 >> (b % 4)) & 1) * 2 - 1) AS v
               FROM bits GROUP BY doc_id, b)
-    SELECT doc_id, sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+    SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
     """,
 )
@@ -343,7 +343,7 @@ def token_count_bpe(spark, sf_dir):
              octet_length(encode(text)) AS n_bytes,
              md5(text) AS digest
       FROM documents)
-    SELECT modality, count(*) AS n_items, sum(n_bytes) AS total_bytes,
+    SELECT modality, count(*) AS n_items, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
            round(avg(n_bytes), 4) AS avg_bytes, count(DISTINCT digest) AS n_unique
     FROM m GROUP BY modality
     """,

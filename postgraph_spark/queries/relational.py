@@ -291,7 +291,7 @@ def percentile_quantiles(spark, sf_dir):
 @register(
     "collect_list_agg",
     """
-    SELECT n.n_name, list_sort(list(DISTINCT c.c_mktsegment)) AS segments,
+    SELECT n.n_name, array_to_string(list_sort(list(DISTINCT c.c_mktsegment)), '|') AS segments,
            count(*) AS n
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY n.n_name
@@ -299,14 +299,14 @@ def percentile_quantiles(spark, sf_dir):
 )
 def collect_list_agg(spark, sf_dir):
     """collect() aggregate (reference sql.in:259-330) — list output sorted
-    for order-insensitive comparison."""
+    and joined to a string so the comparator can hash it."""
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     return (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), "|").alias("segments"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -712,10 +712,10 @@ def string_funcs(spark, sf_dir):
            round(ln(p_retailprice), 6) AS ln_price,
            round(log10(p_retailprice), 6) AS log10_price,
            round(pow(p_size, 2), 1) AS size_sq,
-           ceil(p_retailprice) AS ceil_price,
-           floor(p_retailprice) AS floor_price,
+           CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+           CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
            abs(p_size - 25) AS abs_dev,
-           sign(p_size - 25) AS sign_dev,
+           CAST(sign(p_size - 25) AS BIGINT) AS sign_dev,
            mod(p_size, 7) AS size_mod,
            round(exp(p_size / 50.0), 6) AS exp_size,
            round(cbrt(p_retailprice), 6) AS cbrt_price,
@@ -738,7 +738,7 @@ def math_funcs(spark, sf_dir):
         F.ceil("p_retailprice").alias("ceil_price"),
         F.floor("p_retailprice").alias("floor_price"),
         F.abs(F.col("p_size") - 25).alias("abs_dev"),
-        F.signum(F.col("p_size") - 25).cast("double").alias("sign_dev"),
+        F.signum(F.col("p_size") - 25).cast("long").alias("sign_dev"),
         (F.col("p_size") % 7).alias("size_mod"),
         F.round(F.exp(F.col("p_size") / 50.0), 6).alias("exp_size"),
         F.round(F.cbrt("p_retailprice"), 6).alias("cbrt_price"),

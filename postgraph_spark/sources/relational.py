@@ -34,6 +34,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark rejects by
+    # default. Set the legacy flag at runtime so the fix holds even when the
+    # caller built its own SparkSession (e.g. the driver's harness) rather
+    # than our session.py builder.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # nanos timestamps surface as LongType under nanosAsLong — normalize
     # to microsecond TimestampType (truncation matches DuckDB's
