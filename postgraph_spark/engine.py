@@ -99,14 +99,12 @@ class CypherEngine:
         the reference allocates graphids from label sequences and inserts
         heap tuples, cypher_create.c:332-540 — here we append rows).
 
-        Vertex variables bind across paths within the statement and
-        across CREATE statements in this engine (names are remembered so
-        edge patterns can reference earlier-created vertices)."""
+        Vertex variables bind across paths WITHIN one statement only —
+        the reference creates a fresh vertex per statement even when a
+        variable name is re-used (transform scope is per-query)."""
         g = self.graph
         if g is None:
             raise ValueError("no graph selected (USE GRAPH first)")
-        if not hasattr(self, "_created_vars"):
-            self._created_vars: dict[str, int] = {}
 
         def lit_props(props: A.MapLit | None) -> dict:
             if props is None:
@@ -123,8 +121,6 @@ class CypherEngine:
         def node_ref(n: A.NodePat):
             if n.var and n.var in local_vars:
                 return ("new", local_vars[n.var])
-            if n.var and n.var in self._created_vars:
-                return ("old", self._created_vars[n.var])
             idx = len(vrows)
             vrows.append((n.label or "_ag_label_vertex", lit_props(n.props)))
             if n.var:
@@ -147,8 +143,6 @@ class CypherEngine:
                 prev = nxt
 
         base_ids = self._append_vertices(g, vrows)
-        for var, idx in local_vars.items():
-            self._created_vars[var] = base_ids[idx]
 
         def resolve(ref):
             kind, v = ref

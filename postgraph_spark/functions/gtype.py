@@ -247,7 +247,15 @@ def _num_eq(a: Column, b: Column) -> Column:
 def cmp_eq(a: Column, b: Column) -> Column:
     """Orderability equality (btree semantics: cross-type -> false, same
     type -> value compare; null = null -> true under orderability but the
-    expression layer routes through 3VL wrappers where Cypher requires)."""
+    expression layer routes through 3VL wrappers where Cypher requires).
+
+    KNOWN DIVERGENCE: containers (arrays/objects) compare by their JSON
+    text, so [1] = [1.0] is false and array ordering is lexicographic on
+    text, while the reference compares containers element-wise with
+    numeric cross-type equality (compare_gtype_containers_orderability,
+    gtype_util.c). Scalar comparisons (the overwhelmingly common case)
+    match exactly; an element-wise container compare would need a
+    recursive UDF on the hot comparison path."""
     return (
         F.when((a.t == T_NULL) & (b.t == T_NULL), F.lit(True))
         .when((a.t == T_NULL) | (b.t == T_NULL), F.lit(False))

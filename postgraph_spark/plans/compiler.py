@@ -77,7 +77,9 @@ class Compiler:
             if q.op == "intersect":
                 return left.intersect(right)
             if q.op == "except":
-                return left.exceptAll(right).distinct()
+                # SQL EXCEPT (DISTINCT): a left row with ANY match on the
+                # right is removed entirely (not multiset difference)
+                return left.subtract(right)
             raise CompileError(q.op)
         return self.compile_single(q)
 
@@ -121,7 +123,9 @@ class Compiler:
             return out_e
         if rel.direction == "in":
             return in_e
-        return out_e.unionByName(in_e)
+        # a self-loop is the same (edge, src, dst) row in both orientations
+        # — keep the out-orientation copy only (vle.py does the same dedup)
+        return out_e.unionByName(in_e.filter(F.col("__src") != F.col("__dst")))
 
     def _prop_constraint(self, props_col: Column, key: str, vexpr) -> Column:
         """Pattern property map {k: v} -> containment qual
@@ -390,22 +394,22 @@ class Compiler:
                     outer.append((name, A.Var(name), False))
             if df is None:
                 df = self.spark.range(1).select(F.lit(1).alias("__one"))
+            # group-key columns are computed under reserved temp names so a
+            # user alias that matches an input column (RETURN n, count(*))
+            # never produces an AMBIGUOUS_REFERENCE
             key_cols = []
-            for name, e in group_items:
+            for i, (name, e) in enumerate(group_items):
                 col, kind = self._compile_item(e, df, scope)
-                key_cols.append(col.alias(name))
+                key_cols.append(col.alias(f"__gk{i}"))
                 new_scope.kinds[name] = kind
             agg_cols = [
                 self._compile_agg(node, df, scope).alias(f"__agg{i}") for i, node in enumerate(agg_nodes)
             ]
             if key_cols:
-                grouped = df.select(*key_cols, *[c for c in df.columns]).groupBy(*[F.col(n) for n, _ in group_items])
-                # regroup: build a projection first, then groupBy on names
                 pre = df.select(*key_cols, "*")
-                grouped = pre.groupBy(*[F.col(n) for n, _ in group_items])
+                grouped = pre.groupBy(*[F.col(f"__gk{i}") for i in range(len(group_items))])
             else:
-                pre = df
-                grouped = pre.groupBy()
+                grouped = df.groupBy()
             agg_df = grouped.agg(*agg_cols) if agg_cols else grouped.agg(F.count(F.lit(1)).alias("__cnt"))
             # outer expressions over keys + agg placeholders
             out_scope = Scope()
@@ -414,13 +418,14 @@ class Compiler:
             for i in range(len(agg_nodes)):
                 out_scope.kinds[f"__agg{i}"] = VKIND_VALUE
             final_cols = []
+            key_pos = {name: i for i, (name, _) in enumerate(group_items)}
             for name, e, is_agg in outer:
                 if is_agg:
                     col, kind = self._compile_item(e, agg_df, out_scope)
                     final_cols.append(col.alias(name))
                     new_scope.kinds[name] = kind
                 else:
-                    final_cols.append(F.col(name))
+                    final_cols.append(F.col(f"__gk{key_pos[name]}").alias(name))
             out = agg_df.select(*final_cols)
 
         if clause.distinct:
@@ -504,7 +509,12 @@ class Compiler:
             p = self.compile_expr(e.args[1], df, scope)["d"]
             if name == "percentilecont":
                 return G.gv_float(F.percentile(d, p))
-            return G.gv_float(F.expr(f"percentile_disc({d._jc.toString()}, {p._jc.toString()})"))
+            # percentile_disc: first value whose cume_dist >= p = the
+            # ceil(p*n)-th (1-indexed) element of the sorted non-null set
+            vals = F.sort_array(F.collect_list(d))
+            n = F.size(vals)
+            idx = F.greatest(F.ceil(p * n), F.lit(1)).cast("int")
+            return G.gv_float(F.when(n > 0, F.get(vals, idx - 1)))
         two_arg = {
             "corr": F.corr, "covar_pop": F.covar_pop, "covar_samp": F.covar_samp,
             "regr_slope": F.regr_slope, "regr_intercept": F.regr_intercept,

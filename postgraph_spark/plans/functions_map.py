@@ -149,7 +149,9 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
         )
     if name == "split":
         a, d = ctx.gv(0), ctx.gv(1)
-        parts = F.split(a["s"], d["s"])  # literal-ish delimiter
+        # the reference splits on LITERAL text — \Q..\E quotes regex
+        # metachars ('.' must not mean any-char)
+        parts = F.split(a["s"], F.concat(F.lit("\\Q"), d["s"], F.lit("\\E")))
         ok = (a["t"] == G.T_STRING) & (d["t"] == G.T_STRING)
         return G.gv_array_json(F.when(ok, F.to_json(parts)))
     if name in ("sha224", "sha256", "sha384", "sha512", "md5"):

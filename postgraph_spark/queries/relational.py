@@ -498,7 +498,9 @@ def setop_intersect(spark, sf_dir):
 def setop_except(spark, sf_dir):
     c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select("c_custkey")
     o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000).select(F.col("o_custkey").alias("c_custkey"))
-    return c.exceptAll(o).distinct()
+    # subtract = EXCEPT DISTINCT: any right match removes the left row
+    # entirely (exceptAll().distinct() would be multiset difference)
+    return c.subtract(o)
 
 
 # ----------------------------------------------------- UNWIND / explode (SRF)

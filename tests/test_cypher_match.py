@@ -20,7 +20,6 @@ def engine(spark):
     # F2 chain (cypher_match.sql:38-95)
     e.execute("CREATE (a:v1 {id: 'initial'}), (b:v1 {id: 'middle'}), (c:v1 {id: 'end'})")
     e.execute("MATCH (a) RETURN a")  # warm nothing; keep engine simple
-    e._created_vars = {}
     e.execute(
         "CREATE (x:v1b {id: 'initial'})-[:e1]->(y:v1b {id: 'middle'})-[:e1]->(z:v1b {id: 'end'})"
     )
