@@ -12,6 +12,7 @@ import json
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from postgraph_spark.functions import gtype as G
 from postgraph_spark.graph import Graph, GraphCatalog
@@ -166,7 +167,10 @@ class CypherEngine:
             ids.append(gid)
             data.append((gid, label, json.dumps(props)))
         if data:
-            g.vertices = g.vertices.unionByName(self.spark.createDataFrame(data, VERTEX_SCHEMA))
+            new = self.spark.createDataFrame(data, VERTEX_SCHEMA)
+            if "pv" in g.vertices.columns:
+                new = new.withColumn("pv", F.try_parse_json("properties"))
+            g.vertices = g.vertices.unionByName(new)
         return ids
 
     def _append_edges(self, g: Graph, rows: list[tuple[str, int, int, dict]]) -> None:
@@ -181,7 +185,10 @@ class CypherEngine:
             g._next_entry[label] = eid
             data.append((make_graphid(lid, eid), src, dst, label, json.dumps(props)))
         if data:
-            g.edges = g.edges.unionByName(self.spark.createDataFrame(data, EDGE_SCHEMA))
+            new = self.spark.createDataFrame(data, EDGE_SCHEMA)
+            if "pv" in g.edges.columns:
+                new = new.withColumn("pv", F.try_parse_json("properties"))
+            g.edges = g.edges.unionByName(new)
 
 
 def _literal_value(e):

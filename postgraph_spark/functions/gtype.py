@@ -156,11 +156,19 @@ def from_variant(x: Column) -> Column:
     )
 
 
+def prop_access_variant(pv: Column, path: list[str]) -> Column:
+    """parsed-properties VARIANT -> gval at $.a.b... — the fast path: the
+    JSON text was parsed ONCE (at scan/materialization), every key access
+    is a binary variant_get instead of a re-parse."""
+    p = "$." + ".".join(path)
+    return from_variant(F.try_variant_get(pv, p, "variant"))
+
+
 def prop_access(props_json: Column, path: list[str]) -> Column:
     """properties JSON -> gval at $.a.b...; missing key -> gtype null
-    (reference `->` semantics, gtype.c:1621-1832)."""
-    p = "$." + ".".join(path)
-    return from_variant(F.try_variant_get(F.try_parse_json(props_json), p, "variant"))
+    (reference `->` semantics, gtype.c:1621-1832). Parses the JSON at
+    every call — prefer prop_access_variant over a materialized pv."""
+    return prop_access_variant(F.try_parse_json(props_json), path)
 
 
 def element_access(gv: Column, idx: Column) -> Column:

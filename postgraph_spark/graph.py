@@ -218,7 +218,10 @@ TPCH_VLABELS = {"customer": 1, "orders": 2, "part": 3, "supplier": 4, "nation": 
 TPCH_ELABELS = {"placed": 6, "contains": 7, "from_nation": 8, "supplied_by": 9}
 
 
-def tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
+_GRAPH_CACHE: dict[tuple[str, str], "Graph"] = {}
+
+
+def tpch_graph(spark: SparkSession, sf_dir: str, use_cache: bool = True) -> Graph:
     """Project the TPC-H-ish tables into a property graph.
 
     vertices: customer / orders / part / supplier / nation rows.
@@ -226,18 +229,29 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
     props), from_nation (customer->nation, supplier->nation).
     All built declaratively — at 100 TB this is a column-pruned scan plus
     a narrow projection, no shuffle.
-    """
 
-    def props_json(df: DataFrame, cols: list[str]) -> F.Column:
-        return F.to_json(F.struct(*[F.col(c) for c in cols]))
+    Each table carries BOTH a ``properties`` JSON string (the schemaless
+    document, for output parity) and a ``pv`` VARIANT column built
+    directly from the native columns with to_variant_object — the
+    document is never parsed from text, and every property access
+    downstream is a binary variant_get. The graph is memoized per
+    (session, sf_dir) and cached: the reference stores its graph in heap
+    tables; the Spark analog of "the graph exists" is a materialized
+    (cached / parquet-backed) projection, not a rebuild per query.
+    """
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if use_cache and key in _GRAPH_CACHE:
+        return _GRAPH_CACHE[key]
 
     def vtab(name: str, key: str, cols: list[str]) -> DataFrame:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         lid = TPCH_VLABELS[name]
+        ps = F.struct(*[F.col(c) for c in cols])
         return df.select(
             (F.lit(lid).cast("long") * F.lit(1 << ENTRY_ID_BITS) + F.col(key).cast("long")).alias("id"),
             F.lit(name).alias("label"),
-            props_json(df, cols).alias("properties"),
+            F.to_json(ps).alias("properties"),
+            F.to_variant_object(ps).alias("pv"),
         )
 
     vertices = (
@@ -259,25 +273,27 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
     def eid(label: str, seq: F.Column) -> F.Column:
         return F.lit(TPCH_ELABELS[label]).cast("long") * F.lit(1 << ENTRY_ID_BITS) + seq
 
+    empty_pv = F.try_parse_json(F.lit("{}"))  # constant-folded
     placed = orders.select(
         eid("placed", F.col("o_orderkey").cast("long")).alias("id"),
         gid("customer", F.col("o_custkey")).alias("start_id"),
         gid("orders", F.col("o_orderkey")).alias("end_id"),
         F.lit("placed").alias("label"),
         F.lit("{}").alias("properties"),
+        empty_pv.alias("pv"),
+    )
+    li_props = F.struct(
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"),
     )
     contains = lineitem.select(
         eid("contains", F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id"),
         gid("orders", F.col("l_orderkey")).alias("start_id"),
         gid("part", F.col("l_partkey")).alias("end_id"),
         F.lit("contains").alias("label"),
-        F.to_json(
-            F.struct(
-                F.col("l_quantity").alias("quantity"),
-                F.col("l_extendedprice").alias("extendedprice"),
-                F.col("l_discount").alias("discount"),
-            )
-        ).alias("properties"),
+        F.to_json(li_props).alias("properties"),
+        F.to_variant_object(li_props).alias("pv"),
     )
     cust_nation = customer.select(
         eid("from_nation", F.col("c_custkey").cast("long")).alias("id"),
@@ -285,6 +301,7 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
         gid("nation", F.col("c_nationkey")).alias("end_id"),
         F.lit("from_nation").alias("label"),
         F.lit("{}").alias("properties"),
+        empty_pv.alias("pv"),
     )
     supp_nation = supplier.select(
         eid("from_nation", F.lit(1 << 40) + F.col("s_suppkey").cast("long")).alias("id"),
@@ -292,8 +309,13 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
         gid("nation", F.col("s_nationkey")).alias("end_id"),
         F.lit("from_nation").alias("label"),
         F.lit("{}").alias("properties"),
+        empty_pv.alias("pv"),
     )
     edges = placed.unionByName(contains).unionByName(cust_nation).unionByName(supp_nation)
     label_ids = dict(TPCH_VLABELS)
     label_ids.update(TPCH_ELABELS)
-    return Graph("tpch", vertices, edges, label_ids)
+    g = Graph("tpch", vertices, edges, label_ids)
+    if use_cache:
+        g.cache()
+        _GRAPH_CACHE[key] = g
+    return g

@@ -20,6 +20,7 @@ import itertools
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from postgraph_spark.functions import gtype as G
 from postgraph_spark.graph import Graph
@@ -102,10 +103,40 @@ class Compiler:
         raise CompileError(f"unsupported clause {type(clause).__name__} in read path")
 
     # ------------------------------------------------------------- MATCH
+    #
+    # Entity structs carry a 4th field ``pv``: the properties document as
+    # a VARIANT, parsed (or built from native columns) ONCE at scan time.
+    # Every n.prop access downstream is a binary variant_get — never a
+    # re-parse of the JSON text. Projections (WITH/RETURN) strip pv so
+    # DISTINCT / set ops / grouping on entities stay comparable; accesses
+    # after a projection barrier fall back to parsing the JSON.
+
+    @staticmethod
+    def _table_pv(t: DataFrame) -> Column:
+        """pv for a graph table scan: the stored variant column when the
+        table has one, else one try_parse_json at scan time."""
+        return F.col("pv") if "pv" in t.columns else F.try_parse_json("properties")
+
+    @staticmethod
+    def _var_pv(df: DataFrame | None, var: str) -> Column | None:
+        """F.col(var)['pv'] when the bound entity struct still carries it."""
+        if df is None:
+            return None
+        try:
+            dt = df.schema[var].dataType
+        except Exception:
+            return None
+        if isinstance(dt, T.StructType) and "pv" in dt.fieldNames():
+            return F.col(var)["pv"]
+        return None
 
     def _vertex_scan(self, label: str | None, var: str) -> DataFrame:
         v = self.graph.vertices_with_label(label)
-        return v.select(F.struct("id", "label", "properties").alias(var))
+        return v.select(
+            F.struct(
+                F.col("id"), F.col("label"), F.col("properties"), self._table_pv(v).alias("pv")
+            ).alias(var)
+        )
 
     def _oriented_edges(self, rel: A.RelPat, var: str) -> DataFrame:
         """Edge scan -> (var: edge_struct, __src, __dst) honoring direction
@@ -113,10 +144,14 @@ class Compiler:
         undirected = OR of both orientations, expressed here as a union so
         every hop stays an equi-join)."""
         e = self.graph.edges_with_label(rel.label)
+        pv = self._table_pv(e)
         if rel.props:
             for k, vexpr in rel.props.items.items():
-                e = e.filter(self._prop_constraint(F.col("properties"), k, vexpr))
-        struct = F.struct("id", "start_id", "end_id", "label", "properties").alias(var)
+                e = e.filter(self._prop_eq(G.prop_access_variant(pv, [k]), vexpr))
+        struct = F.struct(
+            F.col("id"), F.col("start_id"), F.col("end_id"), F.col("label"),
+            F.col("properties"), pv.alias("pv"),
+        ).alias(var)
         out_e = e.select(struct, F.col("start_id").alias("__src"), F.col("end_id").alias("__dst"))
         in_e = e.select(struct, F.col("end_id").alias("__src"), F.col("start_id").alias("__dst"))
         if rel.direction == "out":
@@ -127,16 +162,22 @@ class Compiler:
         # — keep the out-orientation copy only (vle.py does the same dedup)
         return out_e.unionByName(in_e.filter(F.col("__src") != F.col("__dst")))
 
-    def _prop_constraint(self, props_col: Column, key: str, vexpr) -> Column:
+    def _prop_eq(self, prop_gv: Column, vexpr) -> Column:
         """Pattern property map {k: v} -> containment qual
         (create_property_constraints, cypher_clause.c:106)."""
         gv = self.compile_expr(vexpr, None)
-        return G.truth(G.op_eq(G.prop_access(props_col, [key]), gv))
+        return G.truth(G.op_eq(prop_gv, gv))
 
     def _node_filters(self, df: DataFrame, node: A.NodePat, var: str) -> DataFrame:
         if node.props:
+            pv = self._var_pv(df, var)
             for k, vexpr in node.props.items.items():
-                df = df.filter(self._prop_constraint(F.col(var)["properties"], k, vexpr))
+                prop = (
+                    G.prop_access_variant(pv, [k])
+                    if pv is not None
+                    else G.prop_access(F.col(var)["properties"], [k])
+                )
+                df = df.filter(self._prop_eq(prop, vexpr))
         return df
 
     def compile_match(self, m: A.MatchClause, df, scope):
@@ -245,8 +286,9 @@ class Compiler:
         lo, hi = rel.varlen
         prop_filter = None
         if rel.props:
+            edge_pv = self._table_pv(self.graph.edges)
             for k, vexpr in rel.props.items.items():
-                c = self._prop_constraint(F.col("properties"), k, vexpr)
+                c = self._prop_eq(G.prop_access_variant(edge_pv, [k]), vexpr)
                 prop_filter = c if prop_filter is None else (prop_filter & c)
         # push the already-bound start set into the traversal: the
         # reference's VLE gets its endpoints lazily from the lateral join
@@ -456,9 +498,19 @@ class Compiler:
         return col.desc() if si.descending else col.asc()
 
     def _compile_item(self, e, df, scope):
-        """Compile a projection item -> (Column, kind)."""
+        """Compile a projection item -> (Column, kind). Entity structs are
+        projected WITHOUT their pv variant field so the output supports
+        DISTINCT / set ops / grouping (variant is not comparable)."""
         if isinstance(e, A.Var) and scope.kinds.get(e.name) in (VKIND_VERTEX, VKIND_EDGE, VKIND_VLE):
-            return F.col(e.name), scope.kinds[e.name]
+            kind = scope.kinds[e.name]
+            col = F.col(e.name)
+            if self._var_pv(df, e.name) is not None:
+                try:
+                    fields = [f for f in df.schema[e.name].dataType.fieldNames() if f != "pv"]
+                    col = F.struct(*[col[f].alias(f) for f in fields])
+                except Exception:
+                    pass
+            return col, kind
         return self.compile_expr(e, df, scope), VKIND_VALUE
 
     # ------------------------------------------------------- aggregates
@@ -561,6 +613,9 @@ class Compiler:
             if isinstance(base, A.Var):
                 kind = scope.kinds.get(base.name)
                 if kind in (VKIND_VERTEX, VKIND_EDGE):
+                    pv = self._var_pv(df, base.name)
+                    if pv is not None:
+                        return G.prop_access_variant(pv, e.path)
                     return G.prop_access(F.col(base.name)["properties"], e.path)
                 if kind == VKIND_VALUE:
                     gv = F.col(base.name)

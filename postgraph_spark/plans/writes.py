@@ -162,10 +162,14 @@ class WriteRunner:
 
     def _commit_vertices(self, new_rows: DataFrame) -> None:
         g = self.graph
+        if "pv" in g.vertices.columns:
+            new_rows = new_rows.withColumn("pv", F.try_parse_json("properties"))
         g.vertices = g.vertices.unionByName(new_rows).localCheckpoint(eager=True)
 
     def _commit_edges(self, new_rows: DataFrame) -> None:
         g = self.graph
+        if "pv" in g.edges.columns:
+            new_rows = new_rows.withColumn("pv", F.try_parse_json("properties"))
         g.edges = g.edges.unionByName(new_rows).localCheckpoint(eager=True)
 
     # ------------------------------------------------------------- CREATE
@@ -313,19 +317,23 @@ class WriteRunner:
                 .agg(F.last("__uprops").alias("__uprops"))
             )
             if scope.kinds[var] == VKIND_VERTEX:
-                g.vertices = (
+                upd = (
                     g.vertices.join(updates, F.col("id") == F.col("__uid"), "left_outer")
                     .withColumn("properties", F.coalesce(F.col("__uprops"), F.col("properties")))
                     .drop("__uid", "__uprops")
-                    .localCheckpoint(eager=True)
                 )
+                if "pv" in g.vertices.columns:  # keep the variant in sync
+                    upd = upd.withColumn("pv", F.try_parse_json("properties"))
+                g.vertices = upd.localCheckpoint(eager=True)
             else:
-                g.edges = (
+                upd = (
                     g.edges.join(updates, F.col("id") == F.col("__uid"), "left_outer")
                     .withColumn("properties", F.coalesce(F.col("__uprops"), F.col("properties")))
                     .drop("__uid", "__uprops")
-                    .localCheckpoint(eager=True)
                 )
+                if "pv" in g.edges.columns:
+                    upd = upd.withColumn("pv", F.try_parse_json("properties"))
+                g.edges = upd.localCheckpoint(eager=True)
         return df
 
     # ------------------------------------------------------------- DELETE
@@ -411,11 +419,13 @@ class WriteRunner:
             json_cols.append(f"__k{i}")
             canon_cols.append(f"__ck{i}")
 
-        probe = self.graph.vertices_with_label(node.label if node.label else None).select(
+        vt = self.graph.vertices_with_label(node.label if node.label else None)
+        vpv = F.col("pv") if "pv" in vt.columns else F.try_parse_json("properties")
+        probe = vt.select(
             F.struct("id", "label", "properties").alias("__m"),
             F.lit(1).alias("__pkc"),
             *[
-                G.canon_key_text(G.prop_access(F.col("properties"), [k])).alias(f"__p{i}")
+                G.canon_key_text(G.prop_access_variant(vpv, [k])).alias(f"__p{i}")
                 for i, (k, _) in enumerate(keys)
             ],
         )
@@ -495,10 +505,12 @@ class WriteRunner:
             json_cols.append(f"__k{i}")
             canon_cols.append(f"__ck{i}")
 
-        probe = self.graph.edges_with_label(rel.label if rel.label else None).select(
+        et = self.graph.edges_with_label(rel.label if rel.label else None)
+        epv = F.col("pv") if "pv" in et.columns else F.try_parse_json("properties")
+        probe = et.select(
             F.struct("id", "start_id", "end_id", "label", "properties").alias("__m"),
             *[
-                G.canon_key_text(G.prop_access(F.col("properties"), [k])).alias(f"__p{i}")
+                G.canon_key_text(G.prop_access_variant(epv, [k])).alias(f"__p{i}")
                 for i, (k, _) in enumerate(keys)
             ],
         )
