@@ -34,6 +34,7 @@ HEADLINE = [
     "simhash_fingerprints",
     "sim_topk_cosine",
     "embed_neardup_pairs",
+    "embed_neardup_lsh",
     "rolling_hash_fingerprint",
     "token_count_bpe",
     "multimodal_meta",

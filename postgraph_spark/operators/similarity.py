@@ -4,15 +4,27 @@ src/backend/access/ivf*.c — re-designed for batch analytics).
 
 Distances are pure Column expressions (zip_with + aggregate → sequential
 double folds, identical to a SQL oracle's evaluation order). Top-k is a
-window over the candidate join; the IVF variant restricts candidates to
-a cluster/bucket column, turning the all-pairs join into a per-bucket
-join — the 100 TB path (bucket by k-means centroid, shuffle on bucket).
+window over a broadcast candidate join.
+
+The quadratic operators (near-dup pairs) run as Arrow-batched
+applyInPandas per bucket: the bucket group is the unit of work, pairwise
+sims are computed with numpy accumulated DIM-BY-DIM so the float fold
+order is exactly the sequential left-associated fold a SQL oracle uses —
+vectorized across the pair matrix, bit-identical to the per-pair chain.
+Bucket assignment (the 'index build') is a random-hyperplane LSH pass
+(mapInPandas, one narrow scan, shuffle-free) — the SimHash-projection
+analog of the reference's IVF k-means build (ivfkmeans.c:512).
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 
@@ -97,6 +109,9 @@ def brute_force_topk(
     return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+# -- near-duplicate pairs (quadratic within bucket) ------------------------
+
+
 def neardup_pairs_cosine(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -104,32 +119,120 @@ def neardup_pairs_cosine(
     bucket_col: str = "label",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs (a < b, cosine >= t) within buckets.
+    """Embedding near-duplicate pairs (a < b, round(cosine,6) >= t)
+    within buckets.
 
-    The bucket column bounds the quadratic blow-up: per-bucket self-join
-    (shuffle on bucket) instead of a full cross join. At scale the bucket
-    is a k-means/LSH assignment; recall is traded per probe count.
+    The bucket bounds the quadratic blow-up. Instead of a per-bucket
+    SQL self-join (which materializes both vectors per candidate pair
+    through the shuffle), each bucket group is handed to an Arrow
+    batch: the shuffle moves each vector ONCE, and the pair matrix is
+    computed with numpy outer products accumulated dim-by-dim — the
+    identical left-associated float fold a sequential SQL evaluation
+    uses, so results are bit-equal to the oracle. At 100 TB the bucket
+    count (LSH planes / k-means k) is chosen so a bucket fits an
+    executor; the shuffle volume is |V| vectors, not |pairs|.
     """
-    # per-row norm + pre-cast before the self-join (see brute_force_topk)
-    a = df.select(
-        F.col(id_col).alias("a"),
-        _d(F.col(vec_col)).alias("av"),
-        l2_norm(F.col(vec_col)).alias("an"),
-        F.col(bucket_col).alias("bk"),
-    )
-    b = df.select(
-        F.col(id_col).alias("b"),
-        _d(F.col(vec_col)).alias("bv"),
-        l2_norm(F.col(vec_col)).alias("bn"),
-        F.col(bucket_col).alias("bk"),
-    )
-    return (
-        a.join(b, "bk")
-        .filter(F.col("a") < F.col("b"))
-        .select(
-            "a",
-            "b",
-            F.round(_dotd(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 6).alias("sim"),
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                              "sim": pd.Series(dtype="float64")})
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("__id")
+        ids = pdf["__id"].to_numpy()
+        V = np.stack(pdf["__v"].to_numpy()).astype(np.float64)  # n x d
+        d = V.shape[1]
+        # accumulate dot-products and squared norms DIM BY DIM: G[a,b] is
+        # then sum_i va_i*vb_i in index order, left-associated — exactly
+        # the sequential fold of list_dot_product / F.aggregate
+        G = np.zeros((n, n))
+        sq = np.zeros(n)
+        for i in range(d):
+            c = V[:, i]
+            G += np.outer(c, c)
+            sq += c * c
+        nrm = np.sqrt(sq)
+        S = np.round(G / np.outer(nrm, nrm), 6)
+        iu, ju = np.triu_indices(n, k=1)
+        keep = S[iu, ju] >= threshold
+        return pd.DataFrame(
+            {"a": ids[iu[keep]], "b": ids[ju[keep]], "sim": S[iu, ju][keep]}
         )
-        .filter(F.col("sim") >= threshold)
+
+    narrow = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), F.col(bucket_col).alias("__bk")
+    )
+    return narrow.groupBy("__bk").applyInPandas(per_bucket, "a long, b long, sim double")
+
+
+# -- random-hyperplane LSH bucketing --------------------------------------
+
+
+def lsh_plane_weight(p: int, d: int) -> int:
+    """Deterministic pseudo-random hyperplane weight in [-48, 48]: small
+    integers so BOTH engines (Spark and a SQL oracle) evaluate the exact
+    same arithmetic — no RNG state to ship, no float divergence. The
+    analog of the reference's sampled k-means centroids (ivfkmeans.c:512)
+    re-cast as SimHash-style signed projections."""
+    return ((p * 73 + d * 7919) % 97) - 48
+
+
+def lsh_assign(
+    df: DataFrame, vec_col: str = "embedding", n_planes: int = 8, out_col: str = "__lsh"
+) -> DataFrame:
+    """Bucket id in [0, 2^n_planes): bit p = sign of the projection onto
+    plane p. mapInPandas over the narrow (id, vec) projection — one
+    Arrow-batched pass, no shuffle; projections are accumulated
+    dim-by-dim so the fold order matches a SQL oracle's chained sum."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        weights: dict[int, "np.ndarray"] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                out = pdf.copy()
+                out[out_col] = pd.Series(dtype="int64")
+                yield out
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = V.shape[1]
+            if d not in weights:
+                weights[d] = np.array(
+                    [[float(lsh_plane_weight(p, i)) for i in range(d)] for p in range(n_planes)]
+                )
+            Wm = weights[d]
+            bucket = np.zeros(len(pdf), dtype=np.int64)
+            for p in range(n_planes):
+                acc = V[:, 0] * Wm[p, 0]
+                for i in range(1, d):
+                    acc = acc + V[:, i] * Wm[p, i]
+                bucket += (acc >= 0).astype(np.int64) << p
+            out = pdf.copy()
+            out[out_col] = bucket
+            yield out
+
+    schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, T.LongType())])
+    return df.mapInPandas(gen, schema)
+
+
+def neardup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Near-dup pairs with a REAL bucketing stage: random-hyperplane LSH
+    assignment (no pre-existing bucket column), then the per-bucket pair
+    matrix of neardup_pairs_cosine. probe=1: pairs split across buckets
+    are missed — the standard LSH recall/cost trade (recall rises with
+    fewer planes or multi-probe)."""
+    narrow = df.select(F.col(id_col), F.col(vec_col))
+    bucketed = lsh_assign(narrow, vec_col=vec_col, n_planes=n_planes)
+    return neardup_pairs_cosine(
+        bucketed, id_col=id_col, vec_col=vec_col, bucket_col="__lsh", threshold=threshold
     )

@@ -253,6 +253,43 @@ def embed_neardup_pairs(spark, sf_dir):
     return SIM.neardup_pairs_cosine(t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def _lsh_bucket_sql(n_planes: int = 8, dim: int = 64) -> str:
+    """The EXACT same hyperplane projection lsh_bucket() builds in Spark,
+    as DuckDB SQL (1-indexed arrays, identical weights + fold order)."""
+    parts = []
+    for p in range(n_planes):
+        s = " + ".join(
+            f"CAST(embedding[{d + 1}] AS DOUBLE) * ({float(SIM.lsh_plane_weight(p, d))})"
+            for d in range(dim)
+        )
+        parts.append(f"(CASE WHEN ({s}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+@register(
+    "embed_neardup_lsh",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                      {_lsh_bucket_sql()} AS bk
+               FROM embeddings)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+    FROM e a JOIN e b ON a.bk = b.bk AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+    """,
+)
+def embed_neardup_lsh(spark, sf_dir):
+    """Near-dup pairs with a REAL index-build stage: random-hyperplane
+    LSH bucket assignment (operators/similarity.py lsh_bucket — the
+    SimHash-projection analog of the reference's IVF k-means build,
+    ivfkmeans.c:512) followed by the per-bucket self-join. No
+    pre-existing bucket column is consulted; probe=1 recall trade
+    documented on the operator."""
+    return SIM.neardup_pairs_lsh(t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 # 31^(7-t) for t=0..7 — Rabin-Karp polynomial coefficients, precomputed so
 # both engines evaluate the identical integer expression (fits in int64:
 # max window hash = 255 * sum(31^t) < 2^43).
