@@ -93,6 +93,12 @@ def vle(
     frontier = zero
     hop = 0
     bound = hi if hi is not None else max_hops_cap
+    # with a small KNOWN bound the whole traversal stays one lazy plan:
+    # no per-hop checkpoint job, no per-hop isEmpty action — Catalyst
+    # optimizes the <=4-deep join tree fine. The eager per-hop
+    # checkpoint+emptiness loop is only needed for deep/unbounded
+    # traversals (lineage blow-up + data-driven termination).
+    lazy = hi is not None and hi <= 4
     while hop < bound:
         hop += 1
         expanded = (
@@ -105,11 +111,12 @@ def vle(
                 F.lit(hop).alias("hops"),
             )
         )
-        # break lineage: each iteration's plan would otherwise nest the
-        # previous join tree (exponential optimizer time by ~hop 10)
-        expanded = expanded.localCheckpoint(eager=True)
-        if expanded.isEmpty():
-            break
+        if not lazy:
+            # break lineage: each iteration's plan would otherwise nest the
+            # previous join tree (exponential optimizer time by ~hop 10)
+            expanded = expanded.localCheckpoint(eager=True)
+            if expanded.isEmpty():
+                break
         if hop >= lo:
             results.append(expanded)
         frontier = expanded
