@@ -224,10 +224,88 @@ class Compiler:
             df = df.filter(~F.arrays_overlap(F.col(a)["edge_ids"], F.col(b)["edge_ids"]))
 
         if m.where is not None:
-            df = df.filter(G.truth(self.compile_expr(m.where, df, new_scope)))
+            w, df = self._rewrite_exists(m.where, df, new_scope)
+            df = df.filter(G.truth(self.compile_expr(w, df, new_scope)))
         if m.order_by:
             df = df.orderBy(*[self._sort_col(si, df, new_scope) for si in m.order_by])
         return df, new_scope
+
+    # ------------------------------------------------- EXISTS (pattern)
+
+    def _rewrite_exists(self, expr, df, scope):
+        """Replace every ExistsPattern in a boolean expression with a
+        correlated marker column (reference: sub-pattern sublinks,
+        transform_cypher_sub_pattern cypher_clause.c:2575-2607 /
+        cypher_expr.c:82,231).
+
+        The pattern is compiled standalone, reduced to the DISTINCT ids of
+        the variables shared with the outer scope, and left-outer-joined
+        back — a semi-join-shaped plan whose marker works in ANY boolean
+        position (WHERE EXISTS(..), NOT EXISTS(..), x OR EXISTS(..)):
+        coalesce(marker, false) is the predicate's truth value."""
+
+        def walk(e, df):
+            if isinstance(e, A.ExistsPattern):
+                marker = f"__exists{next(self._anon)}"
+                sub = Compiler(self.spark, self.graph)
+                pdf, pscope = sub.compile_match(
+                    A.MatchClause([e.pattern], None, False, []), None, Scope()
+                )
+                shared = [v for v in pscope.kinds if v in scope.kinds]
+                raw = f"{marker}_raw"
+                if shared:
+                    ex = (
+                        pdf.select(*[F.col(v)["id"].alias(f"__exk_{v}") for v in shared])
+                        .distinct()
+                        .withColumn(raw, F.lit(True))
+                    )
+                    cond = None
+                    for v in shared:
+                        c = F.col(v)["id"] == F.col(f"__exk_{v}")
+                        cond = c if cond is None else (cond & c)
+                    df = df.join(ex, cond, "left_outer").drop(
+                        *[f"__exk_{v}" for v in shared]
+                    )
+                    df = df.withColumn(
+                        marker, G.gv_bool(F.coalesce(F.col(raw), F.lit(False)))
+                    ).drop(raw)
+                else:
+                    # uncorrelated: pattern matches anywhere in the graph
+                    any_match = len(pdf.limit(1).take(1)) > 0
+                    df = df.withColumn(marker, G.gv_bool(F.lit(any_match)))
+                scope.kinds[marker] = VKIND_VALUE
+                return A.Var(marker), df
+            if isinstance(e, A.BinOp):
+                l, df = walk(e.left, df)
+                r, df = walk(e.right, df)
+                return A.BinOp(e.op, l, r), df
+            if isinstance(e, A.UnaryOp):
+                o, df = walk(e.operand, df)
+                return A.UnaryOp(e.op, o), df
+            if isinstance(e, A.IsNull):
+                o, df = walk(e.operand, df)
+                return A.IsNull(o, e.negated), df
+            if isinstance(e, A.CaseExpr):
+                operand, default = e.operand, e.default
+                if operand is not None:
+                    operand, df = walk(operand, df)
+                if default is not None:
+                    default, df = walk(default, df)
+                whens = []
+                for c, t_ in e.whens:
+                    c, df = walk(c, df)
+                    t_, df = walk(t_, df)
+                    whens.append((c, t_))
+                return A.CaseExpr(operand, whens, default), df
+            if isinstance(e, A.FuncCall):
+                args = []
+                for a in e.args:
+                    a, df = walk(a, df)
+                    args.append(a)
+                return A.FuncCall(e.name, args, distinct=e.distinct, star=e.star), df
+            return e, df
+
+        return walk(expr, df)
 
     def _compile_path(self, path: A.Path, df, scope: Scope, new_edge_vars, new_vle_vars):
         elements = path.elements
@@ -395,9 +473,20 @@ class Compiler:
         # columns are visible — regress/sql/cypher_with.sql:
         # `MATCH (n) WITH n as a WHERE n.i = 1 RETURN a`)
         if is_with and clause.where is not None and df is not None:
-            df = df.filter(G.truth(self.compile_expr(clause.where, df, scope)))
+            w, df = self._rewrite_exists(clause.where, df, scope)
+            df = df.filter(G.truth(self.compile_expr(w, df, scope)))
         if is_with and clause.star:
-            items = [A.ReturnItem(A.Var(v), v) for v in scope.kinds] + items
+            # reserved __-prefixed bindings (EXISTS markers) are internal
+            items = [
+                A.ReturnItem(A.Var(v), v) for v in scope.kinds if not v.startswith("__")
+            ] + items
+        # EXISTS(pattern) in projection position (RETURN exists((n)--()))
+        if df is not None and self.graph is not None:
+            new_items = []
+            for item in items:
+                e2, df = self._rewrite_exists(item.expr, df, scope)
+                new_items.append(A.ReturnItem(e2, item.alias))
+            items = new_items
 
         names = []
         for idx, item in enumerate(items):

@@ -232,6 +232,30 @@ def cypher_unwind_collect(spark, sf_dir):
 
 
 @register(
+    "cypher_exists_pattern",
+    """
+    SELECT c.c_custkey AS custkey, c.c_acctbal AS acctbal
+    FROM customer c
+    WHERE c.c_acctbal > 9000
+      AND EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def cypher_exists_pattern(spark, sf_dir):
+    """EXISTS((c)-[:placed]->(:orders {...})) -> correlated semi-join
+    marker (reference sub-pattern sublinks, cypher_clause.c:2575-2607)."""
+    eng = _tpch_engine(spark, sf_dir)
+    out = eng.execute(
+        "MATCH (c:customer) WHERE c.c_acctbal > 9000 "
+        "AND EXISTS((c)-[:placed]->(:orders {o_orderstatus: 'F'})) "
+        "RETURN c.c_custkey AS custkey, c.c_acctbal AS acctbal"
+    )
+    return out.select(
+        F.col("custkey")["i"].alias("custkey"), F.col("acctbal")["d"].alias("acctbal")
+    )
+
+
+@register(
     "cypher_with_orderby_limit",
     """
     SELECT n.n_name AS nation, round(sum(o.o_totalprice), 2) AS revenue

@@ -73,6 +73,36 @@ def test_percentile_disc(engine):
     assert v == [30.0]
 
 
+def test_exists_pattern_where(engine):
+    # A has an outgoing knows edge, B has a self-loop -> both qualify
+    names = sorted(
+        engine.fetch_values("MATCH (n:sl) WHERE EXISTS((n)-[:knows]->()) RETURN n.name")
+    )
+    assert names == ["A", "B"]
+
+
+def test_not_exists_pattern(engine):
+    # only A has an INCOMING knows edge? A<-nothing; B<-A and B<-B.
+    names = sorted(
+        engine.fetch_values("MATCH (n:sl) WHERE NOT EXISTS((n)<-[:knows]-()) RETURN n.name")
+    )
+    assert names == ["A"]
+
+
+def test_exists_pattern_in_return(engine):
+    rows = engine.fetch(
+        "MATCH (n:sl) RETURN n.name AS name, EXISTS((n)-[:knows]->(:sl {name: 'B'})) AS hits_b"
+    )
+    assert sorted(rows) == [("A", True), ("B", True)]
+
+
+def test_exists_pattern_with_prop_map(engine):
+    names = engine.fetch_values(
+        "MATCH (n:exl) WHERE EXISTS((n)) AND n.v = 'y' RETURN n.v"
+    )
+    assert names == ["y"]
+
+
 def test_split_literal_delimiter(engine):
     assert engine.fetch_values("RETURN split('a.b.c', '.')") == [["a", "b", "c"]]
     assert engine.fetch_values("RETURN split('a|b|c', '|')") == [["a", "b", "c"]]
