@@ -38,7 +38,21 @@ T_BOOL = 3
 T_NUMBER = 4
 T_TIMESTAMP = 5
 T_DATE = 6
+T_TIME = 7
+T_INTERVAL = 8
 T_NULL = 11
+
+# Temporal payload encoding (reference: int64 µs / int32 days,
+# src/include/utils/gtype.h:454-503):
+#   timestamp — i = µs since 1970-01-01 (UTC), d = i as double
+#   date      — i = days since 1970-01-01, d = i * US_PER_DAY
+#   time      — i = µs since midnight, d = i
+#   interval  — j = {"months":m,"days":d,"us":u} (the reference's
+#               Interval{month,day,time} triple), i = normalized µs with
+#               30-day months / 24-h days (interval_cmp semantics), d = i
+US_PER_DAY = 86_400_000_000
+US_PER_MONTH = 30 * US_PER_DAY  # PG interval comparison convention
+_TEMPORAL_TS = (T_TIMESTAMP, T_DATE, T_TIME, T_INTERVAL)
 
 # IMPORTANT — expression-size discipline: a gval must ALWAYS be built as
 # ONE flat F.struct(...) whose fields are small conditional expressions,
@@ -98,6 +112,54 @@ def gv_str(c: Column | str) -> Column:
     return _mk(_t_or_null(c, T_STRING), s=c)
 
 
+def gv_timestamp(us: Column) -> Column:
+    """timestamp gval from µs-since-1970 (SQL-null µs -> gtype null)."""
+    return _mk(_t_or_null(us, T_TIMESTAMP), i=us, d=us.cast("double"))
+
+
+def gv_date(days: Column) -> Column:
+    """date gval from days-since-1970."""
+    return _mk(_t_or_null(days, T_DATE), i=days, d=days.cast("double") * US_PER_DAY)
+
+
+def gv_time(us: Column) -> Column:
+    """time-of-day gval from µs-since-midnight."""
+    return _mk(_t_or_null(us, T_TIME), i=us, d=us.cast("double"))
+
+
+def gv_interval(months: Column, days: Column, us: Column) -> Column:
+    """interval gval from the reference's {month, day, µs} triple
+    (gtype.h interval scalar); any SQL-null component -> gtype null."""
+    m = months.cast("long")
+    d = days.cast("long")
+    u = us.cast("long")
+    norm = m * US_PER_MONTH + d * US_PER_DAY + u
+    j = F.concat(
+        F.lit('{"months":'), m.cast("string"),
+        F.lit(',"days":'), d.cast("string"),
+        F.lit(',"us":'), u.cast("string"), F.lit("}"),
+    )
+    return _mk(_t_or_null(norm, T_INTERVAL), i=norm, d=norm.cast("double"), j=j)
+
+
+def interval_parts(gv: Column) -> Column:
+    """interval gval -> struct(months, days, us) (null struct fields for
+    non-intervals)."""
+    return F.from_json(
+        F.when(gv.t == T_INTERVAL, gv.j), "struct<months:long,days:long,us:long>"
+    )
+
+
+def ts_col(gv: Column) -> Column:
+    """timestamp gval -> Spark TimestampType column (others -> null)."""
+    return F.timestamp_micros(F.when(gv.t == T_TIMESTAMP, gv.i))
+
+
+def date_col(gv: Column) -> Column:
+    """date gval -> Spark DateType column."""
+    return F.date_from_unix_date(F.when(gv.t == T_DATE, gv.i).cast("int"))
+
+
 def gv_array_json(c: Column) -> Column:
     return _mk(_t_or_null(c, T_ARRAY), j=c)
 
@@ -135,13 +197,19 @@ def from_variant(x: Column) -> Column:
     is_num = is_int | sch.startswith("DECIMAL") | (sch == "DOUBLE") | (sch == "FLOAT")
     is_str = sch == "STRING"
     is_bool = sch == "BOOLEAN"
+    is_ts = (sch == "TIMESTAMP") | (sch == "TIMESTAMP_NTZ")
+    is_date = sch == "DATE"
     is_arr = sch.startswith("ARRAY")
     is_obj = sch.startswith("OBJECT") | sch.startswith("STRUCT")
+    ts_us = F.unix_micros(F.variant_get(x, "$", "timestamp"))
+    date_days = F.unix_date(F.variant_get(x, "$", "date")).cast("long")
     t = (
         F.when(isn, F.lit(T_NULL))
         .when(is_num, F.lit(T_NUMBER))
         .when(is_str, F.lit(T_STRING))
         .when(is_bool, F.lit(T_BOOL))
+        .when(is_ts, F.lit(T_TIMESTAMP))
+        .when(is_date, F.lit(T_DATE))
         .when(is_arr, F.lit(T_ARRAY))
         .when(is_obj, F.lit(T_OBJECT))
         .otherwise(F.lit(T_NULL))
@@ -149,8 +217,12 @@ def from_variant(x: Column) -> Column:
     return _mk(
         t,
         b=F.when(~isn & is_bool, F.variant_get(x, "$", "boolean")),
-        i=F.when(~isn & is_int, F.variant_get(x, "$", "bigint")),
-        d=F.when(~isn & is_num, F.variant_get(x, "$", "double")),
+        i=F.when(~isn & is_int, F.variant_get(x, "$", "bigint"))
+        .when(~isn & is_ts, ts_us)
+        .when(~isn & is_date, date_days),
+        d=F.when(~isn & is_num, F.variant_get(x, "$", "double"))
+        .when(~isn & is_ts, ts_us.cast("double"))
+        .when(~isn & is_date, date_days.cast("double") * US_PER_DAY),
         s=F.when(~isn & is_str, F.variant_get(x, "$", "string")),
         j=F.when(~isn & (is_arr | is_obj), x.cast("string")),
     )
@@ -188,6 +260,40 @@ def to_variant_array(gv: Column) -> Column:
 
 # ------------------------------------------------------------------ rendering
 
+def _us_frac_text(us_of_sec: Column) -> Column:
+    """µs fraction -> '' or '.ffffff' with trailing zeros trimmed
+    (Postgres timestamp output convention)."""
+    frac = F.pmod(us_of_sec, F.lit(1_000_000))
+    return F.when(
+        frac == 0, F.lit("")
+    ).otherwise(
+        F.regexp_replace(F.concat(F.lit("."), F.lpad(frac.cast("string"), 6, "0")), "0+$", "")
+    )
+
+
+def temporal_text(gv: Column) -> Column:
+    """temporal gval -> unquoted display text (ISO-style; the reference
+    renders via each type's _out function — gtype_temporal.c)."""
+    ts_txt = F.concat(
+        F.date_format(F.timestamp_micros(gv.i), "yyyy-MM-dd HH:mm:ss"), _us_frac_text(gv.i)
+    )
+    time_txt = F.concat(
+        F.concat_ws(
+            ":",
+            F.lpad((gv.i / F.lit(3_600_000_000)).cast("long").cast("string"), 2, "0"),
+            F.lpad(F.pmod((gv.i / F.lit(60_000_000)).cast("long"), F.lit(60)).cast("string"), 2, "0"),
+            F.lpad(F.pmod((gv.i / F.lit(1_000_000)).cast("long"), F.lit(60)).cast("string"), 2, "0"),
+        ),
+        _us_frac_text(gv.i),
+    )
+    return (
+        F.when(gv.t == T_TIMESTAMP, ts_txt)
+        .when(gv.t == T_DATE, F.date_format(F.date_from_unix_date(gv.i.cast("int")), "yyyy-MM-dd"))
+        .when(gv.t == T_TIME, time_txt)
+        .when(gv.t == T_INTERVAL, gv.j)
+    )
+
+
 def to_json_text(gv: Column) -> Column:
     """gval -> its JSON text (the reference's gtype_out shape)."""
     # JSON-escape a bare string by serializing a 1-element array and
@@ -200,6 +306,11 @@ def to_json_text(gv: Column) -> Column:
         .when(gv.t == T_BOOL, F.when(gv.b, F.lit("true")).otherwise(F.lit("false")))
         .when((gv.t == T_NUMBER) & gv.i.isNotNull(), gv.i.cast("string"))
         .when(gv.t == T_NUMBER, gv.d.cast("string"))
+        .when(gv.t == T_INTERVAL, gv.j)
+        .when(
+            gv.t.isin(T_TIMESTAMP, T_DATE, T_TIME),
+            F.concat(F.lit('"'), temporal_text(gv), F.lit('"')),
+        )
         .otherwise(gv.j)
     )
 
@@ -271,6 +382,7 @@ def cmp_eq(a: Column, b: Column) -> Column:
         .when(a.t != b.t, F.lit(False))
         .when(a.t == T_STRING, a.s == b.s)
         .when(a.t == T_BOOL, a.b == b.b)
+        .when(a.t.isin(*_TEMPORAL_TS), a.i == b.i)
         .otherwise(F.coalesce(a.j == b.j, F.lit(False)))
     )
 
@@ -311,6 +423,31 @@ def _both_int(a: Column, b: Column) -> Column:
     return a.i.isNotNull() & b.i.isNotNull()
 
 
+def _cal_add(ts_us: Column, parts: Column, sign: int = 1) -> Column:
+    """timestamp µs + interval {months,days,us} with calendar semantics
+    (timestamp_pl_interval: months first with day-of-month clamping, then
+    days, then time — reference delegates to PG, gtype_ops.c:153-280)."""
+    m = (parts["months"] * sign).cast("int")
+    d = (parts["days"] * sign).cast("int")
+    u = parts["us"] * sign
+    tod = F.pmod(ts_us, F.lit(US_PER_DAY))
+    days0 = ((ts_us - tod) / F.lit(US_PER_DAY)).cast("long")
+    d2 = F.date_add(F.add_months(F.date_from_unix_date(days0.cast("int")), m), d)
+    return F.unix_date(d2).cast("long") * US_PER_DAY + tod + u
+
+
+def _iv_total_us(parts: Column) -> Column:
+    return parts["months"] * US_PER_MONTH + parts["days"] * US_PER_DAY + parts["us"]
+
+
+def _iv_json(m: Column, d: Column, u: Column) -> Column:
+    return F.concat(
+        F.lit('{"months":'), m.cast("long").cast("string"),
+        F.lit(',"days":'), d.cast("long").cast("string"),
+        F.lit(',"us":'), u.cast("long").cast("string"), F.lit("}"),
+    )
+
+
 def op_add(a: Column, b: Column) -> Column:
     """`+` dispatch (gtype_ops.c:153-280): int+int->int, any float ->
     float, string + stringy -> concat, array concat (JSON splice).
@@ -322,11 +459,36 @@ def op_add(a: Column, b: Column) -> Column:
     # (reference dispatch order: numeric first, then string+stringy)
     is_cat = ~bothnum & ((a.t == T_STRING) | (b.t == T_STRING))
     is_arr = (a.t == T_ARRAY) & (b.t == T_ARRAY)
+    # temporal dispatch (gtype_ops.c:153-280 delegates to PG temporal +)
+    ts_iv = (a.t == T_TIMESTAMP) & (b.t == T_INTERVAL)
+    iv_ts = (a.t == T_INTERVAL) & (b.t == T_TIMESTAMP)
+    date_iv = (a.t == T_DATE) & (b.t == T_INTERVAL)
+    iv_date = (a.t == T_INTERVAL) & (b.t == T_DATE)
+    date_int = (a.t == T_DATE) & (b.t == T_NUMBER) & b.i.isNotNull()
+    int_date = (a.t == T_NUMBER) & a.i.isNotNull() & (b.t == T_DATE)
+    time_iv = (a.t == T_TIME) & (b.t == T_INTERVAL)
+    iv_time = (a.t == T_INTERVAL) & (b.t == T_TIME)
+    iv_iv = (a.t == T_INTERVAL) & (b.t == T_INTERVAL)
+    pa, pb = interval_parts(a), interval_parts(b)
+    ts_res = (
+        F.when(ts_iv, _cal_add(a.i, pb))
+        .when(iv_ts, _cal_add(b.i, pa))
+        .when(date_iv, _cal_add(a.i * US_PER_DAY, pb))
+        .when(iv_date, _cal_add(b.i * US_PER_DAY, pa))
+    )
+    time_res = F.when(time_iv, F.pmod(a.i + pb["us"], F.lit(US_PER_DAY))).when(
+        iv_time, F.pmod(b.i + pa["us"], F.lit(US_PER_DAY))
+    )
+    ivm, ivd, ivu = pa["months"] + pb["months"], pa["days"] + pb["days"], pa["us"] + pb["us"]
     t = (
         F.when(nul, F.lit(T_NULL))
         .when(bothnum, F.lit(T_NUMBER))
         .when(is_cat, F.lit(T_STRING))
         .when(is_arr, F.lit(T_ARRAY))
+        .when(ts_iv | iv_ts | date_iv | iv_date, F.lit(T_TIMESTAMP))
+        .when(date_int | int_date, F.lit(T_DATE))
+        .when(time_iv | iv_time, F.lit(T_TIME))
+        .when(iv_iv, F.lit(T_INTERVAL))
         .otherwise(F.lit(T_NULL))
     )
     s = F.when(
@@ -342,14 +504,22 @@ def op_add(a: Column, b: Column) -> Column:
         .otherwise(
             F.concat(F.regexp_replace(a.j, r"\]$", ""), F.lit(","), F.regexp_replace(b.j, r"^\[", ""))
         ),
+    ).when(~nul & iv_iv, _iv_json(ivm, ivd, ivu))
+    i = (
+        F.when(~nul & is_int, a.i + b.i)
+        .when(~nul & (ts_iv | iv_ts | date_iv | iv_date), ts_res)
+        .when(~nul & date_int, a.i + b.i)
+        .when(~nul & int_date, a.i + b.i)
+        .when(~nul & (time_iv | iv_time), time_res)
+        .when(~nul & iv_iv, ivm * US_PER_MONTH + ivd * US_PER_DAY + ivu)
     )
-    return _mk(
-        t,
-        i=F.when(~nul & is_int, a.i + b.i),
-        d=F.when(~nul & bothnum, a.d + b.d),
-        s=s,
-        j=j,
+    d = (
+        F.when(~nul & bothnum, a.d + b.d)
+        .when(~nul & (ts_iv | iv_ts | time_iv | iv_time | iv_iv), i.cast("double"))
+        .when(~nul & (date_iv | iv_date), i.cast("double"))
+        .when(~nul & (date_int | int_date), i.cast("double") * US_PER_DAY)
     )
+    return _mk(t, i=i, d=d, s=s, j=j)
 
 
 def _arith(
@@ -379,7 +549,64 @@ def _arith(
 
 
 def op_sub(a: Column, b: Column) -> Column:
-    return _arith(a, b, a.i - b.i, a.d - b.d)
+    """`-` dispatch: numeric minus plus the temporal matrix
+    (timestamp_mi yields a justify_hours'd {days, µs} interval;
+    date - date -> int days; date/timestamp - interval -> calendar
+    subtract; interval - interval -> component-wise)."""
+    nul = (a.t == T_NULL) | (b.t == T_NULL)
+    bothnum = (a.t == T_NUMBER) & (b.t == T_NUMBER)
+    is_int = bothnum & _both_int(a, b)
+    a_ts_us = F.when(a.t == T_TIMESTAMP, a.i).when(a.t == T_DATE, a.i * US_PER_DAY)
+    b_ts_us = F.when(b.t == T_TIMESTAMP, b.i).when(b.t == T_DATE, b.i * US_PER_DAY)
+    pointish_a = a.t.isin(T_TIMESTAMP, T_DATE)
+    pointish_b = b.t.isin(T_TIMESTAMP, T_DATE)
+    date_date = (a.t == T_DATE) & (b.t == T_DATE)
+    ts_ts = pointish_a & pointish_b & ~date_date
+    date_int = (a.t == T_DATE) & (b.t == T_NUMBER) & b.i.isNotNull()
+    ts_iv = (a.t == T_TIMESTAMP) & (b.t == T_INTERVAL)
+    date_iv = (a.t == T_DATE) & (b.t == T_INTERVAL)
+    time_time = (a.t == T_TIME) & (b.t == T_TIME)
+    time_iv = (a.t == T_TIME) & (b.t == T_INTERVAL)
+    iv_iv = (a.t == T_INTERVAL) & (b.t == T_INTERVAL)
+    pa, pb = interval_parts(a), interval_parts(b)
+    # ts - ts: truncate-toward-zero split into days + µs (justify_hours)
+    diff = a_ts_us - b_ts_us
+    dd = (diff - diff % F.lit(US_PER_DAY)) / F.lit(US_PER_DAY)
+    du = diff % F.lit(US_PER_DAY)
+    ivm = F.when(ts_ts | time_time, F.lit(0)).when(iv_iv, pa["months"] - pb["months"])
+    ivd = F.when(ts_ts, dd.cast("long")).when(time_time, F.lit(0)).when(
+        iv_iv, pa["days"] - pb["days"]
+    )
+    ivu = F.when(ts_ts, du).when(time_time, a.i - b.i).when(iv_iv, pa["us"] - pb["us"])
+    is_iv_res = ts_ts | time_time | iv_iv
+    # date - int -> date in PG; date - date -> int days
+    t = (
+        F.when(nul, F.lit(T_NULL))
+        .when(bothnum, F.lit(T_NUMBER))
+        .when(is_iv_res, F.lit(T_INTERVAL))
+        .when(date_date, F.lit(T_NUMBER))
+        .when(date_int, F.lit(T_DATE))
+        .when(ts_iv | date_iv, F.lit(T_TIMESTAMP))
+        .when(time_iv, F.lit(T_TIME))
+        .otherwise(F.lit(T_NULL))
+    )
+    i = (
+        F.when(~nul & is_int, a.i - b.i)
+        .when(~nul & is_iv_res, ivm * US_PER_MONTH + ivd * US_PER_DAY + ivu)
+        .when(~nul & date_date, a.i - b.i)
+        .when(~nul & date_int, a.i - b.i)
+        .when(~nul & ts_iv, _cal_add(a.i, pb, sign=-1))
+        .when(~nul & date_iv, _cal_add(a.i * US_PER_DAY, pb, sign=-1))
+        .when(~nul & time_iv, F.pmod(a.i - pb["us"], F.lit(US_PER_DAY)))
+    )
+    d = (
+        F.when(~nul & bothnum, a.d - b.d)
+        .when(~nul & (is_iv_res | ts_iv | date_iv | time_iv), i.cast("double"))
+        .when(~nul & date_date, i.cast("double"))
+        .when(~nul & date_int, i.cast("double") * US_PER_DAY)
+    )
+    j = F.when(~nul & is_iv_res, _iv_json(ivm, ivd, ivu))
+    return _mk(t, i=i, d=d, j=j)
 
 
 def op_mul(a: Column, b: Column) -> Column:
@@ -404,8 +631,15 @@ def op_pow(a: Column, b: Column) -> Column:
 
 def op_neg(a: Column) -> Column:
     isnum = a.t == T_NUMBER
-    t = F.when(isnum, F.lit(T_NUMBER)).otherwise(F.lit(T_NULL))
-    return _mk(t, i=F.when(isnum, -a.i), d=F.when(isnum, -a.d))
+    isiv = a.t == T_INTERVAL
+    pa = interval_parts(a)
+    t = F.when(isnum, F.lit(T_NUMBER)).when(isiv, F.lit(T_INTERVAL)).otherwise(F.lit(T_NULL))
+    return _mk(
+        t,
+        i=F.when(isnum, -a.i).when(isiv, -a.i),
+        d=F.when(isnum | isiv, -a.d),
+        j=F.when(isiv, _iv_json(-pa["months"], -pa["days"], -pa["us"])),
+    )
 
 
 # -------------------------------------------------------------- boolean logic
