@@ -64,17 +64,52 @@ _TEMPORAL_TS = (T_TIMESTAMP, T_DATE, T_TIME, T_INTERVAL)
 # limit (≈40 s of failed compiles per MERGE before this was fixed).
 
 
+try:  # classic (JVM-backed) Column — the only runtime this engine targets
+    from pyspark.sql.classic.column import Column as _ClassicColumn
+except ImportError:  # pragma: no cover - older/connect pyspark
+    _ClassicColumn = None
+
+
+class GVal(_ClassicColumn if _ClassicColumn is not None else Column):
+    """A gval struct Column that remembers its construction-time field
+    expressions. `gv.i` / `gv["i"]` return the stored field expression
+    instead of UnresolvedExtractValue(CreateNamedStruct(...)) — without
+    this, every field access drags the WHOLE 6-field struct tree into
+    the consumer, and composed temporal expressions multiply into
+    million-node trees that take minutes to analyze (Catalyst's
+    SimplifyExtractValueOps would collapse them, but only after the
+    conversion/analysis walk has already paid for the full tree)."""
+
+    def __getattr__(self, item):
+        flds = self.__dict__.get("_gval_fields")
+        if flds is not None and item in flds:
+            return flds[item]
+        return super().__getattr__(item)
+
+    def __getitem__(self, k):
+        flds = self.__dict__.get("_gval_fields")
+        if flds is not None and isinstance(k, str) and k in flds:
+            return flds[k]
+        return super().__getitem__(k)
+
+
 def _mk(t: Column | int, b=None, i=None, d=None, s=None, j=None) -> Column:
     tt = F.lit(t) if isinstance(t, int) else t
     n = F.lit(None)
-    return F.struct(
-        tt.cast("int").alias("t"),
-        (b if b is not None else n).cast("boolean").alias("b"),
-        (i if i is not None else n).cast("long").alias("i"),
-        (d if d is not None else n).cast("double").alias("d"),
-        (s if s is not None else n).cast("string").alias("s"),
-        (j if j is not None else n).cast("string").alias("j"),
-    )
+    fields = {
+        "t": tt.cast("int"),
+        "b": (b if b is not None else n).cast("boolean"),
+        "i": (i if i is not None else n).cast("long"),
+        "d": (d if d is not None else n).cast("double"),
+        "s": (s if s is not None else n).cast("string"),
+        "j": (j if j is not None else n).cast("string"),
+    }
+    base = F.struct(*[c.alias(name) for name, c in fields.items()])
+    if _ClassicColumn is not None and isinstance(base, _ClassicColumn):
+        gv = GVal(base._jc)
+        gv._gval_fields = fields
+        return gv
+    return base
 
 
 def _t_or_null(c: Column, t: int) -> Column:
@@ -334,6 +369,15 @@ def canon_key_text(gv: Column, null_as_sentinel: bool = False) -> Column:
     return (
         F.when(gv.t == T_NULL, nullv)
         .when(gv.t == T_NUMBER, F.concat(F.lit("4:"), gv.d.cast("string")))
+        # timestamp/date cross-compare by instant (shared µs axis) and
+        # intervals by normalized µs ('1 mon' = '30 days' under
+        # interval_cmp) — key on the same values cmp_eq compares so
+        # equi-joins agree with `=` (gtype_util.c:1838-1900)
+        .when(
+            gv.t.isin(T_TIMESTAMP, T_DATE),
+            F.concat(F.lit("5:"), _temporal_us(gv).cast("string")),
+        )
+        .when(gv.t == T_INTERVAL, F.concat(F.lit("8:"), gv.i.cast("string")))
         .otherwise(
             F.concat(gv.t.cast("string"), F.lit(":"), F.coalesce(to_json_text(gv), F.lit("")))
         )
@@ -342,11 +386,21 @@ def canon_key_text(gv: Column, null_as_sentinel: bool = False) -> Column:
 
 # ---------------------------------------------------------------- orderability
 
+def _temporal_us(gv: Column) -> Column:
+    """timestamp-or-date gval -> exact µs axis (long): the shared
+    comparison class of compare_gtype_scalar_values (gtype_util.c:
+    1838-1848, date_cmp_timestamp_internal)."""
+    return F.when(gv.t == T_DATE, gv.i * US_PER_DAY).otherwise(gv.i)
+
+
 def sort_key(gv: Column) -> Column:
     """Total-order sort key. bool false<true via int; NaN handled by
-    Spark's double ordering (NaN last = reference's NaN > non-NaN)."""
+    Spark's double ordering (NaN last = reference's NaN > non-NaN).
+    timestamp and date share one rank (k0=5) so k1 — the µs axis both
+    types store in d — decides their cross-type order, mirroring
+    date_cmp_timestamp_internal (gtype_util.c:1838-1848)."""
     return F.struct(
-        gv.t.alias("k0"),
+        F.when(gv.t == T_DATE, F.lit(T_TIMESTAMP)).otherwise(gv.t).alias("k0"),
         gv.d.alias("k1"),
         gv.s.alias("k2"),
         gv.b.cast("int").alias("k3"),
@@ -379,6 +433,12 @@ def cmp_eq(a: Column, b: Column) -> Column:
         F.when((a.t == T_NULL) & (b.t == T_NULL), F.lit(True))
         .when((a.t == T_NULL) | (b.t == T_NULL), F.lit(False))
         .when((a.t == T_NUMBER) & (b.t == T_NUMBER), _num_eq(a, b))
+        # timestamp vs date cross-compare by instant — midnight of a
+        # date equals the same timestamp (gtype_util.c:1838-1848)
+        .when(
+            a.t.isin(T_TIMESTAMP, T_DATE) & b.t.isin(T_TIMESTAMP, T_DATE),
+            _temporal_us(a) == _temporal_us(b),
+        )
         .when(a.t != b.t, F.lit(False))
         .when(a.t == T_STRING, a.s == b.s)
         .when(a.t == T_BOOL, a.b == b.b)
@@ -431,7 +491,9 @@ def _cal_add(ts_us: Column, parts: Column, sign: int = 1) -> Column:
     d = (parts["days"] * sign).cast("int")
     u = parts["us"] * sign
     tod = F.pmod(ts_us, F.lit(US_PER_DAY))
-    days0 = ((ts_us - tod) / F.lit(US_PER_DAY)).cast("long")
+    # (ts_us - tod) is an exact multiple of US_PER_DAY; divide through
+    # decimal so the quotient stays exact past 2^53 µs (~year 2255)
+    days0 = ((ts_us - tod).cast("decimal(28,0)") / F.lit(US_PER_DAY)).cast("long")
     d2 = F.date_add(F.add_months(F.date_from_unix_date(days0.cast("int")), m), d)
     return F.unix_date(d2).cast("long") * US_PER_DAY + tod + u
 
@@ -451,7 +513,12 @@ def _iv_json(m: Column, d: Column, u: Column) -> Column:
 def op_add(a: Column, b: Column) -> Column:
     """`+` dispatch (gtype_ops.c:153-280): int+int->int, any float ->
     float, string + stringy -> concat, array concat (JSON splice).
-    Built as ONE flat struct (see expression-size discipline above)."""
+    Built as ONE flat struct (see expression-size discipline above).
+
+    KNOWN DIVERGENCE (intentional superset): the commutative temporal
+    combos interval+timestamp/date/time follow PG SQL semantics here;
+    the reference's gtype operators only dispatch rhs==INTERVAL and
+    error otherwise (gtype_ops.c)."""
     nul = (a.t == T_NULL) | (b.t == T_NULL)
     bothnum = (a.t == T_NUMBER) & (b.t == T_NUMBER)
     is_int = bothnum & _both_int(a, b)
@@ -469,13 +536,20 @@ def op_add(a: Column, b: Column) -> Column:
     time_iv = (a.t == T_TIME) & (b.t == T_INTERVAL)
     iv_time = (a.t == T_INTERVAL) & (b.t == T_TIME)
     iv_iv = (a.t == T_INTERVAL) & (b.t == T_INTERVAL)
+    cal = ts_iv | iv_ts | date_iv | iv_date
     pa, pb = interval_parts(a), interval_parts(b)
-    ts_res = (
-        F.when(ts_iv, _cal_add(a.i, pb))
-        .when(iv_ts, _cal_add(b.i, pa))
-        .when(date_iv, _cal_add(a.i * US_PER_DAY, pb))
-        .when(iv_date, _cal_add(b.i * US_PER_DAY, pa))
+    # ONE _cal_add over the point/interval sides selected by branch —
+    # expression-tree budget: every textual re-reference of a subtree
+    # multiplies the as-a-tree size the Column->Catalyst conversion
+    # walks, so temporal payloads are computed once and branch-selected
+    point_us = (
+        F.when(ts_iv, a.i)
+        .when(iv_ts, b.i)
+        .when(date_iv, a.i * US_PER_DAY)
+        .when(iv_date, b.i * US_PER_DAY)
     )
+    piv = F.when(a.t == T_INTERVAL, pa).otherwise(pb)
+    ts_res = _cal_add(point_us, piv)
     time_res = F.when(time_iv, F.pmod(a.i + pb["us"], F.lit(US_PER_DAY))).when(
         iv_time, F.pmod(b.i + pa["us"], F.lit(US_PER_DAY))
     )
@@ -485,7 +559,7 @@ def op_add(a: Column, b: Column) -> Column:
         .when(bothnum, F.lit(T_NUMBER))
         .when(is_cat, F.lit(T_STRING))
         .when(is_arr, F.lit(T_ARRAY))
-        .when(ts_iv | iv_ts | date_iv | iv_date, F.lit(T_TIMESTAMP))
+        .when(cal, F.lit(T_TIMESTAMP))
         .when(date_int | int_date, F.lit(T_DATE))
         .when(time_iv | iv_time, F.lit(T_TIME))
         .when(iv_iv, F.lit(T_INTERVAL))
@@ -506,18 +580,16 @@ def op_add(a: Column, b: Column) -> Column:
         ),
     ).when(~nul & iv_iv, _iv_json(ivm, ivd, ivu))
     i = (
-        F.when(~nul & is_int, a.i + b.i)
-        .when(~nul & (ts_iv | iv_ts | date_iv | iv_date), ts_res)
-        .when(~nul & date_int, a.i + b.i)
-        .when(~nul & int_date, a.i + b.i)
+        F.when(~nul & (is_int | date_int | int_date), a.i + b.i)
+        .when(~nul & cal, ts_res)
         .when(~nul & (time_iv | iv_time), time_res)
         .when(~nul & iv_iv, ivm * US_PER_MONTH + ivd * US_PER_DAY + ivu)
     )
+    # d references the i chain once (temporal payloads ride the µs axis)
     d = (
         F.when(~nul & bothnum, a.d + b.d)
-        .when(~nul & (ts_iv | iv_ts | time_iv | iv_time | iv_iv), i.cast("double"))
-        .when(~nul & (date_iv | iv_date), i.cast("double"))
-        .when(~nul & (date_int | int_date), i.cast("double") * US_PER_DAY)
+        .when(~nul & (date_int | int_date), (a.i + b.i).cast("double") * US_PER_DAY)
+        .otherwise(i.cast("double"))
     )
     return _mk(t, i=i, d=d, s=s, j=j)
 
@@ -552,7 +624,11 @@ def op_sub(a: Column, b: Column) -> Column:
     """`-` dispatch: numeric minus plus the temporal matrix
     (timestamp_mi yields a justify_hours'd {days, µs} interval;
     date - date -> int days; date/timestamp - interval -> calendar
-    subtract; interval - interval -> component-wise)."""
+    subtract; interval - interval -> component-wise).
+
+    KNOWN DIVERGENCE (intentional superset): ts-ts, date-date, date±int
+    and time-time follow PG SQL semantics; the reference's gtype `-`
+    only dispatches rhs==INTERVAL and errors on the rest."""
     nul = (a.t == T_NULL) | (b.t == T_NULL)
     bothnum = (a.t == T_NUMBER) & (b.t == T_NUMBER)
     is_int = bothnum & _both_int(a, b)
@@ -579,6 +655,11 @@ def op_sub(a: Column, b: Column) -> Column:
     )
     ivu = F.when(ts_ts, du).when(time_time, a.i - b.i).when(iv_iv, pa["us"] - pb["us"])
     is_iv_res = ts_ts | time_time | iv_iv
+    # ONE _cal_add branch-selected over ts/date minus interval (see the
+    # expression-tree budget note in op_add)
+    cal = ts_iv | date_iv
+    point_us = F.when(ts_iv, a.i).when(date_iv, a.i * US_PER_DAY)
+    cal_res = _cal_add(point_us, pb, sign=-1)
     # date - int -> date in PG; date - date -> int days
     t = (
         F.when(nul, F.lit(T_NULL))
@@ -586,38 +667,94 @@ def op_sub(a: Column, b: Column) -> Column:
         .when(is_iv_res, F.lit(T_INTERVAL))
         .when(date_date, F.lit(T_NUMBER))
         .when(date_int, F.lit(T_DATE))
-        .when(ts_iv | date_iv, F.lit(T_TIMESTAMP))
+        .when(cal, F.lit(T_TIMESTAMP))
         .when(time_iv, F.lit(T_TIME))
         .otherwise(F.lit(T_NULL))
     )
     i = (
-        F.when(~nul & is_int, a.i - b.i)
+        F.when(~nul & (is_int | date_date | date_int), a.i - b.i)
         .when(~nul & is_iv_res, ivm * US_PER_MONTH + ivd * US_PER_DAY + ivu)
-        .when(~nul & date_date, a.i - b.i)
-        .when(~nul & date_int, a.i - b.i)
-        .when(~nul & ts_iv, _cal_add(a.i, pb, sign=-1))
-        .when(~nul & date_iv, _cal_add(a.i * US_PER_DAY, pb, sign=-1))
+        .when(~nul & cal, cal_res)
         .when(~nul & time_iv, F.pmod(a.i - pb["us"], F.lit(US_PER_DAY)))
     )
+    # d references the i chain once; date-result and date-date cases are
+    # re-derived from the operands directly (cheap refs)
     d = (
         F.when(~nul & bothnum, a.d - b.d)
-        .when(~nul & (is_iv_res | ts_iv | date_iv | time_iv), i.cast("double"))
-        .when(~nul & date_date, i.cast("double"))
-        .when(~nul & date_int, i.cast("double") * US_PER_DAY)
+        .when(~nul & date_int, (a.i - b.i).cast("double") * US_PER_DAY)
+        .when(~nul & date_date, (a.i - b.i).cast("double"))
+        .otherwise(i.cast("double"))
     )
     j = F.when(~nul & is_iv_res, _iv_json(ivm, ivd, ivu))
     return _mk(t, i=i, d=d, j=j)
 
 
+def _iv_scale(parts: Column, factor: Column) -> tuple[Column, Column, Column]:
+    """interval {m,d,us} × factor with PG's cascade-down of fractional
+    months into days (30/mon) and fractional days into µs (interval_mul /
+    interval_div, gtype_ops.c:474-606 delegating to PG timestamp.c)."""
+    md = parts["months"].cast("double") * factor
+    m_i = md.cast("long")
+    dd = parts["days"].cast("double") * factor + (md - m_i) * 30
+    d_i = dd.cast("long")
+    u_i = F.round(parts["us"].cast("double") * factor + (dd - d_i) * US_PER_DAY).cast("long")
+    return m_i, d_i, u_i
+
+
 def op_mul(a: Column, b: Column) -> Column:
-    return _arith(a, b, a.i * b.i, a.d * b.d)
+    """`*` dispatch: numeric product plus interval × number in either
+    order (interval_mul, gtype_ops.c:474-540)."""
+    nul = (a.t == T_NULL) | (b.t == T_NULL)
+    bothnum = (a.t == T_NUMBER) & (b.t == T_NUMBER)
+    is_int = bothnum & _both_int(a, b)
+    iv_num = (a.t == T_INTERVAL) & (b.t == T_NUMBER)
+    num_iv = (a.t == T_NUMBER) & (b.t == T_INTERVAL)
+    parts = F.when(iv_num, interval_parts(a)).otherwise(interval_parts(b))
+    factor = F.when(iv_num, b.d).otherwise(a.d)
+    m_i, d_i, u_i = _iv_scale(parts, factor)
+    is_iv = iv_num | num_iv
+    t = (
+        F.when(nul, F.lit(T_NULL))
+        .when(bothnum, F.lit(T_NUMBER))
+        .when(is_iv, F.lit(T_INTERVAL))
+        .otherwise(F.lit(T_NULL))
+    )
+    norm = m_i * US_PER_MONTH + d_i * US_PER_DAY + u_i
+    i = F.when(~nul & is_int, a.i * b.i).when(~nul & is_iv, norm)
+    d = F.when(~nul & bothnum, a.d * b.d).when(~nul & is_iv, norm.cast("double"))
+    j = F.when(~nul & is_iv, _iv_json(m_i, d_i, u_i))
+    return _mk(t, i=i, d=d, j=j)
 
 
 def op_div(a: Column, b: Column) -> Column:
-    """int/int -> truncated int division (Postgres int4div semantics)."""
+    """int/int -> truncated int division (Postgres int4div semantics);
+    interval / number scales with cascade (interval_div,
+    gtype_ops.c:541-606). Division by zero -> gtype null."""
+    nul = (a.t == T_NULL) | (b.t == T_NULL)
+    bothnum = (a.t == T_NUMBER) & (b.t == T_NUMBER)
+    is_int = bothnum & _both_int(a, b)
+    bad_int = is_int & (b.i == 0)
+    iv_num = (a.t == T_INTERVAL) & (b.t == T_NUMBER)
+    bad_iv = iv_num & (b.d == 0.0)
     q = a.i.cast("double") / b.i
-    trunc = F.when(q < 0, F.ceil(q)).otherwise(F.floor(q))
-    return _arith(a, b, trunc.cast("long"), a.d / b.d, int_invalid=b.i == 0)
+    trunc = F.when(q < 0, F.ceil(q)).otherwise(F.floor(q)).cast("long")
+    m_i, d_i, u_i = _iv_scale(interval_parts(a), F.lit(1.0) / b.d)
+    t = (
+        F.when(nul | bad_int | bad_iv, F.lit(T_NULL))
+        .when(bothnum, F.lit(T_NUMBER))
+        .when(iv_num, F.lit(T_INTERVAL))
+        .otherwise(F.lit(T_NULL))
+    )
+    norm = m_i * US_PER_MONTH + d_i * US_PER_DAY + u_i
+    ok = ~nul & ~bad_int & ~bad_iv
+    i = F.when(ok & is_int, trunc).when(ok & iv_num, norm)
+    d = (
+        F.when(ok & is_int, trunc.cast("double"))
+        .when(ok & bothnum, a.d / b.d)
+        .when(ok & iv_num, norm.cast("double"))
+    )
+    j = F.when(ok & iv_num, _iv_json(m_i, d_i, u_i))
+    return _mk(t, i=i, d=d, j=j)
 
 
 def op_mod(a: Column, b: Column) -> Column:
@@ -705,6 +842,155 @@ def op_regex(a: Column, b: Column) -> Column:
     return _str3vl(a, b, F.regexp_like(a.s, F.concat(F.lit("^(?:"), b.s, F.lit(")$"))))
 
 
+def op_like(a: Column, b: Column, ci: bool = False, negate: bool = False) -> Column:
+    """LIKE / ILIKE / NOT [I]LIKE (gtype_like/gtype_ilike,
+    gtype_string.c:163-190 delegating to PG textlike): % and _
+    wildcards, full-string match."""
+    r = F.ilike(a.s, b.s) if ci else F.like(a.s, b.s)
+    return _str3vl(a, b, ~r if negate else r)
+
+
+def op_tilde_match(a: Column, b: Column, ci: bool = False, negate: bool = False) -> Column:
+    """PG regex operators `~` `~*` `!~` `!~*` (gtype_eq_tilde /
+    gtype_match_case_insensitive / gtype_regex_not_*, gtype_string.c:
+    193-227): match-anywhere semantics, unlike Cypher's anchored =~."""
+    pat = F.concat(F.lit("(?i)"), b.s) if ci else b.s
+    r = F.regexp_like(a.s, pat)
+    return _str3vl(a, b, ~r if negate else r)
+
+
+# ------------------------------------------------------- bitwise operators
+
+def _int2(a: Column, b: Column, val: Column) -> Column:
+    ok = (a.t == T_NUMBER) & a.i.isNotNull() & (b.t == T_NUMBER) & b.i.isNotNull()
+    return gv_int(F.when(ok, val))
+
+
+def op_bitand(a: Column, b: Column) -> Column:
+    """`&` — KNOWN DIVERGENCE (superset): integer bitwise AND (PG int8and
+    semantics). The reference only wires `&` for inet and tsquery
+    operands (gtype_bitwise_and, gtype_ops.c:716-740); inet arithmetic
+    lives in functions/network.py here."""
+    return _int2(a, b, a.i.bitwiseAND(b.i))
+
+
+def op_bitor(a: Column, b: Column) -> Column:
+    """`|` — integer bitwise OR (see op_bitand divergence note;
+    reference: inet-only, gtype_ops.c:742-753)."""
+    return _int2(a, b, a.i.bitwiseOR(b.i))
+
+
+def op_bitnot(a: Column) -> Column:
+    """unary `~` — integer bitwise NOT (reference: inetnot,
+    gtype_ops.c:703-713; same divergence note as op_bitand)."""
+    ok = (a.t == T_NUMBER) & a.i.isNotNull()
+    return gv_int(F.when(ok, F.bitwise_not(a.i)))
+
+
+# --------------------------------------- containment / existence operators
+
+def _jsonb_scalar_eq(x, y) -> bool:
+    if isinstance(x, bool) or isinstance(y, bool):
+        return x is y if isinstance(x, bool) and isinstance(y, bool) else False
+    if isinstance(x, (int, float)) and isinstance(y, (int, float)):
+        return float(x) == float(y)
+    return type(x) is type(y) and x == y
+
+
+def _jsonb_contains(a, b, top: bool = False) -> bool:
+    """jsonb containment (gtype_deep_contains / gtype_contains,
+    gtype_ops.c:849-1080; PG jsonb semantics): objects contain objects
+    pairwise-recursively, arrays contain arrays element-containment-wise,
+    and a TOP-LEVEL array contains a bare scalar."""
+    if isinstance(b, dict):
+        return isinstance(a, dict) and all(
+            k in a and _jsonb_contains(a[k], v) for k, v in b.items()
+        )
+    if isinstance(b, list):
+        return isinstance(a, list) and all(
+            any(_jsonb_contains(x, e) for x in a) for e in b
+        )
+    if top and isinstance(a, list):
+        return any(_jsonb_scalar_eq(x, b) for x in a)
+    return _jsonb_scalar_eq(a, b)
+
+
+def _make_pd_contains():
+    import pandas as pd
+
+    def pd_contains(a_txt: "pd.Series", b_txt: "pd.Series") -> "pd.Series":
+        out = []
+        for at, bt in zip(a_txt, b_txt):
+            if at is None or bt is None:
+                out.append(None)
+                continue
+            out.append(_jsonb_contains(json.loads(at), json.loads(bt), top=True))
+        return pd.Series(out, dtype="object")
+
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    return F.pandas_udf(pd_contains, "boolean", PandasUDFType.SCALAR)
+
+
+_PD_CONTAINS = None
+
+
+def op_contains_json(a: Column, b: Column) -> Column:
+    """`@>` deep containment. Recursive structural semantics have no
+    Spark built-in — this is the engine's documented Arrow-UDF escape
+    hatch (vectorized batches; the operator is never in a scan/join hot
+    path the way = and < are)."""
+    global _PD_CONTAINS
+    if _PD_CONTAINS is None:
+        _PD_CONTAINS = _make_pd_contains()
+    return gv_bool(_PD_CONTAINS(to_json_text(a), to_json_text(b)))
+
+
+def op_contained_by_json(a: Column, b: Column) -> Column:
+    """`<@` — containment with the operands flipped."""
+    return op_contains_json(b, a)
+
+
+def op_has_key(a: Column, b: Column) -> Column:
+    """`?` key/element existence (gtype_exists, gtype_ops.c): object has
+    key, or array has the string as an element."""
+    obj = (a.t == T_OBJECT) & (b.t == T_STRING)
+    arr = (a.t == T_ARRAY) & (b.t == T_STRING)
+    in_obj = F.array_contains(F.json_object_keys(a.j), b.s)
+    in_arr = F.exists(to_variant_array(a), lambda e: from_variant(e).s == b.s)
+    r = F.when(obj, in_obj).when(arr, F.coalesce(in_arr, F.lit(False)))
+    return gv_bool(r)
+
+
+def _keys_of(a: Column) -> Column:
+    """keys to probe for ?| / ?&: object keys or string elements."""
+    return F.when(a.t == T_OBJECT, F.json_object_keys(a.j)).when(
+        a.t == T_ARRAY, F.from_json(a.j, "array<string>")
+    )
+
+
+def op_has_any(a: Column, b: Column) -> Column:
+    """`?|` — any of the strings in b exist (gtype_exists_any)."""
+    keys = _keys_of(a)
+    probes = F.from_json(b.j, "array<string>")
+    r = F.when(
+        keys.isNotNull() & (b.t == T_ARRAY),
+        F.exists(probes, lambda p: F.array_contains(keys, p)),
+    )
+    return gv_bool(r)
+
+
+def op_has_all(a: Column, b: Column) -> Column:
+    """`?&` — all of the strings in b exist (gtype_exists_all)."""
+    keys = _keys_of(a)
+    probes = F.from_json(b.j, "array<string>")
+    r = F.when(
+        keys.isNotNull() & (b.t == T_ARRAY),
+        F.forall(probes, lambda p: F.array_contains(keys, p)),
+    )
+    return gv_bool(r)
+
+
 def op_in_list(x: Column, lst: Column) -> Column:
     """x IN [..] (gtype.c:1833-1892): membership with 3VL."""
     arr = to_variant_array(lst)
@@ -723,7 +1009,9 @@ def op_in_list(x: Column, lst: Column) -> Column:
 # ---------------------------------------------------------------- decoding
 
 def decode(value) -> Any:
-    """Collected gval Row -> python value (tests/clients)."""
+    """Collected gval Row -> python value (tests/clients). Temporal
+    scalars decode to ISO-style text (timestamp/date/time) or the
+    {months, days, us} dict (interval)."""
     if value is None:
         return None
     t = value["t"]
@@ -736,5 +1024,37 @@ def decode(value) -> Any:
     if t == T_STRING:
         return value["s"]
     if t in (T_ARRAY, T_OBJECT):
+        return json.loads(value["j"])
+    if t in (T_TIMESTAMP, T_DATE, T_TIME) and value["i"] is not None:
+        import datetime as _dt
+
+        us = value["i"]
+        if t == T_DATE:
+            try:
+                d0 = _dt.date(1970, 1, 1) + _dt.timedelta(days=us)
+                return d0.isoformat()
+            except OverflowError:
+                # BC / far-future dates: civil-from-days, ISO proleptic
+                z = us + 719468
+                era = z // 146097
+                doe = z - era * 146097
+                yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+                y = yoe + era * 400
+                doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+                mp = (5 * doy + 2) // 153
+                dd = doy - (153 * mp + 2) // 5 + 1
+                mm = mp + 3 if mp < 10 else mp - 9
+                y += 1 if mm <= 2 else 0
+                return f"{'-' if y < 0 else ''}{abs(y):04d}-{mm:02d}-{dd:02d}"
+        if t == T_TIME:
+            sec, frac = divmod(us, 1_000_000)
+            h, rem = divmod(sec, 3600)
+            m, s = divmod(rem, 60)
+            out = f"{h:02d}:{m:02d}:{s:02d}"
+            return out + (f".{frac:06d}".rstrip("0") if frac else "")
+        ts = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+        out = ts.strftime("%Y-%m-%d %H:%M:%S")
+        return out + (f".{ts.microsecond:06d}".rstrip("0") if ts.microsecond else "")
+    if t == T_INTERVAL and value["j"] is not None:
         return json.loads(value["j"])
     return value["j"]

@@ -256,7 +256,7 @@ def tpch_graph(spark: SparkSession, sf_dir: str, use_cache: bool = True) -> Grap
 
     vertices = (
         vtab("customer", "c_custkey", ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"])
-        .unionByName(vtab("orders", "o_orderkey", ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]))
+        .unionByName(vtab("orders", "o_orderkey", ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority", "o_orderdate"]))
         .unionByName(vtab("part", "p_partkey", ["p_partkey", "p_name", "p_brand", "p_type", "p_size"]))
         .unionByName(vtab("supplier", "s_suppkey", ["s_suppkey", "s_name", "s_acctbal"]))
         .unionByName(vtab("nation", "n_nationkey", ["n_nationkey", "n_name"]))

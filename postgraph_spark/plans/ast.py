@@ -91,6 +91,17 @@ class ExistsPattern:
     pattern: "Path"
 
 
+@dataclass
+class Cast:
+    """expr :: typename (cypher_gram.y:17107-17109) or a typed literal
+    TIMESTAMP '...' / DATE '...' / INTERVAL '...' (g.y:17655+)."""
+
+    operand: Any
+    type_name: str  # canonical lowercase: timestamp, timestamptz, date,
+    #                 time, timetz, interval, integer, float, numeric,
+    #                 string, boolean
+
+
 # ---------------------------------------------------------------- patterns
 
 

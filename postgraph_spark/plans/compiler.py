@@ -33,6 +33,13 @@ AGG_FNS = {
     "regr_count", "regr_sxx", "regr_syy", "regr_sxy",
 }
 
+_CAST_FN = {
+    "timestamp": "totimestamp", "timestamptz": "totimestamptz",
+    "date": "todate", "time": "totime", "timetz": "totimetz",
+    "interval": "tointerval", "integer": "tointeger", "float": "tofloat",
+    "numeric": "tonumeric", "string": "tostring", "boolean": "toboolean",
+}
+
 VKIND_VERTEX = "vertex"
 VKIND_EDGE = "edge"
 VKIND_VLE = "vle"
@@ -285,6 +292,9 @@ class Compiler:
             if isinstance(e, A.IsNull):
                 o, df = walk(e.operand, df)
                 return A.IsNull(o, e.negated), df
+            if isinstance(e, A.Cast):
+                o, df = walk(e.operand, df)
+                return A.Cast(o, e.type_name), df
             if isinstance(e, A.CaseExpr):
                 operand, default = e.operand, e.default
                 if operand is not None:
@@ -434,6 +444,8 @@ class Compiler:
             return self._contains_agg(e.operand)
         if isinstance(e, A.IsNull):
             return self._contains_agg(e.operand)
+        if isinstance(e, A.Cast):
+            return self._contains_agg(e.operand)
         if isinstance(e, (A.Prop, A.Index)):
             return self._contains_agg(e.base)
         if isinstance(e, A.CaseExpr):
@@ -463,6 +475,8 @@ class Compiler:
             return A.UnaryOp(e.op, self._extract_aggs(e.operand, found))
         if isinstance(e, A.IsNull):
             return A.IsNull(self._extract_aggs(e.operand, found), e.negated)
+        if isinstance(e, A.Cast):
+            return A.Cast(self._extract_aggs(e.operand, found), e.type_name)
         return e
 
     def compile_projection(self, clause, df, scope):
@@ -730,12 +744,21 @@ class Compiler:
                 return G.op_not(operand)
             if e.op == "-":
                 return G.op_neg(operand)
+            if e.op == "~":
+                return G.op_bitnot(operand)
             raise CompileError(e.op)
         if isinstance(e, A.IsNull):
             operand = self.compile_expr(e.operand, df, scope)
             return G.op_is_not_null(operand) if e.negated else G.op_is_null(operand)
         if isinstance(e, A.CaseExpr):
             return self._compile_case(e, df, scope)
+        if isinstance(e, A.Cast):
+            # `::` compiles through the same to* surface as the function
+            # forms (the reference routes both through gtype_typecasting.c)
+            fn = _CAST_FN.get(e.type_name)
+            if fn is None:
+                raise CompileError(f"unsupported cast ::{e.type_name}")
+            return self._compile_func(A.FuncCall(fn, [e.operand]), df, scope)
         if isinstance(e, A.FuncCall):
             return self._compile_func(e, df, scope)
         raise CompileError(f"unsupported expression {type(e).__name__}")
@@ -764,6 +787,21 @@ class Compiler:
         "AND": G.op_and, "OR": G.op_or, "XOR": G.op_xor,
         "STARTS": G.op_starts_with, "ENDS": G.op_ends_with,
         "CONTAINS": G.op_contains, "=~": G.op_regex, "IN": G.op_in_list,
+        # LIKE family (gtype_string.c:163-190)
+        "LIKE": G.op_like,
+        "ILIKE": lambda a, b: G.op_like(a, b, ci=True),
+        "NOT_LIKE": lambda a, b: G.op_like(a, b, negate=True),
+        "NOT_ILIKE": lambda a, b: G.op_like(a, b, ci=True, negate=True),
+        # PG regex operators (gtype_string.c:193-227)
+        "~": G.op_tilde_match,
+        "~*": lambda a, b: G.op_tilde_match(a, b, ci=True),
+        "!~": lambda a, b: G.op_tilde_match(a, b, negate=True),
+        "!~*": lambda a, b: G.op_tilde_match(a, b, ci=True, negate=True),
+        # containment / existence (gtype_ops.c:849-1080)
+        "@>": G.op_contains_json, "<@": G.op_contained_by_json,
+        "?": G.op_has_key, "?|": G.op_has_any, "?&": G.op_has_all,
+        # integer bitwise (superset; see op_bitand docstring)
+        "&": G.op_bitand, "|": G.op_bitor,
     }
 
     def _compile_binop(self, e: A.BinOp, df, scope) -> Column:

@@ -12,6 +12,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from postgraph_spark.functions import gtype as G
+from postgraph_spark.functions import temporal as TMP
 from postgraph_spark.plans import ast as A
 
 
@@ -26,6 +27,16 @@ class _Ctx:
 
     def gv(self, i: int) -> Column:
         return self.compiler.compile_expr(self.e.args[i], self.df, self.scope)
+
+    _MISSING = object()
+
+    def lit(self, i: int):
+        """Python literal value of arg i, or _MISSING when not a Lit —
+        lets casts of literals const-fold at compile time (PG evaluates
+        Const casts at plan time; here it also keeps the temporal parse
+        expression trees out of every consumer expression)."""
+        a = self.e.args[i]
+        return a.value if isinstance(a, A.Lit) else self._MISSING
 
     def entity(self, i: int):
         a = self.e.args[i]
@@ -235,6 +246,81 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
             a["t"] == G.T_STRING, F.lower(a["s"]) == "true"
         )
         return G.gv_bool(b)
+    if name == "tonumeric":
+        # KNOWN DIVERGENCE: the reference's arbitrary-precision numeric
+        # (gtype_tonumeric) maps onto float8 here
+        a = ctx.gv(0)
+        d = F.when(a["t"] == G.T_NUMBER, a["d"]).when(
+            a["t"] == G.T_STRING, a["s"].cast("double")
+        )
+        return G.gv_float(d)
+
+    # ---- temporal casts (gtype_typecasting.c:278-399) ----
+    # literal operands const-fold to a literal gval (see _Ctx.lit)
+    if name in ("totimestamp", "totimestamptz"):
+        with_tz = name == "totimestamptz"
+        lv = ctx.lit(0)
+        if isinstance(lv, str):
+            return G.gv_timestamp(F.lit(TMP.py_parse_ts_us(lv, apply_tz=with_tz)).cast("long"))
+        if isinstance(lv, int) and not isinstance(lv, bool):
+            return G.gv_timestamp(F.lit(lv + TMP.PG_EPOCH_US))
+        return TMP.cast_timestamp(ctx.gv(0), with_tz=with_tz)
+    if name == "todate":
+        lv = ctx.lit(0)
+        if isinstance(lv, str):
+            return G.gv_date(F.lit(TMP.py_parse_date_days(lv)).cast("long"))
+        return TMP.cast_date(ctx.gv(0))
+    if name in ("totime", "totimetz"):
+        lv = ctx.lit(0)
+        if isinstance(lv, str):
+            return G.gv_time(F.lit(TMP.py_parse_time_us(lv)).cast("long"))
+        return TMP.cast_time(ctx.gv(0))
+    if name == "tointerval":
+        lv = ctx.lit(0)
+        if isinstance(lv, str):
+            p = TMP.py_parse_interval(lv)
+            if p is None:
+                return G.gv_null()
+            return G.gv_interval(F.lit(p[0]), F.lit(p[1]), F.lit(p[2]))
+        return TMP.cast_interval(ctx.gv(0))
+
+    # ---- temporal functions (gtype_temporal.c:40-831) ----
+    # a literal field name folds the dispatch to one formula (see the
+    # field-dispatch discipline note in functions/temporal.py)
+    if name == "extract":
+        fld = ctx.lit(0)
+        return TMP.extract_gv(fld if isinstance(fld, str) else ctx.gv(0), ctx.gv(1))
+    if name == "date_part":
+        fld = ctx.lit(0)
+        return TMP.date_part_gv(fld if isinstance(fld, str) else ctx.gv(0), ctx.gv(1))
+    if name == "date_trunc":
+        # 3-arg tz form accepted; only UTC semantics exist (the engine
+        # pins spark.sql.session.timeZone=UTC — gtype_date_trunc_zone)
+        fld = ctx.lit(0)
+        return TMP.date_trunc_gv(fld if isinstance(fld, str) else ctx.gv(0), ctx.gv(1))
+    if name == "date_bin":
+        return TMP.date_bin_gv(ctx.gv(0), ctx.gv(1), ctx.gv(2))
+    if name == "age":
+        if ctx.nargs == 1:
+            return TMP.age1_gv(ctx.gv(0))
+        return TMP.age2_gv(ctx.gv(0), ctx.gv(1))
+    if name == "make_date":
+        return TMP.make_date_gv(ctx.gv(0), ctx.gv(1), ctx.gv(2))
+    if name == "make_time":
+        return TMP.make_time_gv(ctx.gv(0), ctx.gv(1), ctx.gv(2))
+    if name in ("make_timestamp", "make_timestamptz"):
+        # the optional 7th tz-name arg is accepted and ignored (UTC-only)
+        return TMP.make_timestamp_gv(*[ctx.gv(i) for i in range(6)])
+    if name == "justify_days":
+        return TMP.justify_days_gv(ctx.gv(0))
+    if name == "justify_hours":
+        return TMP.justify_hours_gv(ctx.gv(0))
+    if name == "justify_interval":
+        return TMP.justify_interval_gv(ctx.gv(0))
+    if name == "isfinite":
+        return TMP.isfinite_gv(ctx.gv(0))
+    if name == "overlaps":
+        return TMP.overlaps_gv(ctx.gv(0), ctx.gv(1), ctx.gv(2), ctx.gv(3))
 
     # ---- misc ----
     if name == "throw_error":

@@ -15,6 +15,7 @@ KEYWORDS = {
     "or", "xor", "not", "in", "starts", "ends", "contains", "is", "null",
     "true", "false", "case", "when", "then", "else", "end", "union", "all",
     "intersect", "except", "exists", "nulls", "first", "last", "having",
+    "like", "ilike",
 }
 
 _TOKEN_RE = re.compile(
@@ -24,7 +25,7 @@ _TOKEN_RE = re.compile(
   | (?P<int>\d+)
   | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<name>[A-Za-z_][A-Za-z_0-9]*|`[^`]*`)
-  | (?P<op><>|<=|>=|=~|\+=|\.\.|->|<-|[-+*/%^=<>()\[\]{},.:|])
+  | (?P<op><>|<=|>=|=~|\+=|\.\.|->|<-|::|@>|<@|\?\||\?&|!~\*|!~|~\*|[-+*/%^=<>()\[\]{},.:|?&~])
     """,
     re.VERBOSE,
 )

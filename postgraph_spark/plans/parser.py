@@ -381,37 +381,55 @@ class Parser:
         return self.parse_comparison()
 
     _CMP = {"=", "<>", "<", "<=", ">", ">="}
+    #: postfix-style binary predicates that parse at comparison level:
+    #: PG regex ops (gtype_string.c:193-227) and jsonb containment /
+    #: existence (gtype_ops.c:849-1080), LIKE family (g.y:2595-2601)
+    _CMP_OPS = {"~": "~", "~*": "~*", "!~": "!~", "!~*": "!~*",
+                "@>": "@>", "<@": "<@", "?": "?", "?|": "?|", "?&": "?&"}
 
     def parse_comparison(self):
-        left = self.parse_additive()
+        left = self.parse_bitor()
         chain = []
         while True:
             if self.cur.kind == "op" and self.cur.value in self._CMP:
                 op = self.advance().value
-                right = self.parse_additive()
+                right = self.parse_bitor()
                 chain.append(A.BinOp(op, left, right))
                 left = right
             elif self.at_kw("starts"):
                 self.advance()
                 self.eat_kw("with")
-                chain.append(A.BinOp("STARTS", left, self.parse_additive()))
+                chain.append(A.BinOp("STARTS", left, self.parse_bitor()))
                 break
             elif self.at_kw("ends"):
                 self.advance()
                 self.eat_kw("with")
-                chain.append(A.BinOp("ENDS", left, self.parse_additive()))
+                chain.append(A.BinOp("ENDS", left, self.parse_bitor()))
                 break
             elif self.at_kw("contains"):
                 self.advance()
-                chain.append(A.BinOp("CONTAINS", left, self.parse_additive()))
+                chain.append(A.BinOp("CONTAINS", left, self.parse_bitor()))
                 break
             elif self.at_op("=~"):
                 self.advance()
-                chain.append(A.BinOp("=~", left, self.parse_additive()))
+                chain.append(A.BinOp("=~", left, self.parse_bitor()))
+                break
+            elif self.at_kw("like", "ilike"):
+                op = self.advance().value.upper()
+                chain.append(A.BinOp(op, left, self.parse_bitor()))
+                break
+            elif self.at_kw("not") and self.peek().kind == "kw" and self.peek().value in ("like", "ilike"):
+                self.advance()
+                op = "NOT_" + self.advance().value.upper()
+                chain.append(A.BinOp(op, left, self.parse_bitor()))
+                break
+            elif self.cur.kind == "op" and self.cur.value in self._CMP_OPS:
+                op = self.advance().value
+                chain.append(A.BinOp(op, left, self.parse_bitor()))
                 break
             elif self.at_kw("in"):
                 self.advance()
-                chain.append(A.BinOp("IN", left, self.parse_additive()))
+                chain.append(A.BinOp("IN", left, self.parse_bitor()))
                 break
             elif self.at_kw("is"):
                 self.advance()
@@ -427,6 +445,22 @@ class Parser:
         for c in chain[1:]:
             out = A.BinOp("AND", out, c)
         return out
+
+    def parse_bitor(self):
+        # PG generic-operator precedence puts | and & between the
+        # comparison predicates and additive arithmetic
+        left = self.parse_bitand()
+        while self.at_op("|"):
+            self.advance()
+            left = A.BinOp("|", left, self.parse_bitand())
+        return left
+
+    def parse_bitand(self):
+        left = self.parse_additive()
+        while self.at_op("&"):
+            self.advance()
+            left = A.BinOp("&", left, self.parse_additive())
+        return left
 
     def parse_additive(self):
         left = self.parse_multiplicative()
@@ -446,6 +480,9 @@ class Parser:
         if self.at_op("-"):
             self.advance()
             return A.UnaryOp("-", self.parse_unary())
+        if self.at_op("~"):
+            self.advance()
+            return A.UnaryOp("~", self.parse_unary())
         if self.at_op("+"):
             self.advance()
             return self.parse_unary()
@@ -461,10 +498,48 @@ class Parser:
     def parse_expr_postfix_only(self):
         return self.parse_postfix()
 
+    # canonical type names for `::` casts and typed literals
+    _TYPE_ALIASES = {
+        "timestamp": "timestamp", "timestamptz": "timestamptz",
+        "date": "date", "time": "time", "timetz": "timetz",
+        "interval": "interval",
+        "int": "integer", "integer": "integer", "bigint": "integer",
+        "smallint": "integer", "int2": "integer", "int4": "integer",
+        "int8": "integer",
+        "float": "float", "float4": "float", "float8": "float",
+        "real": "float", "double": "float",
+        "numeric": "numeric", "decimal": "numeric",
+        "text": "string", "string": "string", "varchar": "string",
+        "bool": "boolean", "boolean": "boolean",
+    }
+
+    def parse_type_name(self) -> str:
+        """Type name after `::` — including the multiword SQL spellings
+        TIMESTAMP/TIME [WITH|WITHOUT] TIME ZONE (cypher_gram.y:17655+)."""
+        base = self.name().lower()
+        if base not in self._TYPE_ALIASES:
+            raise ParseError(f"unknown type name {base!r} at {self.cur.pos}")
+        t = self._TYPE_ALIASES[base]
+        if t in ("timestamp", "time") and (
+            self.at_kw("with") or (self.cur.kind == "name" and self.cur.value.lower() == "without")
+        ):
+            with_tz = self.at_kw("with")
+            self.advance()
+            for w in ("time", "zone"):
+                tok = self.advance()
+                if tok.value.lower() != w:
+                    raise ParseError(f"expected {w.upper()} at {tok.pos}")
+            if with_tz:
+                t = "timestamptz" if t == "timestamp" else "timetz"
+        return t
+
     def parse_postfix(self):
         e = self.parse_atom()
         while True:
-            if self.at_op("."):
+            if self.at_op("::"):
+                self.advance()
+                e = A.Cast(e, self.parse_type_name())
+            elif self.at_op("."):
                 self.advance()
                 key = self.name()
                 if isinstance(e, A.Prop):
@@ -524,6 +599,35 @@ class Parser:
                 return A.FuncCall("exists", [e])
             if t.value in ("count",):  # count(*) — count is also a kw-ish name
                 pass
+        # typed literals: TIMESTAMP '...' / DATE '...' / INTERVAL '...'
+        # with optional WITH/WITHOUT TIME ZONE (cypher_gram.y:17655-17707)
+        if (
+            t.kind == "name"
+            and t.value.lower() in ("timestamp", "date", "time", "interval")
+            and (
+                self.peek().kind == "string"
+                or (self.peek().kind == "kw" and self.peek().value == "with")
+                or (self.peek().kind == "name" and self.peek().value.lower() == "without")
+            )
+        ):
+            tname = self.parse_type_name()
+            tok = self.advance()
+            if tok.kind != "string":
+                raise ParseError(f"expected string literal after {tname} at {tok.pos}")
+            return A.Cast(A.Lit(tok.value), tname)
+        # EXTRACT(field FROM expr) (cypher_gram.y:17418+)
+        if t.kind == "name" and t.value.lower() == "extract" and (
+            self.peek().kind == "op" and self.peek().value == "("
+        ):
+            self.advance()
+            self.eat_op("(")
+            field = self.name().lower()
+            frm = self.advance()
+            if frm.value.lower() != "from":
+                raise ParseError(f"expected FROM in EXTRACT at {frm.pos}")
+            arg = self.parse_expr()
+            self.eat_op(")")
+            return A.FuncCall("extract", [A.Lit(field), arg])
         if t.kind == "name" or t.kind == "kw":
             # function call or variable
             if self.peek().kind == "op" and self.peek().value == "(":
@@ -546,6 +650,20 @@ class Parser:
         if t.kind == "op" and t.value == "(":
             self.advance()
             e = self.parse_expr()
+            if self.at_op(","):
+                # row pair: (s1, e1) OVERLAPS (s2, e2) (gtype_temporal.c:748)
+                self.advance()
+                e1 = self.parse_expr()
+                self.eat_op(")")
+                ov = self.advance()
+                if ov.value.lower() != "overlaps":
+                    raise ParseError(f"expected OVERLAPS at {ov.pos}")
+                self.eat_op("(")
+                s2 = self.parse_expr()
+                self.eat_op(",")
+                e2 = self.parse_expr()
+                self.eat_op(")")
+                return A.FuncCall("overlaps", [e, e1, s2, e2])
             self.eat_op(")")
             return e
         if t.kind == "op" and t.value == "[":

@@ -28,7 +28,6 @@ import json
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from postgraph_spark.functions import gtype as G
@@ -46,29 +45,44 @@ DEFAULT_VLABEL = "_ag_label_vertex"
 DEFAULT_ELABEL = "_ag_label_edge"
 
 
-@F.udf(returnType=T.StringType())
-def _json_set(props: str, key: str, value_json: str | None) -> str:
-    """props JSON with key set (value_json=None deletes the key — SET to
-    NULL removes, cypher_set.c tuple update semantics)."""
-    d = json.loads(props or "{}")
-    if value_json is None:
-        d.pop(key, None)
-    else:
-        d[key] = json.loads(value_json)
-    return json.dumps(d)
+def _json_set(props: Column, key: str, value_json: Column) -> Column:
+    """props JSON with key set — pure JVM map<string,variant> surgery
+    (SET to NULL removes the key, cypher_set.c tuple update semantics).
+    An existing key is replaced in place (order preserved); a new key
+    appends — exactly the dict-update order the reference's tuple
+    rewrite produces."""
+    m = F.from_json(F.coalesce(props, F.lit("{}")), "map<string,variant>")
+    k = F.lit(key)
+    has = F.array_contains(F.map_keys(m), k)
+    newv = F.try_parse_json(value_json)
+    replaced = F.transform_values(
+        m, lambda k0, v: F.when((k0 == k) & value_json.isNotNull(), newv).otherwise(v)
+    )
+    removed = F.map_filter(replaced, lambda k0, v: (k0 != k) | value_json.isNotNull())
+    appended = F.when(
+        ~has & value_json.isNotNull(), F.map_concat(removed, F.create_map(k, newv))
+    ).otherwise(removed)
+    return F.to_json(appended)
 
 
-@F.udf(returnType=T.StringType())
-def _json_merge(props: str, delta_json: str | None) -> str:
+def _json_merge(props: Column, delta_json: Column) -> Column:
     """`SET n += map`: key-wise merge, null values remove (gtype object
-    concat semantics, last-wins de-dup, gtype.h:247-263)."""
-    d = json.loads(props or "{}")
-    for k, v in json.loads(delta_json or "{}").items():
-        if v is None:
-            d.pop(k, None)
-        else:
-            d[k] = v
-    return json.dumps(d)
+    concat semantics, last-wins de-dup, gtype.h:247-263) — JVM-side."""
+    m = F.from_json(F.coalesce(props, F.lit("{}")), "map<string,variant>")
+    dm = F.from_json(F.coalesce(delta_json, F.lit("{}")), "map<string,variant>")
+    null_keys = F.map_keys(F.map_filter(dm, lambda k, v: F.is_variant_null(v)))
+    set_m = F.map_filter(dm, lambda k, v: ~F.is_variant_null(v))
+    # replace in place, drop delta-null keys, append delta-new keys
+    replaced = F.transform_values(m, lambda k, v: F.coalesce(F.element_at(set_m, k), v))
+    removed = F.map_filter(replaced, lambda k, v: ~F.array_contains(null_keys, k))
+    new_keys = F.filter(
+        F.map_keys(set_m), lambda k: ~F.array_contains(F.map_keys(m), k)
+    )
+    appended = F.map_concat(
+        removed,
+        F.map_from_arrays(new_keys, F.transform(new_keys, lambda k: F.element_at(set_m, k))),
+    )
+    return F.to_json(appended)
 
 
 def is_write_clause(c) -> bool:
@@ -134,16 +148,31 @@ class WriteRunner:
         g._next_entry[label] = g._next_entry[label] + n
         return lid, base
 
-    def _with_rowid(self, df: DataFrame | None) -> DataFrame:
+    def _with_rowid(self, df: DataFrame | None) -> tuple[DataFrame, int]:
+        """0..n-1 row ids WITHOUT a global single-partition window: one
+        count-per-partition job computes offsets, then ids are
+        per-partition `offset + local row_number` — a CREATE fed by a
+        huge MATCH keeps all partitions working. Returns (df, n_rows);
+        the count job replaces the df.count() the id sequences needed
+        anyway (label_commands.c:563-583 sequence reservation)."""
         if df is None:
             df = self.spark.range(1).select(F.lit(1).alias("__one"))
         if "__rn" in df.columns:
             df = df.drop("__rn")
-        # global row_number: single-partition window is acceptable at
-        # statement scale; a 100 TB bulk load goes through the batch
-        # loaders (Graph.from_rows / direct parquet), not per-row CREATE
-        w = Window.orderBy(F.monotonically_increasing_id())
-        return df.withColumn("__rn", F.row_number().over(w) - 1)
+        df = df.withColumn("__pid", F.spark_partition_id())
+        counts = {r["__pid"]: r["count"] for r in df.groupBy("__pid").count().collect()}
+        off, acc = {}, 0
+        for pid in sorted(counts):
+            off[pid] = acc
+            acc += counts[pid]
+        if off:
+            mapping = F.create_map(*[F.lit(x) for kv in sorted(off.items()) for x in kv])
+            base = mapping[F.col("__pid")]
+        else:  # zero input rows: type-stable placeholder, no rows to number
+            base = F.lit(0)
+        w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
+        df = df.withColumn("__rn", base + F.row_number().over(w) - 1).drop("__pid")
+        return df, acc
 
     def _props_json_col(self, props: A.MapLit | None, df, scope) -> Column:
         if props is None or not props.items:
@@ -178,8 +207,7 @@ class WriteRunner:
         """Row-wise CREATE: every input row creates the pattern's unbound
         entities (cypher_create.c:332-540 create_vertex_1/create_edge_1)."""
         scope = scope.copy()
-        df = self._with_rowid(df)
-        n_rows = df.count()
+        df, n_rows = self._with_rowid(df)
         created_v: list[str] = []
         created_e: list[str] = []
 
@@ -280,7 +308,7 @@ class WriteRunner:
                 vtext = F.when(val["t"] == G.T_NULL, F.lit(None).cast("string")).otherwise(
                     G.to_json_text(val)
                 )
-                touched[var] = _json_set(props, F.lit(key), vtext)
+                touched[var] = _json_set(props, key, vtext)
             elif isinstance(tgt, A.Var) and item.is_add:
                 var = tgt.name
                 props = touched.get(var, F.col(var)["properties"])
@@ -446,11 +474,10 @@ class WriteRunner:
             if keys
             else joined.filter(F.col("__m").isNull()).select("__kc").distinct()
         )
-        n_miss = misses.count()
+        misses, n_miss = self._with_rowid(misses)
         if n_miss:
             lid, base = self._alloc_base(label, n_miss)
-            w = Window.orderBy(F.monotonically_increasing_id())
-            gid = F.lit(lid << ENTRY_ID_BITS).cast("long") + F.lit(base) + F.row_number().over(w) - 1
+            gid = F.lit(lid << ENTRY_ID_BITS).cast("long") + F.lit(base) + F.col("__rn")
             if keys:
                 parts = [
                     F.concat(F.lit(json.dumps(k)), F.lit(":"), F.col(f"__k{i}"))
@@ -530,11 +557,10 @@ class WriteRunner:
             misses = miss_rows.select(
                 F.col(a)["id"].alias("__ms"), F.col(b)["id"].alias("__md")
             ).distinct()
-        n_miss = misses.count()
+        misses, n_miss = self._with_rowid(misses)
         if n_miss:
             lid, base = self._alloc_base(label, n_miss)
-            w = Window.orderBy(F.monotonically_increasing_id())
-            gid = F.lit(lid << ENTRY_ID_BITS).cast("long") + F.lit(base) + F.row_number().over(w) - 1
+            gid = F.lit(lid << ENTRY_ID_BITS).cast("long") + F.lit(base) + F.col("__rn")
             if keys:
                 parts = [
                     F.concat(F.lit(json.dumps(k)), F.lit(":"), F.col(f"__k{i}"))

@@ -280,3 +280,46 @@ def cypher_with_orderby_limit(spark, sf_dir):
     return out.select(
         F.col("nation")["s"].alias("nation"), F.col("revenue")["d"].alias("revenue")
     )
+
+
+@register(
+    "cypher_temporal_funcs",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS okey,
+      CAST(date_part('year', CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+      CAST(date_part('month', CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+      CAST(epoch(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) AS mon_start,
+      CAST(epoch(CAST(o_orderdate AS DATE) + INTERVAL 45 DAY) AS BIGINT) AS plus45,
+      CAST(date_part('year', age(CAST(o_orderdate AS TIMESTAMP), CAST('1995-01-01' AS TIMESTAMP))) * 12
+         + date_part('month', age(CAST(o_orderdate AS TIMESTAMP), CAST('1995-01-01' AS TIMESTAMP))) AS BIGINT) AS age_months
+    FROM orders WHERE o_totalprice > 450000
+    """,
+)
+def cypher_temporal_funcs(spark, sf_dir):
+    """The temporal function kit driven through Cypher text: `::` casts
+    (cypher_gram.y:17107), date_part/date_trunc/age over a timestamp
+    property, and interval arithmetic feeding the op_add temporal
+    dispatch (gtype_temporal.c:40-831; gtype_ops.c:153-280). The orders
+    vertex keeps o_orderdate as a NATIVE timestamp inside its variant
+    properties — property access yields a timestamp gval with no text
+    re-parse, the pattern a 100 TB event store needs."""
+    eng = _tpch_engine(spark, sf_dir)
+    out = eng.execute(
+        "MATCH (o:orders) WHERE o.o_totalprice > 450000 "
+        "WITH o.o_orderkey AS okey, o.o_orderdate::timestamp AS od, o.o_orderdate::date AS odd "
+        "WITH okey, od, odd, age(od, '1995-01-01'::timestamp) AS age_iv "
+        "RETURN okey, "
+        "  date_part('year', odd) AS yr, "
+        "  date_part('month', odd) AS mon, "
+        "  date_part('epoch', date_trunc('month', od)) AS mon_start, "
+        "  date_part('epoch', odd + '45 days'::interval) AS plus45, "
+        "  date_part('year', age_iv) * 12 + date_part('month', age_iv) AS age_months"
+    )
+    return out.select(
+        F.col("okey")["i"].alias("okey"),
+        F.col("yr")["d"].cast("long").alias("yr"),
+        F.col("mon")["d"].cast("long").alias("mon"),
+        F.col("mon_start")["d"].cast("long").alias("mon_start"),
+        F.col("plus45")["d"].cast("long").alias("plus45"),
+        F.col("age_months")["d"].cast("long").alias("age_months"),
+    )
