@@ -83,6 +83,7 @@ def vle(
         "start_id",
         F.col("start_id").alias("end_id"),
         F.array().cast("array<long>").alias("edge_ids"),
+        F.array(F.col("start_id")).alias("node_ids"),
         F.lit(0).alias("hops"),
     )
 
@@ -108,6 +109,9 @@ def vle(
                 "start_id",
                 F.col("dst").alias("end_id"),
                 F.array_append("edge_ids", F.col("eid")).alias("edge_ids"),
+                # ordered vertex chain rides along (longs only — the
+                # traversal/named-path value resolves structs lazily)
+                F.array_append("node_ids", F.col("dst")).alias("node_ids"),
                 F.lit(hop).alias("hops"),
             )
         )

@@ -43,6 +43,7 @@ _CAST_FN = {
 VKIND_VERTEX = "vertex"
 VKIND_EDGE = "edge"
 VKIND_VLE = "vle"
+VKIND_PATH = "path"
 VKIND_VALUE = "value"
 
 
@@ -308,6 +309,30 @@ class Compiler:
                     whens.append((c, t_))
                 return A.CaseExpr(operand, whens, default), df
             if isinstance(e, A.FuncCall):
+                # startnode(e)/endnode(e): resolve the endpoint vertex by
+                # an id equi-join (edge.c:354-366 builds the vertex from
+                # the graph's vertex table the same way)
+                if (
+                    e.name in ("startnode", "endnode")
+                    and len(e.args) == 1
+                    and isinstance(e.args[0], A.Var)
+                    and scope.kinds.get(e.args[0].name) == VKIND_EDGE
+                    and self.graph is not None
+                    and df is not None
+                ):
+                    marker = f"__epn{next(self._anon)}"
+                    side = "start_id" if e.name == "startnode" else "end_id"
+                    vt = self.graph.vertices.select(
+                        F.col("id").alias(f"__vid_{marker}"),
+                        F.struct("id", "label", "properties").alias(marker),
+                    )
+                    df = df.join(
+                        vt,
+                        F.col(e.args[0].name)[side] == F.col(f"__vid_{marker}"),
+                        "left_outer",
+                    ).drop(f"__vid_{marker}")
+                    scope.kinds[marker] = VKIND_VERTEX
+                    return A.Var(marker), df
                 args = []
                 for a in e.args:
                     a, df = walk(a, df)
@@ -321,6 +346,7 @@ class Compiler:
         elements = path.elements
         node0 = elements[0]
         df, prev_var = self._bind_node(node0, df, scope)
+        order: list[tuple[str, str]] = [("v", prev_var)]
 
         i = 1
         while i < len(elements):
@@ -329,6 +355,8 @@ class Compiler:
             i += 2
             if rel.varlen is not None:
                 df, prev_var = self._bind_vle(rel, node, df, prev_var, scope, new_vle_vars)
+                order.append(("vle", new_vle_vars[-1]))
+                order.append(("v", prev_var))
                 continue
             evar = rel.var or f"_e{next(self._anon)}"
             if rel.var and rel.var in scope.kinds:
@@ -352,7 +380,122 @@ class Compiler:
                 df = self._node_filters(df, node, nvar)
                 scope.kinds[nvar] = VKIND_VERTEX
             df = df.drop("__src", "__dst")
+            order.append(("e", evar))
+            order.append(("v", nvar))
             prev_var = nvar
+        if path.var:
+            df = self._bind_named_path(path.var, order, df, scope)
+        return df
+
+    # --------------------------------------------------- named paths
+    #
+    # p = (...) binds a traversal value (traversal.h:46-58; built by
+    # build_traversal, src/backend/utils/adt/traversal.c:64): ordered
+    # vertex and edge arrays. Fixed-length patterns assemble the arrays
+    # from the already-bound entity columns (free); VLE segments resolve
+    # their ordered id chains to entity structs with one
+    # posexplode -> equi-join -> re-aggregate per segment — keyed on the
+    # deterministic (start_id, edge_ids) path identity, so the resolve
+    # is a pure shuffle plan (no checkpoint, no driver state).
+
+    @staticmethod
+    def _v_struct(var: str) -> Column:
+        c = F.col(var)
+        return F.struct(c["id"].alias("id"), c["label"].alias("label"), c["properties"].alias("properties"))
+
+    @staticmethod
+    def _e_struct(var: str) -> Column:
+        c = F.col(var)
+        return F.struct(
+            c["id"].alias("id"), c["start_id"].alias("start_id"), c["end_id"].alias("end_id"),
+            c["label"].alias("label"), c["properties"].alias("properties"),
+        )
+
+    def _attach_vle_arrays(self, df, vvar: str):
+        """Resolve a VLE binding's ordered edge/node id arrays to entity
+        structs: adds columns __pe_<vvar> (array<edge>) and __pn_<vvar>
+        (array<vertex>)."""
+        g = self.graph
+        paths = df.select(
+            F.col(vvar)["start_id"].alias("__ps"),
+            F.col(vvar)["edge_ids"].alias("__pids"),
+            F.col(vvar)["node_ids"].alias("__nids"),
+        ).distinct()
+
+        es = g.edges.select(
+            F.col("id").alias("__eid"),
+            F.struct("id", "start_id", "end_id", "label", "properties").alias("__es"),
+        )
+        ex = paths.select(
+            "__ps", "__pids", F.posexplode("__pids").alias("__pos", "__eid")
+        )
+        earr = (
+            ex.join(es, "__eid")
+            .groupBy("__ps", "__pids")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__es"))), lambda x: x["__es"]
+                ).alias(f"__pe_{vvar}")
+            )
+        )
+
+        vs = g.vertices.select(
+            F.col("id").alias("__vid"), F.struct("id", "label", "properties").alias("__vs")
+        )
+        nx = paths.select(
+            "__ps", "__pids", F.posexplode("__nids").alias("__pos", "__vid")
+        )
+        narr = (
+            nx.join(vs, "__vid")
+            .groupBy("__ps", "__pids")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__vs"))), lambda x: x["__vs"]
+                ).alias(f"__pn_{vvar}")
+            )
+        )
+        resolved = earr.join(narr, ["__ps", "__pids"], "full_outer")
+        df = df.join(
+            resolved,
+            (F.col(vvar)["start_id"] == F.col("__ps"))
+            & (F.col(vvar)["edge_ids"] == F.col("__pids")),
+            "left_outer",
+        ).drop("__ps", "__pids")
+        # zero-length paths have no edges -> no resolve row for __pe
+        empty_e = F.array().cast(
+            "array<struct<id:bigint,start_id:bigint,end_id:bigint,label:string,properties:string>>"
+        )
+        df = df.withColumn(f"__pe_{vvar}", F.coalesce(F.col(f"__pe_{vvar}"), empty_e))
+        return df
+
+    def _bind_named_path(self, pvar: str, order: list[tuple[str, str]], df, scope: Scope):
+        if pvar in scope.kinds:
+            raise CompileError(f"path variable {pvar!r} already bound")
+        node_segs: list[Column] = []
+        edge_segs: list[Column] = []
+        for kind, var in order:
+            if kind == "v":
+                node_segs.append(F.array(self._v_struct(var)))
+            elif kind == "e":
+                edge_segs.append(F.array(self._e_struct(var)))
+            else:  # vle
+                df = self._attach_vle_arrays(df, var)
+                edge_segs.append(F.col(f"__pe_{var}"))
+                # interior vertices only: endpoints are bound separately
+                nodes = F.col(f"__pn_{var}")
+                node_segs.append(F.slice(nodes, 2, F.greatest(F.size(nodes) - 2, F.lit(0))))
+        nodes_arr = F.concat(*node_segs) if len(node_segs) > 1 else node_segs[0]
+        edges_arr = (
+            F.concat(*edge_segs)
+            if len(edge_segs) > 1
+            else (edge_segs[0] if edge_segs else F.array().cast(
+                "array<struct<id:bigint,start_id:bigint,end_id:bigint,label:string,properties:string>>"
+            ))
+        )
+        df = df.withColumn(pvar, F.struct(nodes_arr.alias("nodes"), edges_arr.alias("edges")))
+        drops = [c for c in df.columns if c.startswith("__pe_") or c.startswith("__pn_")]
+        df = df.drop(*drops)
+        scope.kinds[pvar] = VKIND_PATH
         return df
 
     def _bind_node(self, node: A.NodePat, df, scope: Scope):
@@ -395,7 +538,8 @@ class Compiler:
         vvar = rel.var or f"_vle{next(self._anon)}"
         pstruct = paths.select(
             F.struct(
-                F.col("start_id"), F.col("end_id"), F.col("edge_ids"), F.col("hops")
+                F.col("start_id"), F.col("end_id"), F.col("edge_ids"),
+                F.col("node_ids"), F.col("hops"),
             ).alias(vvar)
         )
         df = df.join(pstruct, F.col(prev_var)["id"] == F.col(vvar)["start_id"])
@@ -604,6 +748,8 @@ class Compiler:
         """Compile a projection item -> (Column, kind). Entity structs are
         projected WITHOUT their pv variant field so the output supports
         DISTINCT / set ops / grouping (variant is not comparable)."""
+        if isinstance(e, A.Var) and scope.kinds.get(e.name) == VKIND_PATH:
+            return F.col(e.name), VKIND_PATH
         if isinstance(e, A.Var) and scope.kinds.get(e.name) in (VKIND_VERTEX, VKIND_EDGE, VKIND_VLE):
             kind = scope.kinds[e.name]
             col = F.col(e.name)

@@ -42,7 +42,7 @@ class _Ctx:
         a = self.e.args[i]
         if isinstance(a, A.Var):
             kind = self.scope.kinds.get(a.name)
-            if kind in ("vertex", "edge", "vle"):
+            if kind in ("vertex", "edge", "vle", "path"):
                 return F.col(a.name), kind
         return None, None
 
@@ -67,6 +67,40 @@ def _str1(ctx: _Ctx, fn) -> Column:
     return G.gv_str(F.when(a["t"] == G.T_STRING, fn(a["s"])))
 
 
+def _quote(s: Column) -> Column:
+    """JSON-quote a string column JVM-side (serialize-1-array trick)."""
+    arr = F.to_json(F.array(s))
+    return arr.substr(F.lit(2), F.length(arr) - 2)
+
+
+def _entity_json(x: Column, is_edge: bool) -> Column:
+    """vertex/edge struct -> its JSON rendering, with properties spliced
+    in as an OBJECT (a plain to_json would double-encode the JSON-text
+    properties column)."""
+    mid = (
+        F.concat(
+            F.lit(',"start_id":'), x["start_id"].cast("string"),
+            F.lit(',"end_id":'), x["end_id"].cast("string"),
+        )
+        if is_edge
+        else F.lit("")
+    )
+    return F.concat(
+        F.lit('{"id":'), x["id"].cast("string"),
+        mid,
+        F.lit(',"label":'), _quote(x["label"]),
+        F.lit(',"properties":'), F.coalesce(x["properties"], F.lit("{}")),
+        F.lit("}"),
+    )
+
+
+def _entity_array_json(arr: Column, is_edge: bool) -> Column:
+    texts = F.transform(arr, lambda x: _entity_json(x, is_edge))
+    return G.gv_array_json(
+        F.concat(F.lit("["), F.array_join(texts, ","), F.lit("]"))
+    )
+
+
 def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
     name = e.name
     ctx = _Ctx(compiler, e, df, scope)
@@ -88,12 +122,32 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
             return G.gv_object_json(col["properties"])
         raise ValueError(f"{name}() needs graph context; unsupported here")
 
+    # ---- traversal / path functions (traversal.c:64+, old/regress/
+    # traversal_functions.sql) ----
+    if name in ("nodes", "relationships"):
+        col, kind = ctx.entity(0)
+        if col is None or kind != "path":
+            raise ValueError(f"{name}() requires a named path argument")
+        if name == "nodes":
+            return _entity_array_json(col["nodes"], is_edge=False)
+        return _entity_array_json(col["edges"], is_edge=True)
+
     # ---- list / general (gtype.c:2070-2914) ----
     if name == "head":
         return G.element_access(ctx.gv(0), F.lit(0))
     if name == "last":
         return G.element_access(ctx.gv(0), F.lit(-1))
     if name in ("size", "length"):
+        col, kind = ctx.entity(0)
+        if kind == "path":
+            if name == "size":
+                # traversal size counts ALL elements: nodes + edges
+                # (traversal_functions.out: size(3-hop path) = 7)
+                return G.gv_int((F.size(col["edges"]) + F.size(col["nodes"])).cast("long"))
+            # length(p) = edge count (@-@ path_length, gtype_ops.c)
+            return G.gv_int(F.size(col["edges"]).cast("long"))
+        if kind == "vle":
+            return G.gv_int(col["hops"].cast("long"))
         a = ctx.gv(0)
         n = F.when(a["t"] == G.T_ARRAY, F.size(G.to_variant_array(a)).cast("long")).when(
             a["t"] == G.T_STRING, F.length(a["s"]).cast("long")

@@ -323,3 +323,35 @@ def cypher_temporal_funcs(spark, sf_dir):
         F.col("plus45")["d"].cast("long").alias("plus45"),
         F.col("age_months")["d"].cast("long").alias("age_months"),
     )
+
+
+@register(
+    "cypher_named_paths",
+    """
+    SELECT CAST(c.c_custkey AS BIGINT) AS custkey,
+           CAST(o.o_orderkey AS BIGINT) AS okey,
+           CAST(1 AS BIGINT) AS plen, CAST(3 AS BIGINT) AS psz
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 430000
+    """,
+)
+def cypher_named_paths(spark, sf_dir):
+    """Named path p = (...) bound as a traversal value (traversal.h:
+    46-58; build_traversal traversal.c:64): nodes(p) ordered vertex
+    array, length(p)/size(p) element counts, plus list indexing and
+    nested property access on the rendered entities. Fixed-length paths
+    assemble their arrays from already-bound entity columns — zero extra
+    joins or shuffles over the plain MATCH."""
+    eng = _tpch_engine(spark, sf_dir)
+    out = eng.execute(
+        "MATCH p = (c:customer)-[:placed]->(o:orders) WHERE o.o_totalprice > 430000 "
+        "WITH nodes(p) AS ns, length(p) AS plen, size(p) AS psz "
+        "RETURN ns[0].properties.c_custkey AS custkey, "
+        "       ns[1].properties.o_orderkey AS okey, plen, psz"
+    )
+    return out.select(
+        F.col("custkey")["i"].alias("custkey"),
+        F.col("okey")["i"].alias("okey"),
+        F.col("plen")["i"].alias("plen"),
+        F.col("psz")["i"].alias("psz"),
+    )
