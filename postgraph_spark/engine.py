@@ -155,14 +155,10 @@ class CypherEngine:
     def _append_vertices(self, g: Graph, rows: list[tuple[str, dict]]) -> list[int]:
         from postgraph_spark.graph import VERTEX_SCHEMA, make_graphid
 
-        if not hasattr(g, "_next_entry"):
-            g._next_entry = {}
         ids = []
         data = []
         for label, props in rows:
-            lid = g.label_ids.setdefault(label, len(g.label_ids) + 1)
-            eid = g._next_entry.get(label, 0) + 1
-            g._next_entry[label] = eid
+            lid, eid = g.alloc_entry_ids(label, 1)
             gid = make_graphid(lid, eid)
             ids.append(gid)
             data.append((gid, label, json.dumps(props)))
@@ -171,24 +167,27 @@ class CypherEngine:
             if "pv" in g.vertices.columns:
                 new = new.withColumn("pv", F.try_parse_json("properties"))
             g.vertices = g.vertices.unionByName(new)
+            if g.durable_path:
+                # pin before overwriting the parquet this lineage reads
+                g.vertices = g.vertices.localCheckpoint(eager=True)
+                g.persist()
         return ids
 
     def _append_edges(self, g: Graph, rows: list[tuple[str, int, int, dict]]) -> None:
         from postgraph_spark.graph import EDGE_SCHEMA, make_graphid
 
-        if not hasattr(g, "_next_entry"):
-            g._next_entry = {}
         data = []
         for label, src, dst, props in rows:
-            lid = g.label_ids.setdefault(label, len(g.label_ids) + 1)
-            eid = g._next_entry.get(label, 0) + 1
-            g._next_entry[label] = eid
+            lid, eid = g.alloc_entry_ids(label, 1)
             data.append((make_graphid(lid, eid), src, dst, label, json.dumps(props)))
         if data:
             new = self.spark.createDataFrame(data, EDGE_SCHEMA)
             if "pv" in g.edges.columns:
                 new = new.withColumn("pv", F.try_parse_json("properties"))
             g.edges = g.edges.unionByName(new)
+            if g.durable_path:
+                g.edges = g.edges.localCheckpoint(eager=True)
+                g.persist()
 
 
 def _literal_value(e):

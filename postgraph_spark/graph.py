@@ -87,6 +87,10 @@ class Graph:
         self.vertices = vertices
         self.edges = edges
         self.label_ids = dict(label_ids or {})
+        #: when set, every committed write persists here (the analog of
+        #: the reference's heap-table durability; WriteRunner calls
+        #: persist() after each commit)
+        self.durable_path: str | None = None
 
     def vertices_with_label(self, label: str | None) -> DataFrame:
         """Label scan. With a known label id this is a graphid high-bits
@@ -153,21 +157,71 @@ class Graph:
 
     @classmethod
     def read(cls, spark: SparkSession, path: str, name: str | None = None) -> "Graph":
-        vertices = spark.read.parquet(os.path.join(path, "vertices"))
-        edges = spark.read.parquet(os.path.join(path, "edges"))
+        def load(sub: str, schema) -> DataFrame:
+            p = os.path.join(path, sub)
+            try:
+                return spark.read.schema(schema).parquet(p)
+            except Exception:  # empty/new graph: no files yet
+                return spark.createDataFrame([], schema)
+
+        vertices = load("vertices", VERTEX_SCHEMA)
+        edges = load("edges", EDGE_SCHEMA)
         meta_path = os.path.join(path, "catalog.json")
         label_ids = {}
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 label_ids = json.load(f).get("label_ids", {})
-        return cls(name or os.path.basename(path), vertices, edges, label_ids)
+        g = cls(name or os.path.basename(path), vertices, edges, label_ids)
+        g.durable_path = path
+        return g
 
     def write(self, path: str, mode: str = "overwrite") -> None:
         """Persist partitioned by label → labeled scans prune partitions."""
-        self.vertices.write.mode(mode).partitionBy("label").parquet(os.path.join(path, "vertices"))
-        self.edges.write.mode(mode).partitionBy("label").parquet(os.path.join(path, "edges"))
+        os.makedirs(path, exist_ok=True)
+        self.vertices.select(*VERTEX_SCHEMA.fieldNames()).write.mode(mode).partitionBy(
+            "label"
+        ).parquet(os.path.join(path, "vertices"))
+        self.edges.select(*EDGE_SCHEMA.fieldNames()).write.mode(mode).partitionBy(
+            "label"
+        ).parquet(os.path.join(path, "edges"))
         with open(os.path.join(path, "catalog.json"), "w") as f:
             json.dump({"name": self.name, "label_ids": self.label_ids}, f)
+
+    def persist(self) -> None:
+        """Durable-commit hook: flush the current tables to the graph's
+        backing parquet directory (no-op for session-lifetime graphs).
+        Both tables are pinned (localCheckpoint) first — an overwrite of
+        files a table's lineage still reads would otherwise invalidate
+        it (classic parquet overwrite-while-reading hazard). A lakehouse
+        deployment swaps this for Delta MERGE/append, which versions
+        instead of overwriting."""
+        if self.durable_path:
+            self.vertices = self.vertices.localCheckpoint(eager=True)
+            self.edges = self.edges.localCheckpoint(eager=True)
+            self.write(self.durable_path)
+
+    def alloc_entry_ids(self, label: str, n: int) -> tuple[int, int]:
+        """Reserve n per-label sequence values -> (label_id,
+        first_entry_id). Mirrors the reference's label sequences
+        (label_commands.c:563-583); the high-water mark is recovered
+        from the stored tables on first use per label, so a REOPENED
+        durable graph never re-issues ids."""
+        lid = self.label_ids.setdefault(label, len(self.label_ids) + 1)
+        if not hasattr(self, "_next_entry"):
+            self._next_entry: dict[str, int] = {}
+        if label not in self._next_entry:
+            mx = 0
+            for tbl in (self.vertices, self.edges):
+                row = (
+                    tbl.filter(F.col("label") == label)
+                    .agg(F.max(graphid_entry_id(F.col("id"))).alias("m"))
+                    .collect()[0]
+                )
+                mx = max(mx, row["m"] or 0)
+            self._next_entry[label] = mx
+        base = self._next_entry[label] + 1
+        self._next_entry[label] += n
+        return lid, base
 
 
 class GraphCatalog:
@@ -186,6 +240,9 @@ class GraphCatalog:
                 return self.graphs[name]
             raise ValueError(f"graph {name!r} already exists")
         g = Graph.from_rows(self.spark, name, [], [])
+        if self.root:
+            g.durable_path = os.path.join(self.root, name)
+            g.persist()
         self.graphs[name] = g
         if self.current is None:
             self.current = name

@@ -44,11 +44,18 @@ def _spread(df: DataFrame) -> DataFrame:
     """Widen under-partitioned input to the cluster's parallelism before
     CPU-heavy per-row work (tokenize/shingle/hash). A single small parquet
     file arrives as ONE partition — without this every shingle of the
-    corpus is computed on one core. No-op when the input is already at
-    least as wide (the 100 TB case)."""
+    corpus is computed on one core. Decided from FILE METADATA only
+    (df.inputFiles is catalog state): the old df.rdd.getNumPartitions()
+    probe forced plan-to-RDD conversion, which under AQE materializes
+    stages — a hidden job on the hot path. A 100 TB input has thousands
+    of files -> no-op; a derived (non-scan) df -> no-op."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < nfiles < target:
         return df.repartition(target)
     return df
 
@@ -138,35 +145,55 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs (a < b, jac >= t).
 
-    Inverted-index self-join on shingle: only documents sharing at least
-    one shingle ever meet, so cost is sum over shingles of freq^2 — the
-    standard scalable set-similarity join (prefix filtering would trim
-    further; omitted for clarity).
+    Prefix-filtered set-similarity join (PPJoin-family): shingles are
+    globally ordered rarest-first; a document of |A| shingles exposes
+    only its first |A| - ceil(t*|A|) + 1 as candidate keys — two sets
+    with jac >= t MUST share a prefix element under any shared total
+    order. Candidates verify exactly via array_intersect on the per-doc
+    sorted shingle arrays. This kills the freq^2 blow-up of a plain
+    inverted-index join on ubiquitous stop-shingles: the most frequent
+    shingles sort LAST and never enter a prefix.
     """
-    # The join key is the 64-bit shingle hash, not the text — the same
-    # equality classes (collisions negligible at 2^-64) with far smaller
-    # shuffle rows. Self-joining ONE plan via alias lets Spark reuse the
-    # shuffle exchange for both sides; the tiny per-doc size table joins
-    # back by broadcast, so the only large shuffle is the inverted-index
-    # join itself.
+    # 64-bit shingle hashes, not text: same equality classes (collisions
+    # negligible at 2^-64), far smaller shuffle rows.
     sh = doc_shingles(df, id_col, text_col, k).select(
         F.col(id_col).alias("id"), F.xxhash64("shingle").alias("shingle")
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), F.col("x.shingle") == F.col("y.shingle"))
-        .filter(F.col("x.id") < F.col("y.id"))
-        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # global rarity order: (frequency asc, shingle) — computed with one
+    # narrow agg and joined back (shuffle on shingle, same key as the
+    # old inverted index but carrying counts, not pairs)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = sh.join(freq, "shingle")
+    arrs = ranked.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("cnt", "shingle"))), lambda x: x["shingle"]
+        ).alias("arr")
     )
-    sa = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b"))
+    sz = F.size("arr")
+    plen = (sz - F.ceil(sz * threshold) + 1).cast("int")
+    pre = arrs.select(
+        F.col("id"), F.col("arr"), F.explode(F.slice("arr", 1, plen)).alias("pshingle")
+    )
+    cands = (
+        pre.select(F.col("id").alias("a"), F.col("arr").alias("arr_a"), "pshingle")
+        .join(
+            pre.select(F.col("id").alias("b"), F.col("arr").alias("arr_b"), "pshingle"),
+            "pshingle",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "arr_a", "arr_b")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
     return (
-        inter.join(F.broadcast(sa), "a")
-        .join(F.broadcast(sb), "b")
+        cands.withColumn("inter", inter)
         .withColumn(
-            "jac", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6)
+            "jac",
+            F.round(
+                F.col("inter")
+                / (F.size("arr_a") + F.size("arr_b") - F.col("inter")),
+                6,
+            ),
         )
         .filter(F.col("jac") >= threshold)
         .select("a", "b", "jac")

@@ -126,27 +126,10 @@ class WriteRunner:
         return f"__{prefix}{self._anon}"
 
     def _alloc_base(self, label: str, n: int) -> tuple[int, int]:
-        """Reserve n entry ids for label -> (label_id, first_entry_id)."""
-        g = self.graph
-        lid = g.label_ids.setdefault(label, len(g.label_ids) + 1)
-        if not hasattr(g, "_next_entry"):
-            g._next_entry = {}
-        if label not in g._next_entry:
-            # recover the sequence position from the stored tables
-            from postgraph_spark.graph import graphid_entry_id
-
-            mx = 0
-            for tbl in (g.vertices, g.edges):
-                row = (
-                    tbl.filter(F.col("label") == label)
-                    .agg(F.max(graphid_entry_id(F.col("id"))).alias("m"))
-                    .collect()[0]
-                )
-                mx = max(mx, row["m"] or 0)
-            g._next_entry[label] = mx
-        base = g._next_entry[label] + 1
-        g._next_entry[label] = g._next_entry[label] + n
-        return lid, base
+        """Reserve n entry ids for label -> (label_id, first_entry_id)
+        (Graph.alloc_entry_ids: per-label sequence with durable
+        high-water-mark recovery)."""
+        return self.graph.alloc_entry_ids(label, n)
 
     def _with_rowid(self, df: DataFrame | None) -> tuple[DataFrame, int]:
         """0..n-1 row ids WITHOUT a global single-partition window: one
@@ -194,12 +177,14 @@ class WriteRunner:
         if "pv" in g.vertices.columns:
             new_rows = new_rows.withColumn("pv", F.try_parse_json("properties"))
         g.vertices = g.vertices.unionByName(new_rows).localCheckpoint(eager=True)
+        g.persist()
 
     def _commit_edges(self, new_rows: DataFrame) -> None:
         g = self.graph
         if "pv" in g.edges.columns:
             new_rows = new_rows.withColumn("pv", F.try_parse_json("properties"))
         g.edges = g.edges.unionByName(new_rows).localCheckpoint(eager=True)
+        g.persist()
 
     # ------------------------------------------------------------- CREATE
 
@@ -353,6 +338,7 @@ class WriteRunner:
                 if "pv" in g.vertices.columns:  # keep the variant in sync
                     upd = upd.withColumn("pv", F.try_parse_json("properties"))
                 g.vertices = upd.localCheckpoint(eager=True)
+                g.persist()
             else:
                 upd = (
                     g.edges.join(updates, F.col("id") == F.col("__uid"), "left_outer")
@@ -362,6 +348,7 @@ class WriteRunner:
                 if "pv" in g.edges.columns:
                     upd = upd.withColumn("pv", F.try_parse_json("properties"))
                 g.edges = upd.localCheckpoint(eager=True)
+                g.persist()
         return df
 
     # ------------------------------------------------------------- DELETE
@@ -408,6 +395,7 @@ class WriteRunner:
                 eager=True
             )
         g.edges = edges.localCheckpoint(eager=True)
+        g.persist()
 
     # -------------------------------------------------------------- MERGE
 

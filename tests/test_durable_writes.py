@@ -1,0 +1,59 @@
+"""Durable write path: a catalog with a root directory persists every
+committed write through Graph.write (label-partitioned parquet +
+catalog.json), and a FRESH catalog over the same root reopens the graph
+with identical contents — the Spark analog of the reference's heap-table
+durability (label_commands.c storage; graph_commands.c catalog)."""
+
+import pytest
+
+from postgraph_spark.engine import CypherEngine
+from postgraph_spark.graph import GraphCatalog
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "graphs")
+
+
+def test_write_reopen_read(spark, root):
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    eng = CypherEngine(spark, GraphCatalog(spark, root=root))
+    eng.execute("CREATE GRAPH durable")
+    eng.execute("USE GRAPH durable")
+    eng.execute(
+        "CREATE (a:person {name: 'ann', age: 31})-[:knows {since: 2020}]->(b:person {name: 'bob'})"
+    )
+    eng.execute("CREATE (c:city {name: 'lille'})")
+    eng.execute("MATCH (p:person {name: 'ann'}) SET p.age = 32")
+
+    # a fresh catalog (new engine, same root) must see the committed state
+    eng2 = CypherEngine(spark, GraphCatalog(spark, root=root))
+    eng2.execute("USE GRAPH durable")
+    rows = eng2.fetch(
+        "MATCH (a:person)-[e:knows]->(b:person) "
+        "RETURN a.name AS an, a.age AS age, e.since AS since, b.name AS bn"
+    )
+    assert rows == [("ann", 32, 2020, "bob")]
+    assert eng2.fetch_values("MATCH (c:city) RETURN c.name") == ["lille"]
+
+    # deletes persist too
+    eng2.execute("MATCH (c:city) DELETE c")
+    eng3 = CypherEngine(spark, GraphCatalog(spark, root=root))
+    eng3.execute("USE GRAPH durable")
+    assert eng3.fetch_values("MATCH (c:city) RETURN c.name") == []
+    # id allocation resumes past persisted ids (sequence recovery)
+    eng3.execute("CREATE (d:person {name: 'cec'})")
+    ids = eng3.fetch_values("MATCH (p:person) RETURN id(p)")
+    assert len(ids) == len(set(ids)) == 3
+
+
+def test_session_graphs_stay_in_memory(spark, tmp_path):
+    """No root -> no durable path -> nothing written to disk."""
+    eng = CypherEngine(spark, GraphCatalog(spark))
+    eng.execute("CREATE GRAPH ephemeral")
+    eng.execute("USE GRAPH ephemeral")
+    eng.execute("CREATE (a:x {v: 1})")
+    assert eng.graph.durable_path is None
+    assert eng.fetch_values("MATCH (a:x) RETURN a.v") == [1]
