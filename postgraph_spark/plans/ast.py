@@ -70,11 +70,30 @@ class IsNull:
 
 
 @dataclass
+class WindowSpec:
+    """OVER (...) / WINDOW name AS (...) definition
+    (cypher_gram.y:17407-17520)."""
+
+    ref_name: Optional[str] = None  # existing window name to extend
+    partition_by: list = field(default_factory=list)  # exprs
+    order_by: list = field(default_factory=list)  # SortItem
+    frame_kind: Optional[str] = None  # 'rows' | 'range' | None (default)
+    frame_start: Optional[Any] = None  # 'unbounded' | 'current' | (expr, )
+    frame_end: Optional[Any] = None
+    frame_start_dir: Optional[str] = None  # 'preceding' | 'following'
+    frame_end_dir: Optional[str] = None
+
+
+@dataclass
 class FuncCall:
     name: str  # lowercase
     args: list
     distinct: bool = False
     star: bool = False  # count(*)
+    # decorations (cypher_gram.y:17218: within_group filter over)
+    over: Any = None  # WindowSpec | str (named window) | None
+    filter_where: Any = None  # FILTER (WHERE expr)
+    within_group: list = field(default_factory=list)  # WITHIN GROUP (ORDER BY ...)
 
 
 @dataclass
@@ -152,6 +171,15 @@ class ReturnItem:
 
 
 @dataclass
+class GroupSpec:
+    """One GROUP BY item: a plain expr or rollup/cube over exprs
+    (cypher_gram.y:4431-4460)."""
+
+    kind: str  # 'expr' | 'rollup' | 'cube'
+    exprs: list
+
+
+@dataclass
 class WithClause:
     items: list  # ReturnItem
     distinct: bool = False
@@ -160,6 +188,10 @@ class WithClause:
     skip: Any | None = None
     limit: Any | None = None
     star: bool = False  # WITH *
+    # explicit decorations (cypher_gram.y:5099-5171)
+    group_by: list = field(default_factory=list)  # GroupSpec
+    having: Any | None = None
+    windows: dict = field(default_factory=dict)  # name -> WindowSpec
 
 
 @dataclass

@@ -28,9 +28,16 @@ from postgraph_spark.plans import ast as A
 
 AGG_FNS = {
     "count", "sum", "avg", "min", "max", "collect", "stdev", "stdevp",
-    "percentilecont", "percentiledisc", "corr", "covar_pop", "covar_samp",
+    "percentilecont", "percentiledisc", "percentile_cont", "percentile_disc",
+    "corr", "covar_pop", "covar_samp",
     "regr_slope", "regr_intercept", "regr_r2", "regr_avgx", "regr_avgy",
     "regr_count", "regr_sxx", "regr_syy", "regr_sxy",
+}
+
+#: pure window functions (value depends on the frame, not a group)
+WINDOW_FNS = {
+    "row_number", "rank", "dense_rank", "percent_rank", "cume_dist",
+    "ntile", "lag", "lead", "first_value", "last_value",
 }
 
 _CAST_FN = {
@@ -337,7 +344,11 @@ class Compiler:
                 for a in e.args:
                     a, df = walk(a, df)
                     args.append(a)
-                return A.FuncCall(e.name, args, distinct=e.distinct, star=e.star), df
+                return A.FuncCall(
+                    e.name, args, distinct=e.distinct, star=e.star,
+                    over=e.over, filter_where=e.filter_where,
+                    within_group=e.within_group,
+                ), df
             return e, df
 
         return walk(expr, df)
@@ -579,7 +590,7 @@ class Compiler:
 
     def _contains_agg(self, e) -> bool:
         if isinstance(e, A.FuncCall):
-            if e.name in AGG_FNS:
+            if e.name in AGG_FNS and e.over is None:  # agg OVER = window fn
                 return True
             return any(self._contains_agg(a) for a in e.args)
         if isinstance(e, A.BinOp):
@@ -602,7 +613,7 @@ class Compiler:
     def _extract_aggs(self, e, found: list):
         """Replace aggregate subtrees with Var placeholders (the analog of
         the implicit-grouping walk, cypher_item.c:168-236)."""
-        if isinstance(e, A.FuncCall) and e.name in AGG_FNS:
+        if isinstance(e, A.FuncCall) and e.name in AGG_FNS and e.over is None:
             found.append(e)
             return A.Var(f"__agg{len(found) - 1}")
         if isinstance(e, A.FuncCall):
@@ -612,6 +623,9 @@ class Compiler:
                 [self._extract_aggs(a, found) for a in e.args],
                 distinct=e.distinct,
                 star=e.star,
+                over=e.over,
+                filter_where=e.filter_where,
+                within_group=e.within_group,
             )
         if isinstance(e, A.BinOp):
             return A.BinOp(e.op, self._extract_aggs(e.left, found), self._extract_aggs(e.right, found))
@@ -629,10 +643,18 @@ class Compiler:
         # WITH ... WHERE resolves against the INPUT scope (the reference
         # puts the qual in the same Query as the projection, so FROM
         # columns are visible — regress/sql/cypher_with.sql:
-        # `MATCH (n) WITH n as a WHERE n.i = 1 RETURN a`)
+        # `MATCH (n) WITH n as a WHERE n.i = 1 RETURN a`). openCypher
+        # additionally lets WHERE reference the clause's own aliases
+        # (`WITH x AS y WHERE y > 1`) — unresolvable input-side quals
+        # defer to after the projection.
+        deferred_where = None
         if is_with and clause.where is not None and df is not None:
-            w, df = self._rewrite_exists(clause.where, df, scope)
-            df = df.filter(G.truth(self.compile_expr(w, df, scope)))
+            try:
+                w, df2 = self._rewrite_exists(clause.where, df, scope)
+                cond = G.truth(self.compile_expr(w, df2, scope))
+                df = df2.filter(cond)
+            except CompileError:
+                deferred_where = clause.where
         if is_with and clause.star:
             # reserved __-prefixed bindings (EXISTS markers) are internal
             items = [
@@ -661,8 +683,16 @@ class Compiler:
 
         has_agg = any(self._contains_agg(it.expr) for it in items)
         new_scope = Scope()
+        # named windows of this clause, visible to its items' OVER refs
+        self._active_windows = getattr(clause, "windows", {}) or {}
+        explicit_group = list(getattr(clause, "group_by", []) or [])
+        having = getattr(clause, "having", None)
 
-        if not has_agg:
+        if explicit_group or having is not None:
+            out, new_scope = self._compile_explicit_group(
+                clause, items, names, explicit_group, having, df, scope
+            )
+        elif not has_agg:
             cols = []
             for item, name in zip(items, names):
                 col, kind = self._compile_item(item.expr, df, scope)
@@ -717,6 +747,8 @@ class Compiler:
                     final_cols.append(F.col(f"__gk{key_pos[name]}").alias(name))
             out = agg_df.select(*final_cols)
 
+        if deferred_where is not None:
+            out = out.filter(G.truth(self.compile_expr(deferred_where, out, new_scope)))
         if clause.distinct:
             out = out.distinct()
         if clause.order_by:
@@ -726,6 +758,114 @@ class Compiler:
         if clause.limit is not None:
             out = out.limit(self._int_lit(clause.limit))
         return out, new_scope
+
+    # ------------------------------------- explicit GROUP BY / HAVING
+
+    def _compile_explicit_group(self, clause, items, names, group_specs, having, df, scope):
+        """WITH ... GROUP BY g1, g2 [HAVING pred] (cypher_gram.y:
+        5099-5171, 4383-4460): grouping keys are the listed expressions
+        (plain / ROLLUP / CUBE); every non-aggregate item must match a
+        key; HAVING filters groups and may contain its own aggregates."""
+        if df is None:
+            df = self.spark.range(1).select(F.lit(1).alias("__one"))
+        new_scope = Scope()
+        key_exprs: list = []
+        kind = "plain"
+        for gs in group_specs:
+            if gs.kind == "expr":
+                key_exprs.extend(gs.exprs)
+            else:
+                if len(group_specs) != 1:
+                    raise CompileError("ROLLUP/CUBE must be the only GROUP BY item")
+                kind = gs.kind
+                key_exprs.extend(gs.exprs)
+        if not key_exprs and having is None:
+            raise CompileError("GROUP BY requires at least one key")
+
+        key_cols = []
+        for i, ke in enumerate(key_exprs):
+            col, _k = self._compile_item(ke, df, scope)
+            key_cols.append(col.alias(f"__gk{i}"))
+        pre = df.select(*key_cols, "*")
+        gcols = [F.col(f"__gk{i}") for i in range(len(key_exprs))]
+        if kind == "rollup":
+            grouped = pre.rollup(*gcols)
+        elif kind == "cube":
+            grouped = pre.cube(*gcols)
+        else:
+            grouped = pre.groupBy(*gcols)
+
+        def replace_keys(e):
+            """Swap subtrees equal to a grouping key for its __gk ref —
+            lets post-aggregation expressions mention the keys."""
+            for i, ke in enumerate(key_exprs):
+                if e == ke:
+                    return A.Var(f"__gk{i}")
+            if isinstance(e, A.BinOp):
+                return A.BinOp(e.op, replace_keys(e.left), replace_keys(e.right))
+            if isinstance(e, A.UnaryOp):
+                return A.UnaryOp(e.op, replace_keys(e.operand))
+            if isinstance(e, A.IsNull):
+                return A.IsNull(replace_keys(e.operand), e.negated)
+            if isinstance(e, A.Cast):
+                return A.Cast(replace_keys(e.operand), e.type_name)
+            if isinstance(e, A.FuncCall):
+                return A.FuncCall(
+                    e.name, [replace_keys(a) for a in e.args],
+                    distinct=e.distinct, star=e.star, over=e.over,
+                    filter_where=e.filter_where, within_group=e.within_group,
+                )
+            return e
+
+        agg_nodes: list = []
+        outer = []  # (name, rewritten_expr_or_keyindex, is_agg)
+        for item, name in zip(items, names):
+            if self._contains_agg(item.expr):
+                rewritten = replace_keys(self._extract_aggs(item.expr, agg_nodes))
+                outer.append((name, rewritten, True))
+            elif item.expr in key_exprs:
+                outer.append((name, key_exprs.index(item.expr), False))
+            else:
+                # expression OVER grouping keys (PG allows g || '!' when
+                # grouped by g) — compile post-aggregation with key refs
+                rewritten = replace_keys(item.expr)
+                if rewritten == item.expr:
+                    raise CompileError(
+                        f"non-aggregate item {name!r} must appear in GROUP BY"
+                    )
+                outer.append((name, rewritten, True))
+        having_rewritten = None
+        if having is not None:
+            having_rewritten = replace_keys(self._extract_aggs(having, agg_nodes))
+        agg_cols = [
+            self._compile_agg(node, df, scope).alias(f"__agg{i}")
+            for i, node in enumerate(agg_nodes)
+        ]
+        agg_df = grouped.agg(*agg_cols) if agg_cols else grouped.agg(F.count(F.lit(1)).alias("__cnt"))
+
+        out_scope = Scope()
+        for i in range(len(agg_nodes)):
+            out_scope.kinds[f"__agg{i}"] = VKIND_VALUE
+        for i in range(len(key_exprs)):
+            out_scope.kinds[f"__gk{i}"] = VKIND_VALUE
+        if having_rewritten is not None:
+            # HAVING may also reference item aliases bound to keys
+            hdf = agg_df
+            for name, ref, is_agg in outer:
+                if not is_agg:
+                    hdf = hdf.withColumn(name, F.col(f"__gk{ref}"))
+                    out_scope.kinds[name] = VKIND_VALUE
+            agg_df = hdf.filter(G.truth(self.compile_expr(having_rewritten, hdf, out_scope)))
+
+        final_cols = []
+        for name, ref, is_agg in outer:
+            if is_agg:
+                col, _k = self._compile_item(ref, agg_df, out_scope)
+                final_cols.append(col.alias(name))
+            else:
+                final_cols.append(F.col(f"__gk{ref}").alias(name))
+            new_scope.kinds[name] = VKIND_VALUE
+        return agg_df.select(*final_cols), new_scope
 
     def _int_lit(self, e) -> int:
         if isinstance(e, A.Lit) and isinstance(e.value, int):
@@ -766,17 +906,35 @@ class Compiler:
 
     def _compile_agg(self, e: A.FuncCall, df, scope) -> Column:
         name = e.name
+        # percentile_cont(p) WITHIN GROUP (ORDER BY x) == the 2-arg
+        # percentilecont(x, p) spelling (g.y:17218 within_group_clause)
+        if name in ("percentile_cont", "percentile_disc"):
+            name = name.replace("_", "")
+        if name in ("percentilecont", "percentiledisc") and e.within_group:
+            e = A.FuncCall(
+                name, [e.within_group[0].expr, e.args[0]], filter_where=e.filter_where
+            )
+        # FILTER (WHERE pred): rows failing the predicate contribute a
+        # gtype null, which every aggregate path already skips
+        fcond = None
+        if e.filter_where is not None:
+            fcond = G.truth(self.compile_expr(e.filter_where, df, scope))
         if name == "count":
             if e.star:
-                return G.gv_int(F.count(F.lit(1)))
+                inner0 = F.lit(1) if fcond is None else F.when(fcond, F.lit(1))
+                return G.gv_int(F.count(inner0))
             arg, kind = self._compile_item(e.args[0], df, scope)
             present = arg["t"] != G.T_NULL if kind == VKIND_VALUE else arg.isNotNull()
+            if fcond is not None:
+                present = present & fcond
             inner = F.when(present, F.lit(1))
             if e.distinct:
                 key = F.when(present, G.sort_key(arg) if kind == VKIND_VALUE else arg["id"])
                 return G.gv_int(F.count_distinct(key))
             return G.gv_int(F.count(inner))
         arg = self.compile_expr(e.args[0], df, scope)
+        if fcond is not None:
+            arg = F.when(fcond, arg).otherwise(G.gv_null())
         valid = arg["t"] != G.T_NULL
         d = arg["d"]
         if name == "sum":
@@ -982,6 +1140,127 @@ class Compiler:
     # ------------------------------------------------- scalar functions
 
     def _compile_func(self, e: A.FuncCall, df, scope) -> Column:
+        if e.over is not None:
+            return self._compile_window_func(e, df, scope)
         from postgraph_spark.plans.functions_map import compile_scalar_function
 
         return compile_scalar_function(self, e, df, scope)
+
+    # --------------------------------------------------- window functions
+
+    def _resolve_window(self, spec, df, scope):
+        """WindowSpec | window name -> pyspark WindowSpec (g.y:17407-
+        17520). Named windows come from the enclosing WITH's WINDOW
+        clause; ref_name extends an existing definition."""
+        from pyspark.sql.window import Window as W
+
+        active = getattr(self, "_active_windows", {}) or {}
+        if isinstance(spec, str):
+            if spec not in active:
+                raise CompileError(f"unknown window {spec!r}")
+            spec = active[spec]
+        part = list(spec.partition_by)
+        order = list(spec.order_by)
+        if spec.ref_name:
+            ref = active.get(spec.ref_name)
+            if ref is None:
+                raise CompileError(f"unknown window {spec.ref_name!r}")
+            part = list(ref.partition_by) + part
+            order = list(ref.order_by) + order
+        pcols = [G.sort_key(self.compile_expr(p, df, scope)) for p in part]
+        # RANGE frames with value offsets need a single NUMERIC order
+        # column — ride the gval's numeric axis there; otherwise the
+        # total-order sort key preserves gtype orderability
+        value_range = spec.frame_kind == "range" and not (
+            spec.frame_start in ("unbounded", "current")
+            and spec.frame_end in ("unbounded", "current")
+        )
+
+        def ocol(si: A.SortItem) -> Column:
+            gv = self.compile_expr(si.expr, df, scope)
+            c = gv["d"] if value_range else G.sort_key(gv)
+            return c.desc() if si.descending else c.asc()
+
+        w = W.partitionBy(*pcols) if pcols else W.partitionBy(F.lit(1))
+        if order:
+            w = w.orderBy(*[ocol(si) for si in order])
+
+        if spec.frame_kind:
+            def bound(b, d, default):
+                if b == "unbounded":
+                    return W.unboundedPreceding if d == "preceding" else W.unboundedFollowing
+                if b == "current":
+                    return W.currentRow
+                if b is None:
+                    return default
+                n = self._int_lit(b)
+                return -n if d == "preceding" else n
+
+            lo = bound(spec.frame_start, spec.frame_start_dir, W.unboundedPreceding)
+            hi = bound(spec.frame_end, spec.frame_end_dir, W.currentRow)
+            w = w.rowsBetween(lo, hi) if spec.frame_kind == "rows" else w.rangeBetween(lo, hi)
+        return w
+
+    def _compile_window_func(self, e: A.FuncCall, df, scope) -> Column:
+        """fn(...) OVER (...) — ranking/navigation fns plus windowed
+        aggregates (the reference reuses PG's windowagg executor;
+        here each maps to a pyspark Window expression)."""
+        w = self._resolve_window(e.over, df, scope)
+        name = e.name
+
+        if name == "row_number":
+            return G.gv_int(F.row_number().over(w))
+        if name == "rank":
+            return G.gv_int(F.rank().over(w))
+        if name == "dense_rank":
+            return G.gv_int(F.dense_rank().over(w))
+        if name == "percent_rank":
+            return G.gv_float(F.percent_rank().over(w))
+        if name == "cume_dist":
+            return G.gv_float(F.cume_dist().over(w))
+        if name == "ntile":
+            return G.gv_int(F.ntile(self._int_lit(e.args[0])).over(w))
+        if name in ("lag", "lead"):
+            arg = self.compile_expr(e.args[0], df, scope)
+            off = self._int_lit(e.args[1]) if len(e.args) > 1 else 1
+            fn = F.lag if name == "lag" else F.lead
+            shifted = fn(arg, off).over(w)
+            if len(e.args) > 2:
+                default = self.compile_expr(e.args[2], df, scope)
+                shifted = F.coalesce(shifted, default)
+            return F.coalesce(shifted, G.gv_null())
+        if name in ("first_value", "last_value"):
+            arg = self.compile_expr(e.args[0], df, scope)
+            fn = F.first_value if name == "first_value" else F.last_value
+            return F.coalesce(fn(arg).over(w), G.gv_null())
+
+        # windowed aggregates
+        if name == "count":
+            if e.star:
+                return G.gv_int(F.count(F.lit(1)).over(w))
+            arg = self.compile_expr(e.args[0], df, scope)
+            return G.gv_int(F.count(F.when(arg["t"] != G.T_NULL, F.lit(1))).over(w))
+        arg = self.compile_expr(e.args[0], df, scope)
+        d = arg["d"]
+        if name == "sum":
+            all_int = F.min(F.when(arg["t"] == G.T_NUMBER, arg["i"].isNotNull())).over(w)
+            return G.gv_num(i=F.when(all_int, F.sum(arg["i"]).over(w)), d=F.sum(d).over(w))
+        if name == "avg":
+            return G.gv_float(F.avg(d).over(w))
+        if name in ("min", "max"):
+            # numeric/string payloads (cross-type windowed min/max would
+            # need min_by-over-window, which Spark lacks)
+            fn = F.min if name == "min" else F.max
+            md = fn(d).over(w)
+            ms = fn(arg["s"]).over(w)
+            t = (
+                F.when(md.isNotNull(), F.lit(G.T_NUMBER))
+                .when(ms.isNotNull(), F.lit(G.T_STRING))
+                .otherwise(F.lit(G.T_NULL))
+            )
+            return G._mk(t, d=md, s=ms)
+        if name == "stdev":
+            return G.gv_float(F.stddev_samp(d).over(w))
+        if name == "stdevp":
+            return G.gv_float(F.stddev_pop(d).over(w))
+        raise CompileError(f"unsupported window function {name}")

@@ -192,16 +192,114 @@ class Parser:
             self.advance()
         return distinct, star, items
 
+    def at_name(self, *names: str) -> bool:
+        return self.cur.kind == "name" and self.cur.value.lower() in names
+
+    def try_name(self, *names: str) -> bool:
+        if self.at_name(*names):
+            self.advance()
+            return True
+        return False
+
     def parse_with(self) -> A.WithClause:
+        """WITH items [WHERE] [GROUP BY] [HAVING] [WINDOW ...] [ORDER BY]
+        [SKIP] [LIMIT] (cypher_gram.y:5099-5171); a trailing WHERE after
+        LIMIT is also accepted (legacy position)."""
         distinct, star, items = self._return_items()
+        where = None
+        if self.try_kw("where"):
+            where = self.parse_expr()
+        group_by: list = []
+        if self.at_name("group") and self.peek().kind == "kw" and self.peek().value == "by":
+            self.advance()
+            self.advance()
+            group_by = self.parse_group_by_list()
+        having = None
+        if self.try_kw("having"):
+            having = self.parse_expr()
+        windows: dict = {}
+        if self.try_name("window"):
+            while True:
+                wname = self.name()
+                self.eat_kw("as")
+                windows[wname] = self.parse_window_spec()
+                if not self.at_op(","):
+                    break
+                self.advance()
         order_by = self.parse_order_by() if self.at_kw("order") else []
         skip = limit = None
         if self.try_kw("skip"):
             skip = self.parse_expr()
         if self.try_kw("limit"):
             limit = self.parse_expr()
-        where = self.parse_expr() if self.try_kw("where") else None
-        return A.WithClause(items, distinct, where, order_by, skip, limit, star)
+        if where is None and self.try_kw("where"):
+            where = self.parse_expr()
+        return A.WithClause(
+            items, distinct, where, order_by, skip, limit, star,
+            group_by=group_by, having=having, windows=windows,
+        )
+
+    def parse_group_by_list(self) -> list:
+        out = []
+        while True:
+            if self.at_name("rollup", "cube") and self.peek().value == "(":
+                kind = self.advance().value.lower()
+                self.eat_op("(")
+                exprs = self.parse_expr_list()
+                self.eat_op(")")
+                out.append(A.GroupSpec(kind, exprs))
+            else:
+                out.append(A.GroupSpec("expr", [self.parse_expr()]))
+            if not self.at_op(","):
+                break
+            self.advance()
+        return out
+
+    def parse_window_spec(self) -> A.WindowSpec:
+        """'(' [existing_name] [PARTITION BY exprs] [ORDER BY items]
+        [ROWS|RANGE frame] ')' (cypher_gram.y:17437-17520)."""
+        self.eat_op("(")
+        spec = A.WindowSpec()
+        if (
+            self.cur.kind == "name"
+            and self.cur.value.lower() not in ("partition", "rows", "range", "groups")
+            and not self.at_op(")")
+        ):
+            spec.ref_name = self.advance().value
+        if self.at_name("partition"):
+            self.advance()
+            self.eat_kw("by")
+            spec.partition_by = self.parse_expr_list()
+        if self.at_kw("order"):
+            spec.order_by = self.parse_order_by()
+        if self.at_name("rows", "range"):
+            spec.frame_kind = self.advance().value.lower()
+
+            def bound():
+                if self.try_name("unbounded"):
+                    d = self.advance().value.lower()  # preceding|following
+                    return "unbounded", d
+                if self.try_name("current"):
+                    tok = self.advance()  # 'row'
+                    if tok.value.lower() != "row":
+                        raise ParseError(f"expected ROW at {tok.pos}")
+                    return "current", None
+                e = self.parse_expr()
+                d = self.advance().value.lower()
+                if d not in ("preceding", "following"):
+                    raise ParseError(f"expected PRECEDING/FOLLOWING, got {d!r}")
+                return e, d
+
+            if self.at_name("between"):
+                self.advance()
+                spec.frame_start, spec.frame_start_dir = bound()
+                self.eat_kw("and")
+                spec.frame_end, spec.frame_end_dir = bound()
+            else:
+                spec.frame_start, spec.frame_start_dir = bound()
+                spec.frame_end, spec.frame_end_dir = "current", None
+        self.eat_op(")")
+        return spec
 
     def parse_return(self) -> A.ReturnClause:
         distinct, star, items = self._return_items()
@@ -637,12 +735,12 @@ class Parser:
                 if self.at_op("*"):
                     self.advance()
                     self.eat_op(")")
-                    return A.FuncCall(fname, [], star=True)
+                    return self._func_decorations(A.FuncCall(fname, [], star=True))
                 args = []
                 if not self.at_op(")"):
                     args = self.parse_expr_list()
                 self.eat_op(")")
-                return A.FuncCall(fname, args, distinct=distinct)
+                return self._func_decorations(A.FuncCall(fname, args, distinct=distinct))
             if t.kind == "name":
                 self.advance()
                 return A.Var(t.value)
@@ -676,6 +774,31 @@ class Parser:
         if t.kind == "op" and t.value == "{":
             return self.parse_map_literal()
         raise ParseError(f"unexpected token {t.value!r} at {t.pos}")
+
+    def _func_decorations(self, fc: A.FuncCall) -> A.FuncCall:
+        """Postfix decorations on a function call: WITHIN GROUP (ORDER
+        BY ...), FILTER (WHERE ...), OVER spec|name (g.y:17218)."""
+        if self.at_name("within"):
+            self.advance()
+            tok = self.advance()
+            if tok.value.lower() != "group":
+                raise ParseError(f"expected GROUP after WITHIN at {tok.pos}")
+            self.eat_op("(")
+            fc.within_group = self.parse_order_by()
+            self.eat_op(")")
+        if self.at_name("filter"):
+            self.advance()
+            self.eat_op("(")
+            self.eat_kw("where")
+            fc.filter_where = self.parse_expr()
+            self.eat_op(")")
+        if self.at_name("over"):
+            self.advance()
+            if self.at_op("("):
+                fc.over = self.parse_window_spec()
+            else:
+                fc.over = self.name()
+        return fc
 
     def parse_case(self):
         self.eat_kw("case")

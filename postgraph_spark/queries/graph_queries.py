@@ -355,3 +355,68 @@ def cypher_named_paths(spark, sf_dir):
         F.col("plen")["i"].alias("plen"),
         F.col("psz")["i"].alias("psz"),
     )
+
+
+@register(
+    "cypher_window_topn",
+    """
+    SELECT seg, okey, price, rn FROM (
+      SELECT c.c_mktsegment AS seg, CAST(o.o_orderkey AS BIGINT) AS okey,
+             round(o.o_totalprice, 2) AS price,
+             CAST(row_number() OVER (PARTITION BY c.c_mktsegment
+                  ORDER BY o.o_totalprice DESC, o.o_orderkey) AS BIGINT) AS rn
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey) t
+    WHERE rn <= 3
+    """,
+)
+def cypher_window_topn(spark, sf_dir):
+    """Window OVER from Cypher text (over_clause + window_specification,
+    cypher_gram.y:17425-17520): per-segment top-3 orders via
+    row_number() OVER (PARTITION BY ... ORDER BY ...) with a deferred
+    WITH ... WHERE on the window alias."""
+    eng = _tpch_engine(spark, sf_dir)
+    out = eng.execute(
+        "MATCH (c:customer)-[:placed]->(o:orders) "
+        "WITH c.c_mktsegment AS seg, o.o_totalprice AS price, o.o_orderkey AS okey "
+        "WITH seg, okey, price, "
+        "     row_number() OVER (PARTITION BY seg ORDER BY price DESC, okey) AS rn "
+        "WHERE rn <= 3 "
+        "RETURN seg, okey, round(price, 2) AS price, rn"
+    )
+    return out.select(
+        F.col("seg")["s"].alias("seg"),
+        F.col("okey")["i"].alias("okey"),
+        F.col("price")["d"].alias("price"),
+        F.col("rn")["i"].alias("rn"),
+    )
+
+
+@register(
+    "cypher_group_having",
+    """
+    SELECT c.c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o.o_totalprice), 2) AS rev,
+           CAST(count(*) FILTER (WHERE o.o_totalprice > 200000) AS BIGINT) AS n_big
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment HAVING count(*) > 100
+    """,
+)
+def cypher_group_having(spark, sf_dir):
+    """Explicit GROUP BY + HAVING + FILTER (WHERE ...) aggregates from
+    Cypher text (cypher_gram.y:5099-5171, 4383-4460, filter_clause at
+    17218)."""
+    eng = _tpch_engine(spark, sf_dir)
+    out = eng.execute(
+        "MATCH (c:customer)-[:placed]->(o:orders) "
+        "WITH c.c_mktsegment AS seg, o.o_totalprice AS price "
+        "WITH seg, count(*) AS n, round(sum(price), 2) AS rev, "
+        "     count(*) FILTER (WHERE price > 200000) AS n_big "
+        "GROUP BY seg HAVING count(*) > 100 "
+        "RETURN seg, n, rev, n_big"
+    )
+    return out.select(
+        F.col("seg")["s"].alias("seg"),
+        F.col("n")["i"].alias("n"),
+        F.col("rev")["d"].alias("rev"),
+        F.col("n_big")["i"].alias("n_big"),
+    )
