@@ -42,6 +42,10 @@ HEADLINE = [
     "vector_distance_funcs",
     "tsearch_match",
     "cypher_with_orderby_limit",
+    "cypher_temporal_funcs",
+    "cypher_named_paths",
+    "cypher_window_topn",
+    "cypher_group_having",
 ]
 
 

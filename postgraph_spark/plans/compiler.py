@@ -58,6 +58,30 @@ class CompileError(ValueError):
     pass
 
 
+def _const_int(e) -> int | None:
+    """Driver-side evaluation of integer-constant expressions
+    (literals, unary minus, + - * / % over constants)."""
+    if isinstance(e, A.Lit) and isinstance(e.value, int) and not isinstance(e.value, bool):
+        return e.value
+    if isinstance(e, A.UnaryOp) and e.op == "-":
+        v = _const_int(e.operand)
+        return None if v is None else -v
+    if isinstance(e, A.BinOp) and e.op in ("+", "-", "*", "/", "%"):
+        a, b = _const_int(e.left), _const_int(e.right)
+        if a is None or b is None:
+            return None
+        if e.op == "+":
+            return a + b
+        if e.op == "-":
+            return a - b
+        if e.op == "*":
+            return a * b
+        if e.op == "/":
+            return None if b == 0 else int(a / b)
+        return None if b == 0 else a - b * int(a / b)
+    return None
+
+
 def _entity_struct_vertex(prefix: str = "") -> list[str]:
     return ["id", "label", "properties"]
 
@@ -285,9 +309,14 @@ class Compiler:
                         marker, G.gv_bool(F.coalesce(F.col(raw), F.lit(False)))
                     ).drop(raw)
                 else:
-                    # uncorrelated: pattern matches anywhere in the graph
-                    any_match = len(pdf.limit(1).take(1)) > 0
-                    df = df.withColumn(marker, G.gv_bool(F.lit(any_match)))
+                    # uncorrelated: broadcast a 0/1-row marker instead of
+                    # probing at COMPILE time (the old pdf.take(1) ran a
+                    # Spark job while building the plan)
+                    ex = F.broadcast(pdf.limit(1).select(F.lit(True).alias(raw)))
+                    df = df.join(ex, F.lit(True), "left_outer")
+                    df = df.withColumn(
+                        marker, G.gv_bool(F.coalesce(F.col(raw), F.lit(False)))
+                    ).drop(raw)
                 scope.kinds[marker] = VKIND_VALUE
                 return A.Var(marker), df
             if isinstance(e, A.BinOp):
@@ -868,9 +897,13 @@ class Compiler:
         return agg_df.select(*final_cols), new_scope
 
     def _int_lit(self, e) -> int:
-        if isinstance(e, A.Lit) and isinstance(e.value, int):
-            return e.value
-        raise CompileError("SKIP/LIMIT must be integer literals")
+        """Constant-fold an integer expression (SKIP/LIMIT and frame
+        offsets accept expressions in the reference; only
+        driver-evaluable constants are meaningful for plan shape)."""
+        v = _const_int(e)
+        if v is None:
+            raise CompileError("SKIP/LIMIT must be integer constant expressions")
+        return v
 
     def _sort_col(self, si: A.SortItem, df, scope) -> Column:
         e = si.expr

@@ -46,6 +46,24 @@ class _Ctx:
                 return F.col(a.name), kind
         return None, None
 
+    def prop_variant(self, i: int) -> Column | None:
+        """When arg i is a direct property access on an entity carrying
+        a parsed-variant pv, return the raw VARIANT at that path —
+        temporal casts then read the native type in one variant_get
+        instead of the full gval dispatch (a cast referenced k times
+        after projection collapse would otherwise re-run the
+        schema_of_variant type dance k times per row)."""
+        a = self.e.args[i]
+        if not (isinstance(a, A.Prop) and isinstance(a.base, A.Var)):
+            return None
+        kind = self.scope.kinds.get(a.base.name)
+        if kind not in ("vertex", "edge"):
+            return None
+        pv = self.compiler._var_pv(self.df, a.base.name)
+        if pv is None:
+            return None
+        return F.try_variant_get(pv, "$." + ".".join(a.path), "variant")
+
     @property
     def nargs(self) -> int:
         return len(self.e.args)
@@ -247,15 +265,19 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
         return _num1(ctx, F.floor)
     if name == "round":
         a = ctx.gv(0)
-        # Spark's Round requires a FOLDABLE scale (it evaluates it at
-        # plan time), so a gval field extraction is not accepted — take
-        # the literal from the AST
-        prec = 0
-        if ctx.nargs > 1:
-            arg1 = ctx.e.args[1]
-            if not (isinstance(arg1, A.Lit) and isinstance(arg1.value, int)):
-                raise ValueError("round() precision must be an integer literal")
-            prec = arg1.value
+        # Spark's Round requires a FOLDABLE scale — a literal precision
+        # uses it directly; an expression precision scales through
+        # pow(10, s) with a foldable 0-scale round (reference accepts
+        # arbitrary precision expressions)
+        if ctx.nargs > 1 and not (
+            isinstance(ctx.e.args[1], A.Lit) and isinstance(ctx.e.args[1].value, int)
+        ):
+            s = ctx.gv(1)["i"]
+            p = F.pow(F.lit(10.0), s.cast("double"))
+            return G.gv_float(
+                F.when(a["t"] == G.T_NUMBER, F.round(a["d"] * p, 0) / p)
+            )
+        prec = ctx.e.args[1].value if ctx.nargs > 1 else 0
         return G.gv_float(F.when(a["t"] == G.T_NUMBER, F.round(a["d"], prec)))
     if name == "atan2":
         return G.gv_float(F.atan2(ctx.gv(0)["d"], ctx.gv(1)["d"]))
@@ -318,11 +340,31 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
             return G.gv_timestamp(F.lit(TMP.py_parse_ts_us(lv, apply_tz=with_tz)).cast("long"))
         if isinstance(lv, int) and not isinstance(lv, bool):
             return G.gv_timestamp(F.lit(lv + TMP.PG_EPOCH_US))
+        pvc = ctx.prop_variant(0)
+        if pvc is not None:
+            # variant-native fast path: TIMESTAMP/DATE payloads read
+            # directly; strings fall back to the datetime parser
+            us = F.coalesce(
+                F.unix_micros(F.try_variant_get(pvc, "$", "timestamp")),
+                F.unix_date(F.try_variant_get(pvc, "$", "date")).cast("long") * TMP.US_PER_DAY,
+                TMP.parse_ts_us(F.try_variant_get(pvc, "$", "string"), apply_tz=with_tz),
+            )
+            return G.gv_timestamp(us)
         return TMP.cast_timestamp(ctx.gv(0), with_tz=with_tz)
     if name == "todate":
         lv = ctx.lit(0)
         if isinstance(lv, str):
             return G.gv_date(F.lit(TMP.py_parse_date_days(lv)).cast("long"))
+        pvc = ctx.prop_variant(0)
+        if pvc is not None:
+            days = F.coalesce(
+                F.unix_date(F.try_variant_get(pvc, "$", "date")).cast("long"),
+                TMP._long_floor_div(
+                    F.unix_micros(F.try_variant_get(pvc, "$", "timestamp")), TMP.US_PER_DAY
+                ),
+                TMP.parse_date_days(F.try_variant_get(pvc, "$", "string")),
+            )
+            return G.gv_date(days)
         return TMP.cast_date(ctx.gv(0))
     if name in ("totime", "totimetz"):
         lv = ctx.lit(0)

@@ -398,197 +398,277 @@ class WriteRunner:
         g.persist()
 
     # -------------------------------------------------------------- MERGE
-
     def do_merge(self, c: A.MergeClause, df, scope: Scope):
-        """Two-phase match-or-create (cypher_merge.c:199-430): probe via a
-        correlated left-outer join; create the distinct missing keys once
-        (created entities are visible to subsequent probe rows, check_path
-        cypher_merge.c:199-246 — distinct-key creation reproduces that);
-        bind matched-or-created entities into the pipeline."""
+        """Full-path match-or-create (cypher_merge.c:199-430): the WHOLE
+        pattern either matches (every match binds a row) or is created —
+        including multi-hop paths and unbound endpoints
+        (old/regress/cypher_merge.sql tests 8-13). Probe is an equi
+        left-outer join of the pipeline against the standalone-compiled
+        pattern, correlated on outer-bound vertex ids plus canonical key
+        text of correlated property expressions ({i: n.i} — test 3);
+        misses create ALL unbound entities once per distinct correlation
+        key, so created paths are visible to every probe row."""
         scope = scope.copy()
         els = c.path.elements
         if df is None:
             df = self.spark.range(1).select(F.lit(1).alias("__one"))
-        if len(els) == 1:
-            return self._merge_single_node(els[0], df, scope)
-        if len(els) == 3:
-            return self._merge_edge(els[0], els[1], els[2], df, scope)
-        raise CompileError("MERGE supports a single node or a single relationship pattern")
 
-    def _merge_single_node(self, node: A.NodePat, df: DataFrame, scope: Scope):
-        """Probe is an EQUI join on canonical key text (G.canon_key_text):
-        hash/broadcast join, never a nested-loop over gval conditions —
-        the only probe shape that survives a 100 TB vertex table."""
-        var = node.var or self._fresh("mv")
-        label = node.label or DEFAULT_VLABEL
-        keys = list(node.props.items.items()) if node.props else []
+        def free_vars(e, out):
+            if isinstance(e, A.Var):
+                out.add(e.name)
+            elif isinstance(e, A.Prop):
+                free_vars(e.base, out)
+            elif isinstance(e, A.BinOp):
+                free_vars(e.left, out)
+                free_vars(e.right, out)
+            elif isinstance(e, (A.UnaryOp, A.IsNull)):
+                free_vars(e.operand, out)
+            elif isinstance(e, A.Cast):
+                free_vars(e.operand, out)
+            elif isinstance(e, A.FuncCall):
+                for a in e.args:
+                    free_vars(a, out)
+            elif isinstance(e, (A.Index, A.Slice)):
+                free_vars(e.base, out)
+            return out
 
-        # df side: __k{i} = JSON text (for the created props); __ck{i} =
-        # canonical join key (null key -> sentinel: matches no probe row
-        # but re-joins this statement's own created rows)
-        df = df.withColumn("__kc", F.lit(1))
-        json_cols, canon_cols = [], []
-        for i, (k, vexpr) in enumerate(keys):
-            val = self.comp.compile_expr(vexpr, df, scope)
-            df = df.withColumn(f"__k{i}", F.coalesce(G.to_json_text(val), F.lit("null")))
-            df = df.withColumn(f"__ck{i}", G.canon_key_text(val, null_as_sentinel=True))
-            json_cols.append(f"__k{i}")
-            canon_cols.append(f"__ck{i}")
-
-        vt = self.graph.vertices_with_label(node.label if node.label else None)
-        vpv = F.col("pv") if "pv" in vt.columns else F.try_parse_json("properties")
-        probe = vt.select(
-            F.struct("id", "label", "properties").alias("__m"),
-            F.lit(1).alias("__pkc"),
-            *[
-                G.canon_key_text(G.prop_access_variant(vpv, [k])).alias(f"__p{i}")
-                for i, (k, _) in enumerate(keys)
-            ],
-        )
-        cond = F.col("__kc") == F.col("__pkc")
-        for i in range(len(keys)):
-            cond = cond & (F.col(f"__ck{i}") == F.col(f"__p{i}"))
-        joined = df.join(probe, cond, "left_outer").drop(
-            "__pkc", *[f"__p{i}" for i in range(len(keys))]
-        )
-
-        # one create per distinct canonical key (first-seen JSON text);
-        # created entities are visible to every probe row (check_path,
-        # cypher_merge.c:199-246)
-        misses = (
-            joined.filter(F.col("__m").isNull())
-            .groupBy("__kc", *canon_cols)
-            .agg(*[F.first(c).alias(c) for c in json_cols])
-            if keys
-            else joined.filter(F.col("__m").isNull()).select("__kc").distinct()
-        )
-        misses, n_miss = self._with_rowid(misses)
-        if n_miss:
-            lid, base = self._alloc_base(label, n_miss)
-            gid = F.lit(lid << ENTRY_ID_BITS).cast("long") + F.lit(base) + F.col("__rn")
-            if keys:
-                parts = [
-                    F.concat(F.lit(json.dumps(k)), F.lit(":"), F.col(f"__k{i}"))
-                    for i, (k, _) in enumerate(keys)
-                ]
-                props = F.concat(F.lit("{"), F.concat_ws(",", *parts), F.lit("}"))
+        # ---- classify elements; split props into pattern-const vs
+        # correlated-with-outer-scope
+        elems = []  # (kind, var, bound, el, const_props, corr_items)
+        for i, el in enumerate(els):
+            if i % 2 == 0:
+                var = el.var or self._fresh("mn")
+                bound = bool(el.var) and scope.kinds.get(el.var) == VKIND_VERTEX
             else:
-                props = F.lit("{}")
-            created = misses.select(
-                gid.alias("id"), F.lit(label).alias("label"), props.alias("properties"), "__kc", *canon_cols
-            ).localCheckpoint(eager=True)
-            self._commit_vertices(created.select("id", "label", "properties"))
-            created_structs = created.select(
-                F.struct("id", "label", "properties").alias("__c"),
-                F.col("__kc").alias("__c__kc"),
-                *[F.col(c).alias(f"__c_{c}") for c in canon_cols],
-            )
-            # pure equi join-back; matched rows also join but coalesce
-            # below prefers __m, so only miss rows bind the created entity
-            ccond = F.col("__kc") == F.col("__c__kc")
-            for c in canon_cols:
-                ccond = ccond & (F.col(c) == F.col(f"__c_{c}"))
-            joined = joined.join(created_structs, ccond, "left_outer").drop(
-                "__c__kc", *[f"__c_{c}" for c in canon_cols]
-            )
-        else:
-            joined = joined.withColumn("__c", F.lit(None).cast("struct<id:bigint,label:string,properties:string>"))
+                if el.direction == "both":
+                    raise CompileError("MERGE requires a directed relationship")
+                if el.var and el.var in scope.kinds:
+                    raise CompileError(f"MERGE cannot reuse bound relationship {el.var!r}")
+                if el.varlen is not None:
+                    raise CompileError("MERGE does not support variable-length patterns")
+                var = el.var or self._fresh("me")
+                bound = False
+            const_items, corr_items = {}, []
+            if el.props:
+                for k, vexpr in el.props.items.items():
+                    fv = free_vars(vexpr, set())
+                    if any(v in scope.kinds for v in fv):
+                        corr_items.append((k, vexpr))
+                    else:
+                        const_items[k] = vexpr
+            elems.append(("v" if i % 2 == 0 else "e", var, bound, el, const_items, corr_items))
 
-        out = joined.withColumn(var, F.coalesce(F.col("__m"), F.col("__c")))
-        drop = ["__m", "__c", "__one", "__kc", *json_cols, *canon_cols]
-        out = out.drop(*[d for d in drop if d in out.columns])
-        scope.kinds[var] = VKIND_VERTEX
-        return out.localCheckpoint(eager=True), scope
-
-    def _merge_edge(self, n0: A.NodePat, rel: A.RelPat, n1: A.NodePat, df: DataFrame, scope: Scope):
-        if not (n0.var and n0.var in scope.kinds and n1.var and n1.var in scope.kinds):
-            raise CompileError("MERGE relationship requires both endpoints bound")
-        if rel.direction == "both":
-            raise CompileError("MERGE requires a directed relationship")
-        a, b = (n1.var, n0.var) if rel.direction == "in" else (n0.var, n1.var)
-        evar = rel.var or self._fresh("me")
-        label = rel.label or DEFAULT_ELABEL
-        keys = list(rel.props.items.items()) if rel.props else []
-
-        # equi probe: endpoint ids + canonical key text (hash join — the
-        # edge table at 100 TB shuffles on (start,end,keys), no BNLJ)
-        json_cols, canon_cols = [], []
-        for i, (k, vexpr) in enumerate(keys):
-            val = self.comp.compile_expr(vexpr, df, scope)
-            df = df.withColumn(f"__k{i}", F.coalesce(G.to_json_text(val), F.lit("null")))
-            df = df.withColumn(f"__ck{i}", G.canon_key_text(val, null_as_sentinel=True))
-            json_cols.append(f"__k{i}")
-            canon_cols.append(f"__ck{i}")
-
-        et = self.graph.edges_with_label(rel.label if rel.label else None)
-        epv = F.col("pv") if "pv" in et.columns else F.try_parse_json("properties")
-        probe = et.select(
-            F.struct("id", "start_id", "end_id", "label", "properties").alias("__m"),
-            *[
-                G.canon_key_text(G.prop_access_variant(epv, [k])).alias(f"__p{i}")
-                for i, (k, _) in enumerate(keys)
-            ],
-        )
-        cond = (F.col("__m")["start_id"] == F.col(a)["id"]) & (
-            F.col("__m")["end_id"] == F.col(b)["id"]
-        )
-        for i in range(len(keys)):
-            cond = cond & (F.col(f"__ck{i}") == F.col(f"__p{i}"))
-        joined = df.join(probe, cond, "left_outer").drop(*[f"__p{i}" for i in range(len(keys))])
-
-        miss_rows = joined.filter(F.col("__m").isNull())
-        if keys:
-            misses = miss_rows.groupBy(
-                F.col(a)["id"].alias("__ms"), F.col(b)["id"].alias("__md"), *canon_cols
-            ).agg(*[F.first(c).alias(c) for c in json_cols])
-        else:
-            misses = miss_rows.select(
-                F.col(a)["id"].alias("__ms"), F.col(b)["id"].alias("__md")
-            ).distinct()
-        misses, n_miss = self._with_rowid(misses)
-        if n_miss:
-            lid, base = self._alloc_base(label, n_miss)
-            gid = F.lit(lid << ENTRY_ID_BITS).cast("long") + F.lit(base) + F.col("__rn")
-            if keys:
-                parts = [
-                    F.concat(F.lit(json.dumps(k)), F.lit(":"), F.col(f"__k{i}"))
-                    for i, (k, _) in enumerate(keys)
-                ]
-                props = F.concat(F.lit("{"), F.concat_ws(",", *parts), F.lit("}"))
+        # ---- standalone pattern compile (const props only)
+        pattern_els = []
+        for kind, var, bound, el, const_items, corr_items in elems:
+            cp = A.MapLit(dict(const_items)) if const_items else None
+            if kind == "v":
+                pattern_els.append(A.NodePat(var, el.label, cp))
             else:
-                props = F.lit("{}")
-            created = misses.select(
-                gid.alias("id"),
-                F.col("__ms").alias("start_id"),
-                F.col("__md").alias("end_id"),
-                F.lit(label).alias("label"),
-                props.alias("properties"),
-                *canon_cols,
-            ).localCheckpoint(eager=True)
-            self._commit_edges(created.select("id", "start_id", "end_id", "label", "properties"))
-            cstruct = created.select(
-                F.struct("id", "start_id", "end_id", "label", "properties").alias("__c"),
-                *[F.col(c).alias(f"__c_{c}") for c in canon_cols],
+                pattern_els.append(A.RelPat(var, el.label, cp, el.direction, None))
+        sub = Compiler(self.spark, self.graph)
+        pdf, _ps = sub.compile_match(
+            A.MatchClause([A.Path(None, pattern_els)], None, False, []), None, Scope()
+        )
+        for kind, var, *_rest in elems:
+            pdf = pdf.withColumnRenamed(var, f"__pm_{var}")
+
+        # ---- correlated prop key columns on both sides
+        corr_list = []  # (tag, elem_idx, key, expr)
+        for idx, (kind, var, bound, el, const_items, corr_items) in enumerate(elems):
+            for k, vexpr in corr_items:
+                corr_list.append((f"{idx}_{k}", idx, k, vexpr))
+        for tag, idx, k, vexpr in corr_list:
+            kind, var = elems[idx][0], elems[idx][1]
+            pmv = F.col(f"__pm_{var}")
+            ppv = pmv["pv"]
+            pdf = pdf.withColumn(
+                f"__pc_{tag}", G.canon_key_text(G.from_variant(F.try_variant_get(ppv, f"$.{k}", "variant")))
             )
-            # pure equi join-back on endpoints + canon keys; coalesce
-            # below prefers __m for rows that already matched
-            ccond = (F.col("__c")["start_id"] == F.col(a)["id"]) & (
-                F.col("__c")["end_id"] == F.col(b)["id"]
-            )
-            for c in canon_cols:
-                ccond = ccond & (F.col(c) == F.col(f"__c_{c}"))
-            joined = joined.join(cstruct, ccond, "left_outer").drop(
-                *[f"__c_{c}" for c in canon_cols]
+        oc_cols, oj_cols = [], []
+        for tag, idx, k, vexpr in corr_list:
+            val = self.comp.compile_expr(vexpr, df, scope)
+            df = df.withColumn(f"__oc_{tag}", G.canon_key_text(val, null_as_sentinel=True))
+            df = df.withColumn(f"__oj_{tag}", F.coalesce(G.to_json_text(val), F.lit("null")))
+            oc_cols.append(f"__oc_{tag}")
+            oj_cols.append(f"__oj_{tag}")
+
+        # ---- probe join: bound ids + correlated prop keys (pure equi)
+        bound_vars = [var for kind, var, bound, *_ in elems if bound]
+        cond = F.lit(True)
+        for var in dict.fromkeys(bound_vars):
+            cond = cond & (F.col(var)["id"] == F.col(f"__pm_{var}")["id"])
+        for tag, *_ in [(t,) for t, *_r in corr_list]:
+            cond = cond & (F.col(f"__oc_{tag}") == F.col(f"__pc_{tag}"))
+        joined = df.join(pdf, cond, "left_outer").drop(
+            *[f"__pc_{t}" for t, *_r in corr_list]
+        )
+        first_unmatched = elems[0][1]
+        matched = F.col(f"__pm_{first_unmatched}").isNotNull()
+
+        # ---- create whole path for distinct miss keys
+        key_cols = [F.col(v)["id"].alias(f"__bk_{v}") for v in dict.fromkeys(bound_vars)]
+        key_names = [f"__bk_{v}" for v in dict.fromkeys(bound_vars)] + oc_cols
+        miss_rows = joined.filter(~matched)
+        if key_cols or oc_cols:
+            misses = (
+                miss_rows.select(*key_cols, *oc_cols, *oj_cols)
+                .groupBy(*key_names)
+                .agg(*[F.first(cjs).alias(cjs) for cjs in oj_cols])
+                if oj_cols
+                else miss_rows.select(*key_cols, *oc_cols).distinct()
             )
         else:
-            joined = joined.withColumn(
-                "__c",
-                F.lit(None).cast(
-                    "struct<id:bigint,start_id:bigint,end_id:bigint,label:string,properties:string>"
-                ),
+            misses = miss_rows.select(F.lit(1).alias("__mk")).distinct()
+            key_names = ["__mk"]
+            joined = joined.withColumn("__mk", F.lit(1))
+        misses, n_miss = self._with_rowid(misses)
+
+        created_cols: dict[str, Column] = {}
+        if n_miss:
+            def props_json(idx) -> Column:
+                _k, _v, _b, el, const_items, corr_items = elems[idx]
+                parts = []
+                for k, vexpr in const_items.items():
+                    val = self.comp.compile_expr(vexpr, None, Scope())
+                    parts.append(
+                        F.concat(F.lit(json.dumps(k)), F.lit(":"),
+                                 F.coalesce(G.to_json_text(val), F.lit("null")))
+                    )
+                for k, vexpr in corr_items:
+                    tag = f"{idx}_{k}"
+                    parts.append(F.concat(F.lit(json.dumps(k)), F.lit(":"), F.col(f"__oj_{tag}")))
+                if not parts:
+                    return F.lit("{}")
+                return F.concat(F.lit("{"), F.concat_ws(",", *parts), F.lit("}"))
+
+            # vertices first (edges need their ids)
+            vid_expr: dict[int, Column] = {}
+            v_rows = None
+            for idx, (kind, var, bound, el, *_r) in enumerate(elems):
+                if kind != "v":
+                    continue
+                if bound:
+                    vid_expr[idx] = F.col(f"__bk_{var}")
+                    continue
+                label = el.label or DEFAULT_VLABEL
+                lid, base = self._alloc_base(label, n_miss)
+                gid = F.lit(lid << ENTRY_ID_BITS).cast("long") + F.lit(base) + F.col("__rn")
+                vid_expr[idx] = gid
+                misses = misses.withColumn(f"__cid_{var}", gid)
+                vid_expr[idx] = F.col(f"__cid_{var}")
+                sel = misses.select(
+                    F.col(f"__cid_{var}").alias("id"),
+                    F.lit(label).alias("label"),
+                    props_json(idx).alias("properties"),
+                )
+                v_rows = sel if v_rows is None else v_rows.unionByName(sel)
+                created_cols[var] = F.struct(
+                    F.col(f"__cid_{var}").alias("id"),
+                    F.lit(label).alias("label"),
+                    props_json(idx).alias("properties"),
+                )
+            e_rows = None
+            for idx, (kind, var, bound, el, *_r) in enumerate(elems):
+                if kind != "e":
+                    continue
+                label = el.label or DEFAULT_ELABEL
+                lid, base = self._alloc_base(label, n_miss)
+                gid = F.lit(lid << ENTRY_ID_BITS).cast("long") + F.lit(base) + F.col("__rn")
+                misses = misses.withColumn(f"__cid_{var}", gid)
+                src_i, dst_i = (idx - 1, idx + 1) if el.direction != "in" else (idx + 1, idx - 1)
+                sel = misses.select(
+                    F.col(f"__cid_{var}").alias("id"),
+                    vid_expr[src_i].alias("start_id"),
+                    vid_expr[dst_i].alias("end_id"),
+                    F.lit(label).alias("label"),
+                    props_json(idx).alias("properties"),
+                )
+                e_rows = sel if e_rows is None else e_rows.unionByName(sel)
+                created_cols[var] = F.struct(
+                    F.col(f"__cid_{var}").alias("id"),
+                    vid_expr[src_i].alias("start_id"),
+                    vid_expr[dst_i].alias("end_id"),
+                    F.lit(label).alias("label"),
+                    props_json(idx).alias("properties"),
+                )
+            misses = misses.localCheckpoint(eager=True)  # pin allocated ids
+            if v_rows is not None:
+                self._commit_vertices(
+                    misses.select(
+                        F.explode(
+                            F.array(*[
+                                created_cols[var]
+                                for kind, var, bound, *_r in elems
+                                if kind == "v" and not bound
+                            ])
+                        ).alias("__v")
+                    ).select("__v.id", "__v.label", "__v.properties")
+                )
+            if e_rows is not None:
+                self._commit_edges(
+                    misses.select(
+                        F.explode(
+                            F.array(*[
+                                created_cols[var]
+                                for kind, var, bound, *_r in elems
+                                if kind == "e"
+                            ])
+                        ).alias("__e")
+                    ).select("__e.id", "__e.start_id", "__e.end_id", "__e.label", "__e.properties")
+                )
+            # join created entities back to ALL rows on the same keys
+            cstructs = misses.select(
+                *[F.col(kn) for kn in key_names],
+                *[
+                    created_cols[var].alias(f"__cr_{var}")
+                    for kind, var, bound, *_r in elems
+                    if not bound
+                ],
             )
-        out = joined.withColumn(evar, F.coalesce(F.col("__m"), F.col("__c")))
-        drop = ["__m", "__c", "__one", *json_cols, *canon_cols]
-        out = out.drop(*[d for d in drop if d in out.columns])
-        scope.kinds[evar] = VKIND_EDGE
+            # outer side key name alignment: bound ids live in entity structs
+            jcond = F.lit(True)
+            for v in dict.fromkeys(bound_vars):
+                jcond = jcond & (F.col(v)["id"] == cstructs[f"__bk_{v}"])
+            for ocn in oc_cols:
+                jcond = jcond & (joined[ocn] == cstructs[ocn])
+            if not bound_vars and not oc_cols:
+                jcond = joined["__mk"] == cstructs["__mk"]
+            joined = joined.join(
+                cstructs,
+                jcond,
+                "left_outer",
+            )
+            # cstructs carries duplicate key columns — drop its copies
+            for kn in key_names:
+                joined = joined.drop(cstructs[kn])
+
+        # ---- bind each pattern var: matched struct (pv stripped) else created
+        def strip_pv(col: Column, kind: str) -> Column:
+            if kind == "v":
+                return F.struct(col["id"].alias("id"), col["label"].alias("label"),
+                                col["properties"].alias("properties"))
+            return F.struct(col["id"].alias("id"), col["start_id"].alias("start_id"),
+                            col["end_id"].alias("end_id"), col["label"].alias("label"),
+                            col["properties"].alias("properties"))
+
+        out = joined
+        for kind, var, bound, el, *_r in elems:
+            if bound:
+                out = out.drop(f"__pm_{var}")
+                continue
+            pm = strip_pv(F.col(f"__pm_{var}"), kind)
+            if n_miss and f"__cr_{var}" in out.columns:
+                bound_col = F.when(F.col(f"__pm_{var}").isNotNull(), pm).otherwise(F.col(f"__cr_{var}"))
+            else:
+                bound_col = pm
+            anonymous = el.var is None
+            out = out.withColumn(var, bound_col).drop(f"__pm_{var}", f"__cr_{var}")
+            if anonymous:
+                out = out.drop(var)
+            else:
+                scope.kinds[var] = VKIND_VERTEX if kind == "v" else VKIND_EDGE
+        drops = [c0 for c0 in out.columns if c0.startswith("__oc_") or c0.startswith("__oj_")
+                 or c0 == "__mk" or c0 == "__one" or c0.startswith("__rn")]
+        out = out.drop(*drops)
         return out.localCheckpoint(eager=True), scope
