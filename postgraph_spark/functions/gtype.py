@@ -81,6 +81,11 @@ class GVal(_ClassicColumn if _ClassicColumn is not None else Column):
     conversion/analysis walk has already paid for the full tree)."""
 
     def __getattr__(self, item):
+        if item.startswith("_"):
+            # Column.__getattr__ would turn unknown private attrs into
+            # struct-field accesses; raise like a normal object so
+            # getattr(gv, "_x", default) works
+            raise AttributeError(item)
         flds = self.__dict__.get("_gval_fields")
         if flds is not None and item in flds:
             return flds[item]
@@ -174,12 +179,27 @@ def gv_interval(months: Column, days: Column, us: Column) -> Column:
         F.lit(',"days":'), d.cast("string"),
         F.lit(',"us":'), u.cast("string"), F.lit("}"),
     )
-    return _mk(_t_or_null(norm, T_INTERVAL), i=norm, d=norm.cast("double"), j=j)
+    out = _mk(_t_or_null(norm, T_INTERVAL), i=norm, d=norm.cast("double"), j=j)
+    return _attach_iv(out, m, d, u)
+
+
+def _attach_iv(gv: Column, m: Column, d: Column, u: Column) -> Column:
+    """Remember an interval gval's construction-time {months,days,us}
+    so interval_parts() returns the three expressions directly instead
+    of re-parsing the JSON j field (same discipline as GVal's field
+    cache: composed interval arithmetic otherwise drags a from_json of
+    the whole j-builder tree into every consumer)."""
+    if isinstance(gv, GVal):
+        gv._gval_iv = (m.cast("long"), d.cast("long"), u.cast("long"))
+    return gv
 
 
 def interval_parts(gv: Column) -> Column:
     """interval gval -> struct(months, days, us) (null struct fields for
     non-intervals)."""
+    iv = gv.__dict__.get("_gval_iv") if isinstance(gv, GVal) else None
+    if iv is not None:
+        return F.struct(iv[0].alias("months"), iv[1].alias("days"), iv[2].alias("us"))
     return F.from_json(
         F.when(gv.t == T_INTERVAL, gv.j), "struct<months:long,days:long,us:long>"
     )
@@ -591,7 +611,9 @@ def op_add(a: Column, b: Column) -> Column:
         .when(~nul & (date_int | int_date), (a.i + b.i).cast("double") * US_PER_DAY)
         .otherwise(i.cast("double"))
     )
-    return _mk(t, i=i, d=d, s=s, j=j)
+    out = _mk(t, i=i, d=d, s=s, j=j)
+    ok_iv = ~nul & iv_iv
+    return _attach_iv(out, F.when(ok_iv, ivm), F.when(ok_iv, ivd), F.when(ok_iv, ivu))
 
 
 def _arith(
@@ -686,7 +708,9 @@ def op_sub(a: Column, b: Column) -> Column:
         .otherwise(i.cast("double"))
     )
     j = F.when(~nul & is_iv_res, _iv_json(ivm, ivd, ivu))
-    return _mk(t, i=i, d=d, j=j)
+    out = _mk(t, i=i, d=d, j=j)
+    ok_iv = ~nul & is_iv_res
+    return _attach_iv(out, F.when(ok_iv, ivm), F.when(ok_iv, ivd), F.when(ok_iv, ivu))
 
 
 def _iv_scale(parts: Column, factor: Column) -> tuple[Column, Column, Column]:
@@ -723,7 +747,9 @@ def op_mul(a: Column, b: Column) -> Column:
     i = F.when(~nul & is_int, a.i * b.i).when(~nul & is_iv, norm)
     d = F.when(~nul & bothnum, a.d * b.d).when(~nul & is_iv, norm.cast("double"))
     j = F.when(~nul & is_iv, _iv_json(m_i, d_i, u_i))
-    return _mk(t, i=i, d=d, j=j)
+    out = _mk(t, i=i, d=d, j=j)
+    ok_iv = ~nul & is_iv
+    return _attach_iv(out, F.when(ok_iv, m_i), F.when(ok_iv, d_i), F.when(ok_iv, u_i))
 
 
 def op_div(a: Column, b: Column) -> Column:
@@ -754,7 +780,9 @@ def op_div(a: Column, b: Column) -> Column:
         .when(ok & iv_num, norm.cast("double"))
     )
     j = F.when(ok & iv_num, _iv_json(m_i, d_i, u_i))
-    return _mk(t, i=i, d=d, j=j)
+    out = _mk(t, i=i, d=d, j=j)
+    ok_iv = ok & iv_num
+    return _attach_iv(out, F.when(ok_iv, m_i), F.when(ok_iv, d_i), F.when(ok_iv, u_i))
 
 
 def op_mod(a: Column, b: Column) -> Column:

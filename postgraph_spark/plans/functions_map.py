@@ -407,6 +407,17 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
     if name in ("make_timestamp", "make_timestamptz"):
         # the optional 7th tz-name arg is accepted and ignored (UTC-only)
         return TMP.make_timestamp_gv(*[ctx.gv(i) for i in range(6)])
+    if name in ("now", "current_timestamp", "transaction_timestamp", "statement_timestamp"):
+        # value functions (cypher_gram.y:17655-17707); UTC session zone
+        return G.gv_timestamp(F.unix_micros(F.current_timestamp()))
+    if name == "current_date":
+        return G.gv_date(F.unix_date(F.current_date()).cast("long"))
+    if name in ("current_time", "localtime"):
+        ts = F.current_timestamp()
+        us = F.unix_micros(ts) - F.unix_date(F.current_date()).cast("long") * TMP.US_PER_DAY
+        return G.gv_time(us)
+    if name == "localtimestamp":
+        return G.gv_timestamp(F.unix_micros(F.localtimestamp()))
     if name == "justify_days":
         return TMP.justify_days_gv(ctx.gv(0))
     if name == "justify_hours":
@@ -417,6 +428,15 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
         return TMP.isfinite_gv(ctx.gv(0))
     if name == "overlaps":
         return TMP.overlaps_gv(ctx.gv(0), ctx.gv(1), ctx.gv(2), ctx.gv(3))
+
+    if name == "tovector":
+        # vector-as-gtype-array (gtype_typecasting.c:401-440 parses the
+        # '[x, y, ...]' text through gtype_vector_in)
+        a = ctx.gv(0)
+        arr = F.to_json(F.from_json(a["s"], "array<double>"))
+        return G.gv_array_json(
+            F.when(a["t"] == G.T_ARRAY, a["j"]).when(a["t"] == G.T_STRING, arr)
+        )
 
     # ---- misc ----
     if name == "throw_error":

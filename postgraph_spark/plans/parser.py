@@ -742,6 +742,13 @@ class Parser:
                 self.eat_op(")")
                 return self._func_decorations(A.FuncCall(fname, args, distinct=distinct))
             if t.kind == "name":
+                # paren-less SQL value functions (g.y:17655-17707)
+                if t.value.lower() in (
+                    "current_date", "current_time", "current_timestamp",
+                    "localtime", "localtimestamp",
+                ):
+                    self.advance()
+                    return A.FuncCall(t.value.lower(), [])
                 self.advance()
                 return A.Var(t.value)
             raise ParseError(f"unexpected keyword {t.value!r} at {t.pos}")

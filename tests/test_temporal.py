@@ -405,3 +405,26 @@ def test_column_side_casts(spark):
     assert G.decode(out[2]["ts"]) is None
     assert G.decode(out[0]["d"]) == "1997-12-17"
     assert G.decode(out[2]["d"]) is None
+
+
+def test_value_functions(engine):
+    """CURRENT_DATE/CURRENT_TIMESTAMP/now() (g.y:17655-17707) — shape
+    checks only (nondeterministic values)."""
+    import re
+
+    d, ts, n, lt = engine.fetch(
+        "RETURN current_date AS d, current_timestamp AS ts, now() AS n, localtime AS t"
+    )[0]
+    assert re.match(r"^\d{4}-\d{2}-\d{2}$", d)
+    assert ts.startswith(d)
+    assert n.startswith(d)
+    assert re.match(r"^\d{2}:\d{2}:\d{2}", lt)
+    assert engine.fetch_values("RETURN current_date = current_date")[0] is True
+    assert engine.fetch_values(
+        "RETURN isfinite(current_timestamp) AND current_date <= current_timestamp"
+    )[0] is True
+
+
+def test_tovector(engine):
+    assert engine.fetch_values("RETURN toVector('[1.0, 2.5, 3.0]')")[0] == [1.0, 2.5, 3.0]
+    assert engine.fetch_values("RETURN size(toVector('[1.0, 2.0]'))")[0] == 2
