@@ -70,6 +70,12 @@ except ImportError:  # pragma: no cover - older/connect pyspark
     _ClassicColumn = None
 
 
+#: full gtype scalar/container type universe (for static-type pruning)
+ALL_TYPES = frozenset(
+    {T_OBJECT, T_ARRAY, T_STRING, T_BOOL, T_NUMBER, T_TIMESTAMP, T_DATE, T_TIME, T_INTERVAL, T_NULL}
+)
+
+
 class GVal(_ClassicColumn if _ClassicColumn is not None else Column):
     """A gval struct Column that remembers its construction-time field
     expressions. `gv.i` / `gv["i"]` return the stored field expression
@@ -117,54 +123,94 @@ def _mk(t: Column | int, b=None, i=None, d=None, s=None, j=None) -> Column:
     return base
 
 
+def gv_types(gv: Column) -> frozenset:
+    """Statically-known possible type tags of a gval expression (for
+    compile-time branch pruning in operator dispatch — the analog of the
+    reference's static operand-type dispatch in gtype_ops.c, which never
+    materializes impossible branches). Unknown -> the full universe."""
+    if isinstance(gv, GVal):
+        t = gv.__dict__.get("_gval_types")
+        if t is not None:
+            return t
+    return ALL_TYPES
+
+
+def _tag_types(gv: Column, *types: int) -> Column:
+    """Record the possible type tags (null is always possible: any
+    constructor maps a SQL-null payload to a gtype null)."""
+    if isinstance(gv, GVal):
+        gv._gval_types = frozenset(types) | {T_NULL}
+    return gv
+
+
+def gv_ref(c: Column | str, types: frozenset | None = None) -> Column:
+    """gval struct reference to a REAL column (e.g. a let-bound hidden
+    projection column, plans/compiler.py Compiler._let). Field access
+    goes through the GVal cache as a cheap ExtractValue-on-attribute
+    instead of dragging a builder tree — the consumer-side half of the
+    expression-size discipline above: composed temporal expressions
+    share sub-trees as a JVM DAG, but Catalyst analysis walks them as a
+    TREE, so path counts (and analysis time) multiply without a
+    physical projection boundary between producer and consumer."""
+    col = F.col(c) if isinstance(c, str) else c
+    fields = {f: col[f] for f in ("t", "b", "i", "d", "s", "j")}
+    if _ClassicColumn is not None and isinstance(col, _ClassicColumn):
+        gv = GVal(col._jc)
+        gv._gval_fields = fields
+        if types is not None:
+            gv._gval_types = frozenset(types)
+        return gv
+    return col
+
+
 def _t_or_null(c: Column, t: int) -> Column:
     """type tag: T_NULL when the payload is SQL-null, else t."""
     return F.when(c.isNull(), F.lit(T_NULL)).otherwise(F.lit(t))
 
 
 def gv_null() -> Column:
-    return _mk(T_NULL)
+    return _tag_types(_mk(T_NULL))
 
 
 def gv_bool(c: Column | bool) -> Column:
     c = F.lit(c) if isinstance(c, bool) else c
-    return _mk(_t_or_null(c, T_BOOL), b=c)
+    return _tag_types(_mk(_t_or_null(c, T_BOOL), b=c), T_BOOL)
 
 
 def gv_int(c: Column | int) -> Column:
     c = F.lit(c) if isinstance(c, int) else c
-    return _mk(_t_or_null(c, T_NUMBER), i=c, d=c.cast("double"))
+    return _tag_types(_mk(_t_or_null(c, T_NUMBER), i=c, d=c.cast("double")), T_NUMBER)
 
 
 def gv_float(c: Column | float) -> Column:
     c = F.lit(c) if isinstance(c, float) else c
-    return _mk(_t_or_null(c, T_NUMBER), d=c)
+    return _tag_types(_mk(_t_or_null(c, T_NUMBER), d=c), T_NUMBER)
 
 
 def gv_num(i: Column, d: Column) -> Column:
     """number gval with optional integer identity (i may be null for a
     pure float); d SQL-null -> gtype null."""
-    return _mk(_t_or_null(d, T_NUMBER), i=F.when(d.isNotNull(), i), d=d)
+    return _tag_types(_mk(_t_or_null(d, T_NUMBER), i=F.when(d.isNotNull(), i), d=d), T_NUMBER)
 
 
 def gv_str(c: Column | str) -> Column:
     c = F.lit(c) if isinstance(c, str) else c
-    return _mk(_t_or_null(c, T_STRING), s=c)
+    return _tag_types(_mk(_t_or_null(c, T_STRING), s=c), T_STRING)
 
 
 def gv_timestamp(us: Column) -> Column:
     """timestamp gval from µs-since-1970 (SQL-null µs -> gtype null)."""
-    return _mk(_t_or_null(us, T_TIMESTAMP), i=us, d=us.cast("double"))
+    return _tag_types(_mk(_t_or_null(us, T_TIMESTAMP), i=us, d=us.cast("double")), T_TIMESTAMP)
 
 
 def gv_date(days: Column) -> Column:
     """date gval from days-since-1970."""
-    return _mk(_t_or_null(days, T_DATE), i=days, d=days.cast("double") * US_PER_DAY)
+    return _tag_types(_mk(_t_or_null(days, T_DATE), i=days, d=days.cast("double") * US_PER_DAY), T_DATE)
 
 
 def gv_time(us: Column) -> Column:
     """time-of-day gval from µs-since-midnight."""
-    return _mk(_t_or_null(us, T_TIME), i=us, d=us.cast("double"))
+    return _tag_types(_mk(_t_or_null(us, T_TIME), i=us, d=us.cast("double")), T_TIME)
 
 
 def gv_interval(months: Column, days: Column, us: Column) -> Column:
@@ -179,7 +225,7 @@ def gv_interval(months: Column, days: Column, us: Column) -> Column:
         F.lit(',"days":'), d.cast("string"),
         F.lit(',"us":'), u.cast("string"), F.lit("}"),
     )
-    out = _mk(_t_or_null(norm, T_INTERVAL), i=norm, d=norm.cast("double"), j=j)
+    out = _tag_types(_mk(_t_or_null(norm, T_INTERVAL), i=norm, d=norm.cast("double"), j=j), T_INTERVAL)
     return _attach_iv(out, m, d, u)
 
 
@@ -216,11 +262,11 @@ def date_col(gv: Column) -> Column:
 
 
 def gv_array_json(c: Column) -> Column:
-    return _mk(_t_or_null(c, T_ARRAY), j=c)
+    return _tag_types(_mk(_t_or_null(c, T_ARRAY), j=c), T_ARRAY)
 
 
 def gv_object_json(c: Column) -> Column:
-    return _mk(_t_or_null(c, T_OBJECT), j=c)
+    return _tag_types(_mk(_t_or_null(c, T_OBJECT), j=c), T_OBJECT)
 
 
 def gv_lit(v: Any) -> Column:
@@ -503,6 +549,19 @@ def _both_int(a: Column, b: Column) -> Column:
     return a.i.isNotNull() & b.i.isNotNull()
 
 
+def _whens(pairs: list, otherwise: Column | None = None) -> Column:
+    """Build a CASE chain from (cond, value) pairs — the pairs list is
+    assembled under STATIC type-feasibility guards so impossible operator
+    branches are never constructed (mirrors gtype_ops.c's static operand
+    dispatch; also the dominant driver-side plan-build cost)."""
+    out = None
+    for c, v in pairs:
+        out = F.when(c, v) if out is None else out.when(c, v)
+    if out is None:
+        return F.lit(None) if otherwise is None else otherwise
+    return out if otherwise is None else out.otherwise(otherwise)
+
+
 def _cal_add(ts_us: Column, parts: Column, sign: int = 1) -> Column:
     """timestamp µs + interval {months,days,us} with calendar semantics
     (timestamp_pl_interval: months first with day-of-month clamping, then
@@ -533,87 +592,156 @@ def _iv_json(m: Column, d: Column, u: Column) -> Column:
 def op_add(a: Column, b: Column) -> Column:
     """`+` dispatch (gtype_ops.c:153-280): int+int->int, any float ->
     float, string + stringy -> concat, array concat (JSON splice).
-    Built as ONE flat struct (see expression-size discipline above).
+    Built as ONE flat struct (see expression-size discipline above),
+    and only STATICALLY FEASIBLE branches are constructed (gv_types).
 
     KNOWN DIVERGENCE (intentional superset): the commutative temporal
     combos interval+timestamp/date/time follow PG SQL semantics here;
     the reference's gtype operators only dispatch rhs==INTERVAL and
     error otherwise (gtype_ops.c)."""
+    ta, tb = gv_types(a), gv_types(b)
     nul = (a.t == T_NULL) | (b.t == T_NULL)
-    bothnum = (a.t == T_NUMBER) & (b.t == T_NUMBER)
-    is_int = bothnum & _both_int(a, b)
+    f_num = T_NUMBER in ta and T_NUMBER in tb
+    f_cat = (T_STRING in ta) or (T_STRING in tb)
+    f_arr = T_ARRAY in ta and T_ARRAY in tb
+    f_ts_iv = T_TIMESTAMP in ta and T_INTERVAL in tb
+    f_iv_ts = T_INTERVAL in ta and T_TIMESTAMP in tb
+    f_date_iv = T_DATE in ta and T_INTERVAL in tb
+    f_iv_date = T_INTERVAL in ta and T_DATE in tb
+    f_cal = f_ts_iv or f_iv_ts or f_date_iv or f_iv_date
+    f_date_int = T_DATE in ta and T_NUMBER in tb
+    f_int_date = T_NUMBER in ta and T_DATE in tb
+    f_time_iv = T_TIME in ta and T_INTERVAL in tb
+    f_iv_time = T_INTERVAL in ta and T_TIME in tb
+    f_iv_iv = T_INTERVAL in ta and T_INTERVAL in tb
+
+    false = F.lit(False)
+    bothnum = ((a.t == T_NUMBER) & (b.t == T_NUMBER)) if f_num else false
+    is_int = (bothnum & _both_int(a, b)) if f_num else false
     # string-concat only applies when the number branches did not
     # (reference dispatch order: numeric first, then string+stringy)
-    is_cat = ~bothnum & ((a.t == T_STRING) | (b.t == T_STRING))
-    is_arr = (a.t == T_ARRAY) & (b.t == T_ARRAY)
-    # temporal dispatch (gtype_ops.c:153-280 delegates to PG temporal +)
-    ts_iv = (a.t == T_TIMESTAMP) & (b.t == T_INTERVAL)
-    iv_ts = (a.t == T_INTERVAL) & (b.t == T_TIMESTAMP)
-    date_iv = (a.t == T_DATE) & (b.t == T_INTERVAL)
-    iv_date = (a.t == T_INTERVAL) & (b.t == T_DATE)
-    date_int = (a.t == T_DATE) & (b.t == T_NUMBER) & b.i.isNotNull()
-    int_date = (a.t == T_NUMBER) & a.i.isNotNull() & (b.t == T_DATE)
-    time_iv = (a.t == T_TIME) & (b.t == T_INTERVAL)
-    iv_time = (a.t == T_INTERVAL) & (b.t == T_TIME)
-    iv_iv = (a.t == T_INTERVAL) & (b.t == T_INTERVAL)
-    cal = ts_iv | iv_ts | date_iv | iv_date
-    pa, pb = interval_parts(a), interval_parts(b)
+    is_cat = (~bothnum & ((a.t == T_STRING) | (b.t == T_STRING))) if f_cat else false
+    is_arr = ((a.t == T_ARRAY) & (b.t == T_ARRAY)) if f_arr else false
+    ts_iv = ((a.t == T_TIMESTAMP) & (b.t == T_INTERVAL)) if f_ts_iv else false
+    iv_ts = ((a.t == T_INTERVAL) & (b.t == T_TIMESTAMP)) if f_iv_ts else false
+    date_iv = ((a.t == T_DATE) & (b.t == T_INTERVAL)) if f_date_iv else false
+    iv_date = ((a.t == T_INTERVAL) & (b.t == T_DATE)) if f_iv_date else false
+    date_int = ((a.t == T_DATE) & (b.t == T_NUMBER) & b.i.isNotNull()) if f_date_int else false
+    int_date = ((a.t == T_NUMBER) & a.i.isNotNull() & (b.t == T_DATE)) if f_int_date else false
+    time_iv = ((a.t == T_TIME) & (b.t == T_INTERVAL)) if f_time_iv else false
+    iv_time = ((a.t == T_INTERVAL) & (b.t == T_TIME)) if f_iv_time else false
+    iv_iv = ((a.t == T_INTERVAL) & (b.t == T_INTERVAL)) if f_iv_iv else false
+    cal = (ts_iv | iv_ts | date_iv | iv_date) if f_cal else false
+
+    pa = interval_parts(a) if T_INTERVAL in ta else None
+    pb = interval_parts(b) if T_INTERVAL in tb else None
+
     # ONE _cal_add over the point/interval sides selected by branch —
     # expression-tree budget: every textual re-reference of a subtree
     # multiplies the as-a-tree size the Column->Catalyst conversion
     # walks, so temporal payloads are computed once and branch-selected
-    point_us = (
-        F.when(ts_iv, a.i)
-        .when(iv_ts, b.i)
-        .when(date_iv, a.i * US_PER_DAY)
-        .when(iv_date, b.i * US_PER_DAY)
-    )
-    piv = F.when(a.t == T_INTERVAL, pa).otherwise(pb)
-    ts_res = _cal_add(point_us, piv)
-    time_res = F.when(time_iv, F.pmod(a.i + pb["us"], F.lit(US_PER_DAY))).when(
-        iv_time, F.pmod(b.i + pa["us"], F.lit(US_PER_DAY))
-    )
-    ivm, ivd, ivu = pa["months"] + pb["months"], pa["days"] + pb["days"], pa["us"] + pb["us"]
-    t = (
-        F.when(nul, F.lit(T_NULL))
-        .when(bothnum, F.lit(T_NUMBER))
-        .when(is_cat, F.lit(T_STRING))
-        .when(is_arr, F.lit(T_ARRAY))
-        .when(cal, F.lit(T_TIMESTAMP))
-        .when(date_int | int_date, F.lit(T_DATE))
-        .when(time_iv | iv_time, F.lit(T_TIME))
-        .when(iv_iv, F.lit(T_INTERVAL))
-        .otherwise(F.lit(T_NULL))
-    )
-    s = F.when(
-        ~nul & is_cat,
-        F.when((a.t == T_STRING) & (b.t == T_STRING), F.concat(a.s, b.s))
-        .when(a.t == T_STRING, F.concat(a.s, to_json_text(b)))
-        .otherwise(F.concat(to_json_text(a), b.s)),
-    )
-    j = F.when(
-        ~nul & is_arr,
-        F.when(a.j == "[]", b.j)
-        .when(b.j == "[]", a.j)
-        .otherwise(
-            F.concat(F.regexp_replace(a.j, r"\]$", ""), F.lit(","), F.regexp_replace(b.j, r"^\[", ""))
-        ),
-    ).when(~nul & iv_iv, _iv_json(ivm, ivd, ivu))
-    i = (
-        F.when(~nul & (is_int | date_int | int_date), a.i + b.i)
-        .when(~nul & cal, ts_res)
-        .when(~nul & (time_iv | iv_time), time_res)
-        .when(~nul & iv_iv, ivm * US_PER_MONTH + ivd * US_PER_DAY + ivu)
-    )
+    ts_res = None
+    if f_cal:
+        point_us = _whens(
+            [(c, v) for f, c, v in (
+                (f_ts_iv, ts_iv, a.i), (f_iv_ts, iv_ts, b.i),
+                (f_date_iv, date_iv, a.i * US_PER_DAY),
+                (f_iv_date, iv_date, b.i * US_PER_DAY),
+            ) if f]
+        )
+        if pa is not None and pb is not None:
+            piv = F.when(a.t == T_INTERVAL, pa).otherwise(pb)
+        else:
+            piv = pa if pa is not None else pb
+        ts_res = _cal_add(point_us, piv)
+    time_res = _whens(
+        [(c, v) for f, c, v in (
+            (f_time_iv, time_iv, F.pmod(a.i + (pb["us"] if pb is not None else F.lit(None)), F.lit(US_PER_DAY))),
+            (f_iv_time, iv_time, F.pmod(b.i + (pa["us"] if pa is not None else F.lit(None)), F.lit(US_PER_DAY))),
+        ) if f]
+    ) if (f_time_iv or f_iv_time) else None
+    if f_iv_iv:
+        ivm, ivd, ivu = pa["months"] + pb["months"], pa["days"] + pb["days"], pa["us"] + pb["us"]
+
+    t_pairs = [(nul, F.lit(T_NULL))]
+    if f_num:
+        t_pairs.append((bothnum, F.lit(T_NUMBER)))
+    if f_cat:
+        t_pairs.append((is_cat, F.lit(T_STRING)))
+    if f_arr:
+        t_pairs.append((is_arr, F.lit(T_ARRAY)))
+    if f_cal:
+        t_pairs.append((cal, F.lit(T_TIMESTAMP)))
+    if f_date_int or f_int_date:
+        t_pairs.append((date_int | int_date, F.lit(T_DATE)))
+    if f_time_iv or f_iv_time:
+        t_pairs.append((time_iv | iv_time, F.lit(T_TIME)))
+    if f_iv_iv:
+        t_pairs.append((iv_iv, F.lit(T_INTERVAL)))
+    t = _whens(t_pairs, otherwise=F.lit(T_NULL))
+
+    s = None
+    if f_cat:
+        s = F.when(
+            ~nul & is_cat,
+            F.when((a.t == T_STRING) & (b.t == T_STRING), F.concat(a.s, b.s))
+            .when(a.t == T_STRING, F.concat(a.s, to_json_text(b)))
+            .otherwise(F.concat(to_json_text(a), b.s)),
+        )
+    j_pairs = []
+    if f_arr:
+        j_pairs.append((
+            ~nul & is_arr,
+            F.when(a.j == "[]", b.j)
+            .when(b.j == "[]", a.j)
+            .otherwise(
+                F.concat(F.regexp_replace(a.j, r"\]$", ""), F.lit(","), F.regexp_replace(b.j, r"^\[", ""))
+            ),
+        ))
+    if f_iv_iv:
+        j_pairs.append((~nul & iv_iv, _iv_json(ivm, ivd, ivu)))
+    j = _whens(j_pairs) if j_pairs else None
+
+    i_pairs = []
+    if f_num or f_date_int or f_int_date:
+        i_pairs.append((~nul & (is_int | date_int | int_date), a.i + b.i))
+    if f_cal:
+        i_pairs.append((~nul & cal, ts_res))
+    if f_time_iv or f_iv_time:
+        i_pairs.append((~nul & (time_iv | iv_time), time_res))
+    if f_iv_iv:
+        i_pairs.append((~nul & iv_iv, ivm * US_PER_MONTH + ivd * US_PER_DAY + ivu))
+    i = _whens(i_pairs) if i_pairs else None
+
     # d references the i chain once (temporal payloads ride the µs axis)
-    d = (
-        F.when(~nul & bothnum, a.d + b.d)
-        .when(~nul & (date_int | int_date), (a.i + b.i).cast("double") * US_PER_DAY)
-        .otherwise(i.cast("double"))
-    )
+    d_pairs = []
+    if f_num:
+        d_pairs.append((~nul & bothnum, a.d + b.d))
+    if f_date_int or f_int_date:
+        d_pairs.append((~nul & (date_int | int_date), (a.i + b.i).cast("double") * US_PER_DAY))
+    d = _whens(d_pairs, otherwise=(i.cast("double") if i is not None else None))
     out = _mk(t, i=i, d=d, s=s, j=j)
-    ok_iv = ~nul & iv_iv
-    return _attach_iv(out, F.when(ok_iv, ivm), F.when(ok_iv, ivd), F.when(ok_iv, ivu))
+
+    rtypes = set()
+    if f_num:
+        rtypes.add(T_NUMBER)
+    if f_cat:
+        rtypes.add(T_STRING)
+    if f_arr:
+        rtypes.add(T_ARRAY)
+    if f_cal:
+        rtypes.add(T_TIMESTAMP)
+    if f_date_int or f_int_date:
+        rtypes.add(T_DATE)
+    if f_time_iv or f_iv_time:
+        rtypes.add(T_TIME)
+    if f_iv_iv:
+        rtypes.add(T_INTERVAL)
+    _tag_types(out, *rtypes)
+    if f_iv_iv:
+        ok_iv = ~nul & iv_iv
+        return _attach_iv(out, F.when(ok_iv, ivm), F.when(ok_iv, ivd), F.when(ok_iv, ivu))
+    return out
 
 
 def _arith(
@@ -646,71 +774,158 @@ def op_sub(a: Column, b: Column) -> Column:
     """`-` dispatch: numeric minus plus the temporal matrix
     (timestamp_mi yields a justify_hours'd {days, µs} interval;
     date - date -> int days; date/timestamp - interval -> calendar
-    subtract; interval - interval -> component-wise).
+    subtract; interval - interval -> component-wise). Only statically
+    feasible branches are constructed (gv_types).
 
     KNOWN DIVERGENCE (intentional superset): ts-ts, date-date, date±int
     and time-time follow PG SQL semantics; the reference's gtype `-`
     only dispatches rhs==INTERVAL and errors on the rest."""
+    ta, tb = gv_types(a), gv_types(b)
     nul = (a.t == T_NULL) | (b.t == T_NULL)
-    bothnum = (a.t == T_NUMBER) & (b.t == T_NUMBER)
-    is_int = bothnum & _both_int(a, b)
-    a_ts_us = F.when(a.t == T_TIMESTAMP, a.i).when(a.t == T_DATE, a.i * US_PER_DAY)
-    b_ts_us = F.when(b.t == T_TIMESTAMP, b.i).when(b.t == T_DATE, b.i * US_PER_DAY)
-    pointish_a = a.t.isin(T_TIMESTAMP, T_DATE)
-    pointish_b = b.t.isin(T_TIMESTAMP, T_DATE)
-    date_date = (a.t == T_DATE) & (b.t == T_DATE)
-    ts_ts = pointish_a & pointish_b & ~date_date
-    date_int = (a.t == T_DATE) & (b.t == T_NUMBER) & b.i.isNotNull()
-    ts_iv = (a.t == T_TIMESTAMP) & (b.t == T_INTERVAL)
-    date_iv = (a.t == T_DATE) & (b.t == T_INTERVAL)
-    time_time = (a.t == T_TIME) & (b.t == T_TIME)
-    time_iv = (a.t == T_TIME) & (b.t == T_INTERVAL)
-    iv_iv = (a.t == T_INTERVAL) & (b.t == T_INTERVAL)
-    pa, pb = interval_parts(a), interval_parts(b)
-    # ts - ts: truncate-toward-zero split into days + µs (justify_hours)
-    diff = a_ts_us - b_ts_us
-    dd = (diff - diff % F.lit(US_PER_DAY)) / F.lit(US_PER_DAY)
-    du = diff % F.lit(US_PER_DAY)
-    ivm = F.when(ts_ts | time_time, F.lit(0)).when(iv_iv, pa["months"] - pb["months"])
-    ivd = F.when(ts_ts, dd.cast("long")).when(time_time, F.lit(0)).when(
-        iv_iv, pa["days"] - pb["days"]
+    f_num = T_NUMBER in ta and T_NUMBER in tb
+    pointish = {T_TIMESTAMP, T_DATE}
+    f_pa, f_pb = bool(pointish & ta), bool(pointish & tb)
+    f_date_date = T_DATE in ta and T_DATE in tb
+    f_ts_ts = f_pa and f_pb and not (ta & pointish == {T_DATE} and tb & pointish == {T_DATE})
+    f_date_int = T_DATE in ta and T_NUMBER in tb
+    f_ts_iv = T_TIMESTAMP in ta and T_INTERVAL in tb
+    f_date_iv = T_DATE in ta and T_INTERVAL in tb
+    f_cal = f_ts_iv or f_date_iv
+    f_time_time = T_TIME in ta and T_TIME in tb
+    f_time_iv = T_TIME in ta and T_INTERVAL in tb
+    f_iv_iv = T_INTERVAL in ta and T_INTERVAL in tb
+    f_iv_res = f_ts_ts or f_time_time or f_iv_iv
+
+    false = F.lit(False)
+    bothnum = ((a.t == T_NUMBER) & (b.t == T_NUMBER)) if f_num else false
+    is_int = (bothnum & _both_int(a, b)) if f_num else false
+    date_date = ((a.t == T_DATE) & (b.t == T_DATE)) if f_date_date else false
+    ts_ts = (
+        (a.t.isin(T_TIMESTAMP, T_DATE) & b.t.isin(T_TIMESTAMP, T_DATE) & ~date_date)
+        if f_ts_ts
+        else false
     )
-    ivu = F.when(ts_ts, du).when(time_time, a.i - b.i).when(iv_iv, pa["us"] - pb["us"])
-    is_iv_res = ts_ts | time_time | iv_iv
+    date_int = ((a.t == T_DATE) & (b.t == T_NUMBER) & b.i.isNotNull()) if f_date_int else false
+    ts_iv = ((a.t == T_TIMESTAMP) & (b.t == T_INTERVAL)) if f_ts_iv else false
+    date_iv = ((a.t == T_DATE) & (b.t == T_INTERVAL)) if f_date_iv else false
+    time_time = ((a.t == T_TIME) & (b.t == T_TIME)) if f_time_time else false
+    time_iv = ((a.t == T_TIME) & (b.t == T_INTERVAL)) if f_time_iv else false
+    iv_iv = ((a.t == T_INTERVAL) & (b.t == T_INTERVAL)) if f_iv_iv else false
+    is_iv_res = (ts_ts | time_time | iv_iv) if f_iv_res else false
+    cal = (ts_iv | date_iv) if f_cal else false
+
+    pa = interval_parts(a) if T_INTERVAL in ta else None
+    pb = interval_parts(b) if T_INTERVAL in tb else None
+
+    ivm = ivd = ivu = None
+    if f_iv_res:
+        # ts - ts: truncate-toward-zero split into days + µs (justify_hours)
+        if f_ts_ts:
+            a_ts_us = _whens(
+                [(c, v) for f, c, v in (
+                    (T_TIMESTAMP in ta, a.t == T_TIMESTAMP, a.i),
+                    (T_DATE in ta, a.t == T_DATE, a.i * US_PER_DAY),
+                ) if f]
+            )
+            b_ts_us = _whens(
+                [(c, v) for f, c, v in (
+                    (T_TIMESTAMP in tb, b.t == T_TIMESTAMP, b.i),
+                    (T_DATE in tb, b.t == T_DATE, b.i * US_PER_DAY),
+                ) if f]
+            )
+            diff = a_ts_us - b_ts_us
+            dd = (diff - diff % F.lit(US_PER_DAY)) / F.lit(US_PER_DAY)
+            du = diff % F.lit(US_PER_DAY)
+        ivm = _whens(
+            [(c, v) for f, c, v in (
+                (f_ts_ts or f_time_time, ts_ts | time_time, F.lit(0)),
+                (f_iv_iv, iv_iv, pa["months"] - pb["months"] if f_iv_iv else None),
+            ) if f]
+        )
+        ivd_pairs = []
+        if f_ts_ts:
+            ivd_pairs.append((ts_ts, dd.cast("long")))
+        if f_time_time:
+            ivd_pairs.append((time_time, F.lit(0)))
+        if f_iv_iv:
+            ivd_pairs.append((iv_iv, pa["days"] - pb["days"]))
+        ivd = _whens(ivd_pairs)
+        ivu_pairs = []
+        if f_ts_ts:
+            ivu_pairs.append((ts_ts, du))
+        if f_time_time:
+            ivu_pairs.append((time_time, a.i - b.i))
+        if f_iv_iv:
+            ivu_pairs.append((iv_iv, pa["us"] - pb["us"]))
+        ivu = _whens(ivu_pairs)
+
     # ONE _cal_add branch-selected over ts/date minus interval (see the
     # expression-tree budget note in op_add)
-    cal = ts_iv | date_iv
-    point_us = F.when(ts_iv, a.i).when(date_iv, a.i * US_PER_DAY)
-    cal_res = _cal_add(point_us, pb, sign=-1)
+    cal_res = None
+    if f_cal:
+        point_us = _whens(
+            [(c, v) for f, c, v in (
+                (f_ts_iv, ts_iv, a.i), (f_date_iv, date_iv, a.i * US_PER_DAY),
+            ) if f]
+        )
+        cal_res = _cal_add(point_us, pb, sign=-1)
+
     # date - int -> date in PG; date - date -> int days
-    t = (
-        F.when(nul, F.lit(T_NULL))
-        .when(bothnum, F.lit(T_NUMBER))
-        .when(is_iv_res, F.lit(T_INTERVAL))
-        .when(date_date, F.lit(T_NUMBER))
-        .when(date_int, F.lit(T_DATE))
-        .when(cal, F.lit(T_TIMESTAMP))
-        .when(time_iv, F.lit(T_TIME))
-        .otherwise(F.lit(T_NULL))
-    )
-    i = (
-        F.when(~nul & (is_int | date_date | date_int), a.i - b.i)
-        .when(~nul & is_iv_res, ivm * US_PER_MONTH + ivd * US_PER_DAY + ivu)
-        .when(~nul & cal, cal_res)
-        .when(~nul & time_iv, F.pmod(a.i - pb["us"], F.lit(US_PER_DAY)))
-    )
+    t_pairs = [(nul, F.lit(T_NULL))]
+    if f_num:
+        t_pairs.append((bothnum, F.lit(T_NUMBER)))
+    if f_iv_res:
+        t_pairs.append((is_iv_res, F.lit(T_INTERVAL)))
+    if f_date_date:
+        t_pairs.append((date_date, F.lit(T_NUMBER)))
+    if f_date_int:
+        t_pairs.append((date_int, F.lit(T_DATE)))
+    if f_cal:
+        t_pairs.append((cal, F.lit(T_TIMESTAMP)))
+    if f_time_iv:
+        t_pairs.append((time_iv, F.lit(T_TIME)))
+    t = _whens(t_pairs, otherwise=F.lit(T_NULL))
+
+    i_pairs = []
+    if f_num or f_date_date or f_date_int:
+        i_pairs.append((~nul & (is_int | date_date | date_int), a.i - b.i))
+    if f_iv_res:
+        i_pairs.append((~nul & is_iv_res, ivm * US_PER_MONTH + ivd * US_PER_DAY + ivu))
+    if f_cal:
+        i_pairs.append((~nul & cal, cal_res))
+    if f_time_iv:
+        i_pairs.append((~nul & time_iv, F.pmod(a.i - pb["us"], F.lit(US_PER_DAY))))
+    i = _whens(i_pairs) if i_pairs else None
+
     # d references the i chain once; date-result and date-date cases are
     # re-derived from the operands directly (cheap refs)
-    d = (
-        F.when(~nul & bothnum, a.d - b.d)
-        .when(~nul & date_int, (a.i - b.i).cast("double") * US_PER_DAY)
-        .when(~nul & date_date, (a.i - b.i).cast("double"))
-        .otherwise(i.cast("double"))
-    )
-    j = F.when(~nul & is_iv_res, _iv_json(ivm, ivd, ivu))
+    d_pairs = []
+    if f_num:
+        d_pairs.append((~nul & bothnum, a.d - b.d))
+    if f_date_int:
+        d_pairs.append((~nul & date_int, (a.i - b.i).cast("double") * US_PER_DAY))
+    if f_date_date:
+        d_pairs.append((~nul & date_date, (a.i - b.i).cast("double")))
+    d = _whens(d_pairs, otherwise=(i.cast("double") if i is not None else None))
+    j = F.when(~nul & is_iv_res, _iv_json(ivm, ivd, ivu)) if f_iv_res else None
     out = _mk(t, i=i, d=d, j=j)
-    ok_iv = ~nul & is_iv_res
-    return _attach_iv(out, F.when(ok_iv, ivm), F.when(ok_iv, ivd), F.when(ok_iv, ivu))
+
+    rtypes = set()
+    if f_num or f_date_date:
+        rtypes.add(T_NUMBER)
+    if f_iv_res:
+        rtypes.add(T_INTERVAL)
+    if f_date_int:
+        rtypes.add(T_DATE)
+    if f_cal:
+        rtypes.add(T_TIMESTAMP)
+    if f_time_iv:
+        rtypes.add(T_TIME)
+    _tag_types(out, *rtypes)
+    if f_iv_res:
+        ok_iv = ~nul & is_iv_res
+        return _attach_iv(out, F.when(ok_iv, ivm), F.when(ok_iv, ivd), F.when(ok_iv, ivu))
+    return out
 
 
 def _iv_scale(parts: Column, factor: Column) -> tuple[Column, Column, Column]:
@@ -727,62 +942,121 @@ def _iv_scale(parts: Column, factor: Column) -> tuple[Column, Column, Column]:
 
 def op_mul(a: Column, b: Column) -> Column:
     """`*` dispatch: numeric product plus interval × number in either
-    order (interval_mul, gtype_ops.c:474-540)."""
+    order (interval_mul, gtype_ops.c:474-540); statically-infeasible
+    branches are pruned (gv_types)."""
+    ta, tb = gv_types(a), gv_types(b)
     nul = (a.t == T_NULL) | (b.t == T_NULL)
-    bothnum = (a.t == T_NUMBER) & (b.t == T_NUMBER)
-    is_int = bothnum & _both_int(a, b)
-    iv_num = (a.t == T_INTERVAL) & (b.t == T_NUMBER)
-    num_iv = (a.t == T_NUMBER) & (b.t == T_INTERVAL)
-    parts = F.when(iv_num, interval_parts(a)).otherwise(interval_parts(b))
-    factor = F.when(iv_num, b.d).otherwise(a.d)
-    m_i, d_i, u_i = _iv_scale(parts, factor)
-    is_iv = iv_num | num_iv
-    t = (
-        F.when(nul, F.lit(T_NULL))
-        .when(bothnum, F.lit(T_NUMBER))
-        .when(is_iv, F.lit(T_INTERVAL))
-        .otherwise(F.lit(T_NULL))
-    )
-    norm = m_i * US_PER_MONTH + d_i * US_PER_DAY + u_i
-    i = F.when(~nul & is_int, a.i * b.i).when(~nul & is_iv, norm)
-    d = F.when(~nul & bothnum, a.d * b.d).when(~nul & is_iv, norm.cast("double"))
-    j = F.when(~nul & is_iv, _iv_json(m_i, d_i, u_i))
+    f_num = T_NUMBER in ta and T_NUMBER in tb
+    f_iv_num = T_INTERVAL in ta and T_NUMBER in tb
+    f_num_iv = T_NUMBER in ta and T_INTERVAL in tb
+    f_iv = f_iv_num or f_num_iv
+    false = F.lit(False)
+    bothnum = ((a.t == T_NUMBER) & (b.t == T_NUMBER)) if f_num else false
+    is_int = (bothnum & _both_int(a, b)) if f_num else false
+    iv_num = ((a.t == T_INTERVAL) & (b.t == T_NUMBER)) if f_iv_num else false
+    num_iv = ((a.t == T_NUMBER) & (b.t == T_INTERVAL)) if f_num_iv else false
+    is_iv = (iv_num | num_iv) if f_iv else false
+
+    norm = m_i = d_i = u_i = None
+    if f_iv:
+        pa = interval_parts(a) if T_INTERVAL in ta else None
+        pb = interval_parts(b) if T_INTERVAL in tb else None
+        if pa is not None and pb is not None:
+            parts = F.when(iv_num, pa).otherwise(pb)
+        else:
+            parts = pa if pa is not None else pb
+        factor = F.when(iv_num, b.d).otherwise(a.d) if (f_iv_num and f_num_iv) else (b.d if f_iv_num else a.d)
+        m_i, d_i, u_i = _iv_scale(parts, factor)
+        norm = m_i * US_PER_MONTH + d_i * US_PER_DAY + u_i
+
+    t_pairs = [(nul, F.lit(T_NULL))]
+    if f_num:
+        t_pairs.append((bothnum, F.lit(T_NUMBER)))
+    if f_iv:
+        t_pairs.append((is_iv, F.lit(T_INTERVAL)))
+    t = _whens(t_pairs, otherwise=F.lit(T_NULL))
+    i_pairs = []
+    if f_num:
+        i_pairs.append((~nul & is_int, a.i * b.i))
+    if f_iv:
+        i_pairs.append((~nul & is_iv, norm))
+    i = _whens(i_pairs) if i_pairs else None
+    d_pairs = []
+    if f_num:
+        d_pairs.append((~nul & bothnum, a.d * b.d))
+    if f_iv:
+        d_pairs.append((~nul & is_iv, norm.cast("double")))
+    d = _whens(d_pairs) if d_pairs else None
+    j = F.when(~nul & is_iv, _iv_json(m_i, d_i, u_i)) if f_iv else None
     out = _mk(t, i=i, d=d, j=j)
-    ok_iv = ~nul & is_iv
-    return _attach_iv(out, F.when(ok_iv, m_i), F.when(ok_iv, d_i), F.when(ok_iv, u_i))
+    rtypes = set()
+    if f_num:
+        rtypes.add(T_NUMBER)
+    if f_iv:
+        rtypes.add(T_INTERVAL)
+    _tag_types(out, *rtypes)
+    if f_iv:
+        ok_iv = ~nul & is_iv
+        return _attach_iv(out, F.when(ok_iv, m_i), F.when(ok_iv, d_i), F.when(ok_iv, u_i))
+    return out
 
 
 def op_div(a: Column, b: Column) -> Column:
     """int/int -> truncated int division (Postgres int4div semantics);
     interval / number scales with cascade (interval_div,
-    gtype_ops.c:541-606). Division by zero -> gtype null."""
+    gtype_ops.c:541-606). Division by zero -> gtype null; statically-
+    infeasible branches are pruned (gv_types)."""
+    ta, tb = gv_types(a), gv_types(b)
     nul = (a.t == T_NULL) | (b.t == T_NULL)
-    bothnum = (a.t == T_NUMBER) & (b.t == T_NUMBER)
-    is_int = bothnum & _both_int(a, b)
-    bad_int = is_int & (b.i == 0)
-    iv_num = (a.t == T_INTERVAL) & (b.t == T_NUMBER)
-    bad_iv = iv_num & (b.d == 0.0)
-    q = a.i.cast("double") / b.i
-    trunc = F.when(q < 0, F.ceil(q)).otherwise(F.floor(q)).cast("long")
-    m_i, d_i, u_i = _iv_scale(interval_parts(a), F.lit(1.0) / b.d)
-    t = (
-        F.when(nul | bad_int | bad_iv, F.lit(T_NULL))
-        .when(bothnum, F.lit(T_NUMBER))
-        .when(iv_num, F.lit(T_INTERVAL))
-        .otherwise(F.lit(T_NULL))
-    )
-    norm = m_i * US_PER_MONTH + d_i * US_PER_DAY + u_i
+    f_num = T_NUMBER in ta and T_NUMBER in tb
+    f_iv = T_INTERVAL in ta and T_NUMBER in tb
+    false = F.lit(False)
+    bothnum = ((a.t == T_NUMBER) & (b.t == T_NUMBER)) if f_num else false
+    is_int = (bothnum & _both_int(a, b)) if f_num else false
+    bad_int = (is_int & (b.i == 0)) if f_num else false
+    iv_num = ((a.t == T_INTERVAL) & (b.t == T_NUMBER)) if f_iv else false
+    bad_iv = (iv_num & (b.d == 0.0)) if f_iv else false
+
+    trunc = norm = m_i = d_i = u_i = None
+    if f_num:
+        q = a.i.cast("double") / b.i
+        trunc = F.when(q < 0, F.ceil(q)).otherwise(F.floor(q)).cast("long")
+    if f_iv:
+        m_i, d_i, u_i = _iv_scale(interval_parts(a), F.lit(1.0) / b.d)
+        norm = m_i * US_PER_MONTH + d_i * US_PER_DAY + u_i
+
+    t_pairs = [(nul | bad_int | bad_iv, F.lit(T_NULL))]
+    if f_num:
+        t_pairs.append((bothnum, F.lit(T_NUMBER)))
+    if f_iv:
+        t_pairs.append((iv_num, F.lit(T_INTERVAL)))
+    t = _whens(t_pairs, otherwise=F.lit(T_NULL))
     ok = ~nul & ~bad_int & ~bad_iv
-    i = F.when(ok & is_int, trunc).when(ok & iv_num, norm)
-    d = (
-        F.when(ok & is_int, trunc.cast("double"))
-        .when(ok & bothnum, a.d / b.d)
-        .when(ok & iv_num, norm.cast("double"))
-    )
-    j = F.when(ok & iv_num, _iv_json(m_i, d_i, u_i))
+    i_pairs = []
+    if f_num:
+        i_pairs.append((ok & is_int, trunc))
+    if f_iv:
+        i_pairs.append((ok & iv_num, norm))
+    i = _whens(i_pairs) if i_pairs else None
+    d_pairs = []
+    if f_num:
+        d_pairs.append((ok & is_int, trunc.cast("double")))
+        d_pairs.append((ok & bothnum, a.d / b.d))
+    if f_iv:
+        d_pairs.append((ok & iv_num, norm.cast("double")))
+    d = _whens(d_pairs) if d_pairs else None
+    j = F.when(ok & iv_num, _iv_json(m_i, d_i, u_i)) if f_iv else None
     out = _mk(t, i=i, d=d, j=j)
-    ok_iv = ok & iv_num
-    return _attach_iv(out, F.when(ok_iv, m_i), F.when(ok_iv, d_i), F.when(ok_iv, u_i))
+    rtypes = set()
+    if f_num:
+        rtypes.add(T_NUMBER)
+    if f_iv:
+        rtypes.add(T_INTERVAL)
+    _tag_types(out, *rtypes)
+    if f_iv:
+        ok_iv = ok & iv_num
+        return _attach_iv(out, F.when(ok_iv, m_i), F.when(ok_iv, d_i), F.when(ok_iv, u_i))
+    return out
 
 
 def op_mod(a: Column, b: Column) -> Column:
@@ -1057,6 +1331,13 @@ def decode(value) -> Any:
         import datetime as _dt
 
         us = value["i"]
+        # ±infinity sentinels (PG DT_NOEND/DT_NOBEGIN) render as text
+        # before any datetime construction can overflow
+        if t in (T_TIMESTAMP, T_DATE):
+            if us == (1 << 63) - 1:
+                return "infinity"
+            if us == -(1 << 63):
+                return "-infinity"
         if t == T_DATE:
             try:
                 d0 = _dt.date(1970, 1, 1) + _dt.timedelta(days=us)
@@ -1080,7 +1361,15 @@ def decode(value) -> Any:
             m, s = divmod(rem, 60)
             out = f"{h:02d}:{m:02d}:{s:02d}"
             return out + (f".{frac:06d}".rstrip("0") if frac else "")
-        ts = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+        try:
+            ts = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+        except (OverflowError, OSError):
+            # out-of-datetime-range timestamps: render via the civil-
+            # from-days fallback (same algorithm as the date branch)
+            days, tod = divmod(us, US_PER_DAY)
+            d_txt = decode({"t": T_DATE, "i": days, "b": None, "d": None, "s": None, "j": None})
+            t_txt = decode({"t": T_TIME, "i": tod, "b": None, "d": None, "s": None, "j": None})
+            return f"{d_txt} {t_txt}"
         out = ts.strftime("%Y-%m-%d %H:%M:%S")
         return out + (f".{ts.microsecond:06d}".rstrip("0") if ts.microsecond else "")
     if t == T_INTERVAL and value["j"] is not None:

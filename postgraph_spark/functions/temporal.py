@@ -338,51 +338,80 @@ def parse_interval_parts(s: Column) -> Column:
 # ------------------------------------------------------------------- casts
 
 def _gv_ts_us(gv: Column) -> Column:
-    """timestamp-or-date gval -> µs axis (null for other types)."""
-    return F.when(gv.t == G.T_TIMESTAMP, gv.i).when(gv.t == G.T_DATE, gv.i * US_PER_DAY)
+    """timestamp-or-date gval -> µs axis (null for other types);
+    statically-impossible branches pruned."""
+    types = G.gv_types(gv)
+    pairs = []
+    if G.T_TIMESTAMP in types:
+        pairs.append((gv.t == G.T_TIMESTAMP, gv.i))
+    if G.T_DATE in types:
+        pairs.append((gv.t == G.T_DATE, gv.i * US_PER_DAY))
+    return G._whens(pairs) if pairs else F.lit(None).cast("long")
 
 
 def cast_timestamp(gv: Column, with_tz: bool = False) -> Column:
     """:: timestamp / ::timestamptz (gtype_to_timestamp_internal):
     string -> datetime parse; integer -> µs since 2000-01-01; date
-    promotes; timestamp passes through."""
-    us = (
-        F.when(gv.t == G.T_TIMESTAMP, gv.i)
-        .when(gv.t == G.T_DATE, gv.i * US_PER_DAY)
-        .when((gv.t == G.T_NUMBER) & gv.i.isNotNull(), gv.i + PG_EPOCH_US)
-        .when(gv.t == G.T_STRING, parse_ts_us(gv.s, apply_tz=with_tz))
-    )
-    return G.gv_timestamp(us)
+    promotes; timestamp passes through. Branches prune on gv_types —
+    in particular the heavy text parser is only built when the operand
+    may be a string."""
+    types = G.gv_types(gv)
+    pairs = []
+    if G.T_TIMESTAMP in types:
+        pairs.append((gv.t == G.T_TIMESTAMP, gv.i))
+    if G.T_DATE in types:
+        pairs.append((gv.t == G.T_DATE, gv.i * US_PER_DAY))
+    if G.T_NUMBER in types:
+        pairs.append(((gv.t == G.T_NUMBER) & gv.i.isNotNull(), gv.i + PG_EPOCH_US))
+    if G.T_STRING in types:
+        pairs.append((gv.t == G.T_STRING, parse_ts_us(gv.s, apply_tz=with_tz)))
+    return G.gv_timestamp(G._whens(pairs) if pairs else F.lit(None).cast("long"))
 
 
 def cast_date(gv: Column) -> Column:
-    days = (
-        F.when(gv.t == G.T_DATE, gv.i)
-        .when(gv.t == G.T_TIMESTAMP, _long_floor_div(gv.i, US_PER_DAY))
-        .when((gv.t == G.T_NUMBER) & gv.i.isNotNull(), gv.i + PG_EPOCH_DAYS)
-        .when(gv.t == G.T_STRING, parse_date_days(gv.s))
-    )
-    return G.gv_date(days)
+    types = G.gv_types(gv)
+    pairs = []
+    if G.T_DATE in types:
+        pairs.append((gv.t == G.T_DATE, gv.i))
+    if G.T_TIMESTAMP in types:
+        pairs.append((gv.t == G.T_TIMESTAMP, _long_floor_div(gv.i, US_PER_DAY)))
+    if G.T_NUMBER in types:
+        pairs.append(((gv.t == G.T_NUMBER) & gv.i.isNotNull(), gv.i + PG_EPOCH_DAYS))
+    if G.T_STRING in types:
+        pairs.append((gv.t == G.T_STRING, parse_date_days(gv.s)))
+    return G.gv_date(G._whens(pairs) if pairs else F.lit(None).cast("long"))
 
 
 def cast_time(gv: Column) -> Column:
-    iv = G.interval_parts(gv)
-    us = (
-        F.when(gv.t == G.T_TIME, gv.i)
-        .when(gv.t == G.T_TIMESTAMP, F.pmod(gv.i, F.lit(US_PER_DAY)))
-        .when(gv.t == G.T_INTERVAL, F.pmod(iv["us"], F.lit(US_PER_DAY)))
-        .when(gv.t == G.T_STRING, parse_time_us(gv.s))
-    )
-    return G.gv_time(us)
+    types = G.gv_types(gv)
+    pairs = []
+    if G.T_TIME in types:
+        pairs.append((gv.t == G.T_TIME, gv.i))
+    if G.T_TIMESTAMP in types:
+        pairs.append((gv.t == G.T_TIMESTAMP, F.pmod(gv.i, F.lit(US_PER_DAY))))
+    if G.T_INTERVAL in types:
+        iv = G.interval_parts(gv)
+        pairs.append((gv.t == G.T_INTERVAL, F.pmod(iv["us"], F.lit(US_PER_DAY))))
+    if G.T_STRING in types:
+        pairs.append((gv.t == G.T_STRING, parse_time_us(gv.s)))
+    return G.gv_time(G._whens(pairs) if pairs else F.lit(None).cast("long"))
 
 
 def cast_interval(gv: Column) -> Column:
-    p = parse_interval_parts(gv.s)
-    iv = G.interval_parts(gv)
-    m = F.when(gv.t == G.T_INTERVAL, iv["months"]).when(gv.t == G.T_STRING, p["months"])
-    d = F.when(gv.t == G.T_INTERVAL, iv["days"]).when(gv.t == G.T_STRING, p["days"])
-    u = F.when(gv.t == G.T_INTERVAL, iv["us"]).when(gv.t == G.T_STRING, p["us"])
-    return G.gv_interval(m, d, u)
+    types = G.gv_types(gv)
+    f_iv, f_s = G.T_INTERVAL in types, G.T_STRING in types
+    iv = G.interval_parts(gv) if f_iv else None
+    p = parse_interval_parts(gv.s) if f_s else None
+
+    def pick(k: str) -> Column:
+        pairs = []
+        if f_iv:
+            pairs.append((gv.t == G.T_INTERVAL, iv[k]))
+        if f_s:
+            pairs.append((gv.t == G.T_STRING, p[k]))
+        return G._whens(pairs) if pairs else F.lit(None).cast("long")
+
+    return G.gv_interval(pick("months"), pick("days"), pick("us"))
 
 
 # --------------------------------------------------------------- functions
@@ -405,110 +434,146 @@ _EXTRACT_TS_FIELDS = {
 # Catalyst conversion alone took minutes.
 
 
-def _ts_field_exprs(us: Column) -> dict[str, Column]:
+def _ts_field_exprs(us: Column) -> dict:
     """PG extract/date_part formulas over a µs-axis value -> double
-    (timestamp_part, PG timestamp.c; tz fields are 0 under UTC)."""
-    ts = F.timestamp_micros(us)
-    y = F.year(ts)
-    sec_us = F.pmod(us, F.lit(US_PER_MIN))
-    century = F.when(y > 0, F.floor((y.cast("double") + 99) / 100)).otherwise(
-        -F.floor((-y.cast("double") + 99) / 100)
-    )
-    millennium = F.when(y > 0, F.floor((y.cast("double") + 999) / 1000)).otherwise(
-        -F.floor((-y.cast("double") + 999) / 1000)
-    )
-    tod = F.pmod(us, F.lit(US_PER_DAY))
-    days = _long_floor_div(us, US_PER_DAY)
-    julian = (days + JULIAN_UNIX_EPOCH).cast("double") + tod.cast("double") / US_PER_DAY
-    zero = F.lit(0.0)
+    (timestamp_part, PG timestamp.c; tz fields are 0 under UTC).
+    LAZY: values are thunks — a literal field name (the common case)
+    builds exactly ONE formula instead of all 21 (driver-side plan-build
+    cost, round-4 verdict item #1)."""
+    def ts():
+        return F.timestamp_micros(us)
+
+    def y():
+        return F.year(ts())
+
+    def sec_us():
+        return F.pmod(us, F.lit(US_PER_MIN))
+
+    def century():
+        yy = y()
+        return F.when(yy > 0, F.floor((yy.cast("double") + 99) / 100)).otherwise(
+            -F.floor((-yy.cast("double") + 99) / 100)
+        ).cast("double")
+
+    def millennium():
+        yy = y()
+        return F.when(yy > 0, F.floor((yy.cast("double") + 999) / 1000)).otherwise(
+            -F.floor((-yy.cast("double") + 999) / 1000)
+        ).cast("double")
+
+    def julian():
+        tod = F.pmod(us, F.lit(US_PER_DAY))
+        days = _long_floor_div(us, US_PER_DAY)
+        return (days + JULIAN_UNIX_EPOCH).cast("double") + tod.cast("double") / US_PER_DAY
+
+    zero = lambda: F.lit(0.0)
     return {
-        "year": y.cast("double"),
-        "month": F.month(ts).cast("double"),
-        "day": F.dayofmonth(ts).cast("double"),
-        "hour": F.hour(ts).cast("double"),
-        "minute": F.minute(ts).cast("double"),
-        "second": sec_us.cast("double") / US_PER_SEC,
-        "microseconds": sec_us.cast("double"),
-        "milliseconds": sec_us.cast("double") / 1000,
-        "epoch": us.cast("double") / US_PER_SEC,
-        "century": century.cast("double"),
-        "millennium": millennium.cast("double"),
-        "decade": (y / 10).cast("long").cast("double"),
-        "dow": (F.dayofweek(ts) - 1).cast("double"),
-        "isodow": (F.weekday(ts) + 1).cast("double"),
-        "doy": F.dayofyear(ts).cast("double"),
-        "isoyear": F.extract(F.lit("YEAROFWEEK"), ts).cast("double"),
-        "week": F.weekofyear(ts).cast("double"),
-        "quarter": F.quarter(ts).cast("double"),
+        "year": lambda: y().cast("double"),
+        "month": lambda: F.month(ts()).cast("double"),
+        "day": lambda: F.dayofmonth(ts()).cast("double"),
+        "hour": lambda: F.hour(ts()).cast("double"),
+        "minute": lambda: F.minute(ts()).cast("double"),
+        "second": lambda: sec_us().cast("double") / US_PER_SEC,
+        "microseconds": lambda: sec_us().cast("double"),
+        "milliseconds": lambda: sec_us().cast("double") / 1000,
+        "epoch": lambda: us.cast("double") / US_PER_SEC,
+        "century": century,
+        "millennium": millennium,
+        "decade": lambda: (y() / 10).cast("long").cast("double"),
+        "dow": lambda: (F.dayofweek(ts()) - 1).cast("double"),
+        "isodow": lambda: (F.weekday(ts()) + 1).cast("double"),
+        "doy": lambda: F.dayofyear(ts()).cast("double"),
+        "isoyear": lambda: F.extract(F.lit("YEAROFWEEK"), ts()).cast("double"),
+        "week": lambda: F.weekofyear(ts()).cast("double"),
+        "quarter": lambda: F.quarter(ts()).cast("double"),
         "julian": julian,
         "timezone": zero, "timezone_hour": zero, "timezone_minute": zero,
     }
 
 
-def _time_field_exprs(us: Column) -> dict[str, Column]:
-    sec_us = F.pmod(us, F.lit(US_PER_MIN))
+def _time_field_exprs(us: Column) -> dict:
+    def sec_us():
+        return F.pmod(us, F.lit(US_PER_MIN))
+
     return {
-        "hour": _long_floor_div(us, US_PER_HOUR).cast("double"),
-        "minute": F.pmod(_long_floor_div(us, US_PER_MIN), F.lit(60)).cast("double"),
-        "second": sec_us.cast("double") / US_PER_SEC,
-        "microseconds": sec_us.cast("double"),
-        "milliseconds": sec_us.cast("double") / 1000,
-        "epoch": us.cast("double") / US_PER_SEC,
+        "hour": lambda: _long_floor_div(us, US_PER_HOUR).cast("double"),
+        "minute": lambda: F.pmod(_long_floor_div(us, US_PER_MIN), F.lit(60)).cast("double"),
+        "second": lambda: sec_us().cast("double") / US_PER_SEC,
+        "microseconds": lambda: sec_us().cast("double"),
+        "milliseconds": lambda: sec_us().cast("double") / 1000,
+        "epoch": lambda: us.cast("double") / US_PER_SEC,
     }
 
 
-def _interval_field_exprs(parts: Column) -> dict[str, Column]:
+def _interval_field_exprs(parts: Column) -> dict:
     """interval_part: year/month from months, day from days, time fields
-    from µs; epoch uses PG's 365.25-day years / 30-day months."""
+    from µs; epoch uses PG's 365.25-day years / 30-day months. Lazy."""
     m, d, u = parts["months"], parts["days"], parts["us"]
-    yrs = (m / 12).cast("long")
-    epoch = (
-        (yrs.cast("double") * 365.25 + (m - yrs * 12).cast("double") * 30 + d.cast("double"))
-        * 86400
-        + u.cast("double") / US_PER_SEC
-    )
+
+    def yrs():
+        return (m / 12).cast("long")
+
+    def epoch():
+        yy = yrs()
+        return (
+            (yy.cast("double") * 365.25 + (m - yy * 12).cast("double") * 30 + d.cast("double"))
+            * 86400
+            + u.cast("double") / US_PER_SEC
+        )
+
     return {
-        "year": yrs.cast("double"),
-        "month": (m - yrs * 12).cast("double"),
-        "day": d.cast("double"),
-        "hour": (u / US_PER_HOUR).cast("long").cast("double"),
-        "minute": F.pmod((u / US_PER_MIN).cast("long"), F.lit(60)).cast("double"),
-        "second": F.pmod(u, F.lit(US_PER_MIN)).cast("double") / US_PER_SEC,
-        "microseconds": F.pmod(u, F.lit(US_PER_MIN)).cast("double"),
-        "milliseconds": F.pmod(u, F.lit(US_PER_MIN)).cast("double") / 1000,
+        "year": lambda: yrs().cast("double"),
+        "month": lambda: (m - yrs() * 12).cast("double"),
+        "day": lambda: d.cast("double"),
+        "hour": lambda: (u / US_PER_HOUR).cast("long").cast("double"),
+        "minute": lambda: F.pmod((u / US_PER_MIN).cast("long"), F.lit(60)).cast("double"),
+        "second": lambda: F.pmod(u, F.lit(US_PER_MIN)).cast("double") / US_PER_SEC,
+        "microseconds": lambda: F.pmod(u, F.lit(US_PER_MIN)).cast("double"),
+        "milliseconds": lambda: F.pmod(u, F.lit(US_PER_MIN)).cast("double") / 1000,
         "epoch": epoch,
-        "decade": (yrs / 10).cast("long").cast("double"),
-        "century": (yrs / 100).cast("long").cast("double"),
-        "millennium": (yrs / 1000).cast("long").cast("double"),
-        "quarter": ((F.pmod(m, F.lit(12)) / 3).cast("long") + 1).cast("double"),
+        "decade": lambda: (yrs() / 10).cast("long").cast("double"),
+        "century": lambda: (yrs() / 100).cast("long").cast("double"),
+        "millennium": lambda: (yrs() / 1000).cast("long").cast("double"),
+        "quarter": lambda: ((F.pmod(m, F.lit(12)) / 3).cast("long") + 1).cast("double"),
     }
 
 
-def _pick_field(exprs: dict[str, Column], field: Column | str) -> Column:
+def _pick_field(exprs: dict, field: Column | str) -> Column:
     """One formula for a literal field name; when-chain otherwise."""
     if isinstance(field, str):
         e = exprs.get(field.lower())
-        return e if e is not None else F.lit(None).cast("double")
+        return e() if e is not None else F.lit(None).cast("double")
     out = None
     for k, v in exprs.items():
-        out = F.when(field == k, v) if out is None else out.when(field == k, v)
+        out = F.when(field == k, v()) if out is None else out.when(field == k, v())
     return out
 
 
 def _dispatch_part(field_gv: Column | str, gv: Column) -> Column:
     """Shared extract/date_part dispatch -> double (null on bad input).
-    field_gv may be a python str (compile-time-folded literal)."""
+    field_gv may be a python str (compile-time-folded literal). Only
+    statically-feasible source-type branches are built (gv_types)."""
     if isinstance(field_gv, str):
         field: Column | str = field_gv
         ok = F.lit(True)
     else:
         field = F.lower(field_gv.s)
         ok = field_gv.t == G.T_STRING
-    d = (
-        F.when(gv.t.isin(G.T_TIMESTAMP, G.T_DATE), _pick_field(_ts_field_exprs(_gv_ts_us(gv)), field))
-        .when(gv.t == G.T_TIME, _pick_field(_time_field_exprs(gv.i), field))
-        .when(gv.t == G.T_INTERVAL, _pick_field(_interval_field_exprs(G.interval_parts(gv)), field))
-    )
+    types = G.gv_types(gv)
+    pairs = []
+    if types & {G.T_TIMESTAMP, G.T_DATE}:
+        pairs.append((
+            gv.t.isin(G.T_TIMESTAMP, G.T_DATE),
+            _pick_field(_ts_field_exprs(_gv_ts_us(gv)), field),
+        ))
+    if G.T_TIME in types:
+        pairs.append((gv.t == G.T_TIME, _pick_field(_time_field_exprs(gv.i), field)))
+    if G.T_INTERVAL in types:
+        pairs.append((
+            gv.t == G.T_INTERVAL,
+            _pick_field(_interval_field_exprs(G.interval_parts(gv)), field),
+        ))
+    d = G._whens(pairs) if pairs else F.lit(None).cast("double")
     return F.when(ok, d)
 
 
@@ -527,40 +592,53 @@ def date_part_gv(field_gv: Column | str, gv: Column) -> Column:
     return G.gv_float(_dispatch_part(field_gv, gv))
 
 
-def _trunc_ts_exprs(us: Column) -> dict[str, Column]:
-    """timestamp_trunc target -> truncated µs (PG timestamp.c)."""
-    ts = F.timestamp_micros(us)
-    y = F.year(ts)
-    dec_y = (y / 10).cast("int") * 10
-    cen_y = F.when(y > 0, ((y - 1) / 100).cast("int") * 100 + 1).otherwise(y)
-    mil_y = F.when(y > 0, ((y - 1) / 1000).cast("int") * 1000 + 1).otherwise(y)
+def _trunc_ts_exprs(us: Column) -> dict:
+    """timestamp_trunc target -> truncated µs (PG timestamp.c). Lazy."""
+    def ts():
+        return F.timestamp_micros(us)
+
+    def dec():
+        return F.unix_micros(
+            F.make_date((F.year(ts()) / 10).cast("int") * 10, F.lit(1), F.lit(1)).cast("timestamp")
+        )
+
+    def cen():
+        y = F.year(ts())
+        cy = F.when(y > 0, ((y - 1) / 100).cast("int") * 100 + 1).otherwise(y)
+        return F.unix_micros(F.make_date(cy, F.lit(1), F.lit(1)).cast("timestamp"))
+
+    def mil():
+        y = F.year(ts())
+        my = F.when(y > 0, ((y - 1) / 1000).cast("int") * 1000 + 1).otherwise(y)
+        return F.unix_micros(F.make_date(my, F.lit(1), F.lit(1)).cast("timestamp"))
+
     out = {
-        f: F.unix_micros(F.date_trunc(f, ts))
+        f: (lambda f=f: F.unix_micros(F.date_trunc(f, ts())))
         for f in ("year", "quarter", "month", "week", "day", "hour", "minute", "second")
     }
-    out["decade"] = F.unix_micros(F.make_date(dec_y, F.lit(1), F.lit(1)).cast("timestamp"))
-    out["century"] = F.unix_micros(F.make_date(cen_y, F.lit(1), F.lit(1)).cast("timestamp"))
-    out["millennium"] = F.unix_micros(F.make_date(mil_y, F.lit(1), F.lit(1)).cast("timestamp"))
-    out["milliseconds"] = us - F.pmod(us, F.lit(1000))
-    out["microseconds"] = us
+    out["decade"] = dec
+    out["century"] = cen
+    out["millennium"] = mil
+    out["milliseconds"] = lambda: us - F.pmod(us, F.lit(1000))
+    out["microseconds"] = lambda: us
     return out
 
 
-def _trunc_iv_exprs(parts: Column) -> dict[str, tuple[Column, Column, Column]]:
-    """interval_trunc target -> (months, days, us) with lower-order
-    fields zeroed (PG interval_trunc)."""
+def _trunc_iv_exprs(parts: Column) -> dict:
+    """interval_trunc target -> (months, days, us) thunks with
+    lower-order fields zeroed (PG interval_trunc)."""
     m, d, u = parts["months"], parts["days"], parts["us"]
     z = F.lit(0).cast("long")
     return {
-        "year": ((m / 12).cast("long") * 12, z, z),
-        "quarter": ((m / 3).cast("long") * 3, z, z),
-        "month": (m, z, z),
-        "day": (m, d, z),
-        "hour": (m, d, u - F.pmod(u, F.lit(US_PER_HOUR))),
-        "minute": (m, d, u - F.pmod(u, F.lit(US_PER_MIN))),
-        "second": (m, d, u - F.pmod(u, F.lit(US_PER_SEC))),
-        "milliseconds": (m, d, u - F.pmod(u, F.lit(1000))),
-        "microseconds": (m, d, u),
+        "year": lambda: ((m / 12).cast("long") * 12, z, z),
+        "quarter": lambda: ((m / 3).cast("long") * 3, z, z),
+        "month": lambda: (m, z, z),
+        "day": lambda: (m, d, z),
+        "hour": lambda: (m, d, u - F.pmod(u, F.lit(US_PER_HOUR))),
+        "minute": lambda: (m, d, u - F.pmod(u, F.lit(US_PER_MIN))),
+        "second": lambda: (m, d, u - F.pmod(u, F.lit(US_PER_SEC))),
+        "milliseconds": lambda: (m, d, u - F.pmod(u, F.lit(1000))),
+        "microseconds": lambda: (m, d, u),
     }
 
 
@@ -568,36 +646,52 @@ def date_trunc_gv(field_gv: Column | str, gv: Column) -> Column:
     """date_trunc(field, ts|interval) (gtype_temporal.c:589-684; PG
     timestamp_trunc/interval_trunc). Optional tz arg of the reference's
     3-arg form is accepted upstream but only UTC semantics exist here.
-    A literal field (python str) folds to the single target's formula."""
+    A literal field (python str) folds to the single target's formula;
+    statically-infeasible source types are pruned (gv_types)."""
     if isinstance(field_gv, str):
         field: Column | str = field_gv.lower()
         field_ok = F.lit(True)
     else:
         field = F.lower(field_gv.s)
         field_ok = field_gv.t == G.T_STRING
-    ts_map = _trunc_ts_exprs(_gv_ts_us(gv))
-    iv_map = _trunc_iv_exprs(G.interval_parts(gv))
-    if isinstance(field, str):
-        t_us = ts_map.get(field, F.lit(None).cast("long"))
-        iv_m, iv_d, iv_u = iv_map.get(
-            field, (F.lit(None).cast("long"),) * 3
-        )
-    else:
-        t_us = _pick_field(ts_map, field).cast("long")
-        iv_m = _pick_field({k: v[0] for k, v in iv_map.items()}, field).cast("long")
-        iv_d = _pick_field({k: v[1] for k, v in iv_map.items()}, field).cast("long")
-        iv_u = _pick_field({k: v[2] for k, v in iv_map.items()}, field).cast("long")
-    is_ts = gv.t.isin(G.T_TIMESTAMP, G.T_DATE) & field_ok
-    is_iv = (gv.t == G.T_INTERVAL) & field_ok
-    ts_part = G.gv_timestamp(F.when(is_ts, t_us))
+    types = G.gv_types(gv)
+    f_ts = bool(types & {G.T_TIMESTAMP, G.T_DATE})
+    f_iv = G.T_INTERVAL in types
+    nil_l = F.lit(None).cast("long")
+    t_us = nil_l
+    iv_m = iv_d = iv_u = nil_l
+    if f_ts:
+        ts_map = _trunc_ts_exprs(_gv_ts_us(gv))
+        if isinstance(field, str):
+            thunk = ts_map.get(field)
+            t_us = thunk() if thunk is not None else nil_l
+        else:
+            t_us = _pick_field(ts_map, field).cast("long")
+    if f_iv:
+        iv_map = _trunc_iv_exprs(G.interval_parts(gv))
+        if isinstance(field, str):
+            thunk = iv_map.get(field)
+            iv_m, iv_d, iv_u = thunk() if thunk is not None else (nil_l, nil_l, nil_l)
+        else:
+            iv_m = _pick_field({k: (lambda k=k: iv_map[k]()[0]) for k in iv_map}, field).cast("long")
+            iv_d = _pick_field({k: (lambda k=k: iv_map[k]()[1]) for k in iv_map}, field).cast("long")
+            iv_u = _pick_field({k: (lambda k=k: iv_map[k]()[2]) for k in iv_map}, field).cast("long")
+    is_ts = gv.t.isin(G.T_TIMESTAMP, G.T_DATE) & field_ok if f_ts else F.lit(False)
+    is_iv = ((gv.t == G.T_INTERVAL) & field_ok) if f_iv else F.lit(False)
+    if not f_iv:
+        return G.gv_timestamp(F.when(is_ts, t_us))
     iv_part = G.gv_interval(F.when(is_iv, iv_m), iv_d, iv_u)
+    if not f_ts:
+        return iv_part
+    ts_part = G.gv_timestamp(F.when(is_ts, t_us))
     # one flat struct: pick field-wise between the two candidate gvals
-    return G._mk(
+    out = G._mk(
         F.when(is_iv, iv_part["t"]).otherwise(ts_part["t"]),
         i=F.when(is_iv, iv_part["i"]).otherwise(ts_part["i"]),
         d=F.when(is_iv, iv_part["d"]).otherwise(ts_part["d"]),
         j=F.when(is_iv, iv_part["j"]),
     )
+    return G._tag_types(out, G.T_TIMESTAMP, G.T_INTERVAL)
 
 
 def date_bin_gv(stride_gv: Column, src_gv: Column, origin_gv: Column) -> Column:

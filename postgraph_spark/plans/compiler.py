@@ -103,6 +103,9 @@ class Compiler:
         self.spark = spark
         self.graph = graph
         self._anon = itertools.count()
+        # let-binding buffer: None = disabled (write-path compiles and
+        # standalone expression compiles), [] = collecting. See _let.
+        self._lets: list[tuple[str, Column]] | None = None
 
     # ------------------------------------------------------------ entry
 
@@ -133,13 +136,66 @@ class Compiler:
         return df
 
     def compile_clause(self, clause, df, scope):
-        if isinstance(clause, A.MatchClause):
-            return self.compile_match(clause, df, scope)
-        if isinstance(clause, A.UnwindClause):
-            return self.compile_unwind(clause, df, scope)
-        if isinstance(clause, (A.WithClause, A.ReturnClause)):
-            return self.compile_projection(clause, df, scope)
-        raise CompileError(f"unsupported clause {type(clause).__name__} in read path")
+        prev, self._lets = self._lets, []
+        try:
+            if isinstance(clause, A.MatchClause):
+                return self.compile_match(clause, df, scope)
+            if isinstance(clause, A.UnwindClause):
+                return self.compile_unwind(clause, df, scope)
+            if isinstance(clause, (A.WithClause, A.ReturnClause)):
+                return self.compile_projection(clause, df, scope)
+            raise CompileError(f"unsupported clause {type(clause).__name__} in read path")
+        finally:
+            self._lets = prev
+
+    # -------------------------------------------------- let bindings
+    #
+    # Composed gval expressions (a temporal function over an arithmetic
+    # result over a cast...) share builder sub-trees as a JVM DAG, but
+    # Catalyst ANALYSIS walks expressions as trees — every consumer-side
+    # field access multiplies the walked path count, and a 4-clause
+    # temporal query spent 13s of 18s inside eager DataFrame.select
+    # analysis (round-4 verdict item #1). A "let" materializes a
+    # composed sub-expression as a hidden projection column — a physical
+    # boundary — so its k downstream field reads are k cheap attribute
+    # ExtractValues. Spark's CollapseProject deliberately keeps such
+    # boundaries when the alias is non-cheap and multiply referenced, so
+    # the executed plan keeps the sharing too.
+
+    def _let(self, col: Column) -> Column:
+        name = f"__let{next(self._anon)}"
+        self._lets.append((name, col))
+        # the ref keeps the bound value's statically-known type set so
+        # downstream operator dispatch can still prune branches
+        return G.gv_ref(name, types=G.gv_types(col))
+
+    def _maybe_let(self, col: Column, node, df) -> Column:
+        """let-bind `col` (the compiled gval of AST `node`) when it is a
+        composed expression about to be consumed multiplicatively.
+        Plain refs (Var), literals and single property reads stay
+        inline — they are one attribute/variant_get deep."""
+        if self._lets is None or df is None:
+            return col
+        if isinstance(node, (A.Lit, A.Var)):
+            return col
+        if isinstance(node, A.Prop) and isinstance(node.base, A.Var):
+            return col
+        return self._let(col)
+
+    def _apply_lets(self, df: DataFrame) -> tuple[DataFrame, list[str]]:
+        """Flush pending lets onto df as hidden columns. One select per
+        let: a later let may reference an earlier one (post-order
+        compile), and same-select aliases are not mutually visible.
+        Each select's eager analysis is cheap precisely because the
+        lets keep every expression small."""
+        if not self._lets:
+            return df, []
+        lets, self._lets = self._lets, []
+        names = []
+        for name, c in lets:
+            df = df.select("*", c.alias(name))
+            names.append(name)
+        return df, names
 
     # ------------------------------------------------------------- MATCH
     #
@@ -264,9 +320,17 @@ class Compiler:
 
         if m.where is not None:
             w, df = self._rewrite_exists(m.where, df, new_scope)
-            df = df.filter(G.truth(self.compile_expr(w, df, new_scope)))
+            cond = G.truth(self.compile_expr(w, df, new_scope))
+            df, letn = self._apply_lets(df)
+            df = df.filter(cond)
+            if letn:
+                df = df.drop(*letn)
         if m.order_by:
-            df = df.orderBy(*[self._sort_col(si, df, new_scope) for si in m.order_by])
+            sort_cols = [self._sort_col(si, df, new_scope) for si in m.order_by]
+            df, letn = self._apply_lets(df)
+            df = df.orderBy(*sort_cols)
+            if letn:
+                df = df.drop(*letn)
         return df, new_scope
 
     # ------------------------------------------------- EXISTS (pattern)
@@ -609,6 +673,7 @@ class Compiler:
             base_cols = list(df.columns)
         gv = self.compile_expr(u.expr, df, scope)
         arr = G.to_variant_array(gv)
+        df, _letn = self._apply_lets(df)
         df = df.select(*base_cols, F.explode(arr).alias("__unwound"))
         df = df.select(*base_cols, G.from_variant(F.col("__unwound")).alias(u.alias))
         new_scope = scope.copy()
@@ -681,8 +746,13 @@ class Compiler:
             try:
                 w, df2 = self._rewrite_exists(clause.where, df, scope)
                 cond = G.truth(self.compile_expr(w, df2, scope))
+                df2, letn = self._apply_lets(df2)
                 df = df2.filter(cond)
+                if letn:
+                    df = df.drop(*letn)
             except CompileError:
+                if self._lets is not None:
+                    self._lets = []  # discard lets of the failed attempt
                 deferred_where = clause.where
         if is_with and clause.star:
             # reserved __-prefixed bindings (EXISTS markers) are internal
@@ -729,6 +799,7 @@ class Compiler:
                 new_scope.kinds[name] = kind
             if df is None:
                 df = self.spark.range(1)
+            df, _letn = self._apply_lets(df)
             out = df.select(*cols)
         else:
             # implicit grouping: non-aggregate items become group keys
@@ -753,6 +824,7 @@ class Compiler:
             agg_cols = [
                 self._compile_agg(node, df, scope).alias(f"__agg{i}") for i, node in enumerate(agg_nodes)
             ]
+            df, _letn = self._apply_lets(df)
             if key_cols:
                 pre = df.select(*key_cols, "*")
                 grouped = pre.groupBy(*[F.col(f"__gk{i}") for i in range(len(group_items))])
@@ -774,14 +846,23 @@ class Compiler:
                     new_scope.kinds[name] = kind
                 else:
                     final_cols.append(F.col(f"__gk{key_pos[name]}").alias(name))
+            agg_df, _letn = self._apply_lets(agg_df)
             out = agg_df.select(*final_cols)
 
         if deferred_where is not None:
-            out = out.filter(G.truth(self.compile_expr(deferred_where, out, new_scope)))
+            cond = G.truth(self.compile_expr(deferred_where, out, new_scope))
+            out, letn = self._apply_lets(out)
+            out = out.filter(cond)
+            if letn:
+                out = out.drop(*letn)
         if clause.distinct:
             out = out.distinct()
         if clause.order_by:
-            out = out.orderBy(*[self._sort_col(si, out, new_scope) for si in clause.order_by])
+            sort_cols = [self._sort_col(si, out, new_scope) for si in clause.order_by]
+            out, letn = self._apply_lets(out)
+            out = out.orderBy(*sort_cols)
+            if letn:
+                out = out.drop(*letn)
         if clause.skip is not None:
             out = out.offset(self._int_lit(clause.skip))
         if clause.limit is not None:
@@ -815,14 +896,6 @@ class Compiler:
         for i, ke in enumerate(key_exprs):
             col, _k = self._compile_item(ke, df, scope)
             key_cols.append(col.alias(f"__gk{i}"))
-        pre = df.select(*key_cols, "*")
-        gcols = [F.col(f"__gk{i}") for i in range(len(key_exprs))]
-        if kind == "rollup":
-            grouped = pre.rollup(*gcols)
-        elif kind == "cube":
-            grouped = pre.cube(*gcols)
-        else:
-            grouped = pre.groupBy(*gcols)
 
         def replace_keys(e):
             """Swap subtrees equal to a grouping key for its __gk ref —
@@ -870,6 +943,15 @@ class Compiler:
             self._compile_agg(node, df, scope).alias(f"__agg{i}")
             for i, node in enumerate(agg_nodes)
         ]
+        df, _letn = self._apply_lets(df)
+        pre = df.select(*key_cols, "*")
+        gcols = [F.col(f"__gk{i}") for i in range(len(key_exprs))]
+        if kind == "rollup":
+            grouped = pre.rollup(*gcols)
+        elif kind == "cube":
+            grouped = pre.cube(*gcols)
+        else:
+            grouped = pre.groupBy(*gcols)
         agg_df = grouped.agg(*agg_cols) if agg_cols else grouped.agg(F.count(F.lit(1)).alias("__cnt"))
 
         out_scope = Scope()
@@ -884,7 +966,11 @@ class Compiler:
                 if not is_agg:
                     hdf = hdf.withColumn(name, F.col(f"__gk{ref}"))
                     out_scope.kinds[name] = VKIND_VALUE
-            agg_df = hdf.filter(G.truth(self.compile_expr(having_rewritten, hdf, out_scope)))
+            hcond = G.truth(self.compile_expr(having_rewritten, hdf, out_scope))
+            hdf, letn = self._apply_lets(hdf)
+            agg_df = hdf.filter(hcond)
+            if letn:
+                agg_df = agg_df.drop(*letn)
 
         final_cols = []
         for name, ref, is_agg in outer:
@@ -894,6 +980,7 @@ class Compiler:
             else:
                 final_cols.append(F.col(f"__gk{ref}").alias(name))
             new_scope.kinds[name] = VKIND_VALUE
+        agg_df, _letn = self._apply_lets(agg_df)
         return agg_df.select(*final_cols), new_scope
 
     def _int_lit(self, e) -> int:
@@ -965,7 +1052,7 @@ class Compiler:
                 key = F.when(present, G.sort_key(arg) if kind == VKIND_VALUE else arg["id"])
                 return G.gv_int(F.count_distinct(key))
             return G.gv_int(F.count(inner))
-        arg = self.compile_expr(e.args[0], df, scope)
+        arg = self._maybe_let(self.compile_expr(e.args[0], df, scope), e.args[0], df)
         if fcond is not None:
             arg = F.when(fcond, arg).otherwise(G.gv_null())
         valid = arg["t"] != G.T_NULL
@@ -1068,7 +1155,7 @@ class Compiler:
                 F.try_variant_get(F.try_parse_json(gv["j"]), "$." + ".".join(e.path), "variant")
             )
         if isinstance(e, A.Index):
-            base = self.compile_expr(e.base, df, scope)
+            base = self._maybe_let(self.compile_expr(e.base, df, scope), e.base, df)
             idx = self.compile_expr(e.index, df, scope)
             return G.element_access(base, idx["i"])
         if isinstance(e, A.Slice):
@@ -1101,7 +1188,7 @@ class Compiler:
         raise CompileError(f"unsupported expression {type(e).__name__}")
 
     def _compile_slice(self, e: A.Slice, df, scope) -> Column:
-        base = self.compile_expr(e.base, df, scope)
+        base = self._maybe_let(self.compile_expr(e.base, df, scope), e.base, df)
         arr = G.to_variant_array(base)
         n = F.size(arr)
         lo = self.compile_expr(e.lo, df, scope)["i"] if e.lo is not None else F.lit(0)
@@ -1152,18 +1239,21 @@ class Compiler:
             if lk in (VKIND_VERTEX, VKIND_EDGE) and rk in (VKIND_VERTEX, VKIND_EDGE):
                 same = F.col(e.left.name)["id"] == F.col(e.right.name)["id"]
                 return G.gv_bool(same if e.op == "=" else ~same)
-        left = self.compile_expr(e.left, df, scope)
-        right = self.compile_expr(e.right, df, scope)
+        left = self._maybe_let(self.compile_expr(e.left, df, scope), e.left, df)
+        right = self._maybe_let(self.compile_expr(e.right, df, scope), e.right, df)
         return fn(left, right)
 
     def _compile_case(self, e: A.CaseExpr, df, scope) -> Column:
         result = (
             self.compile_expr(e.default, df, scope) if e.default is not None else G.gv_null()
         )
+        op_c = None
+        if e.operand is not None:
+            # compile the test operand ONCE (it is referenced per WHEN)
+            op_c = self._maybe_let(self.compile_expr(e.operand, df, scope), e.operand, df)
         for cond, then in reversed(e.whens):
             then_c = self.compile_expr(then, df, scope)
-            if e.operand is not None:
-                op_c = self.compile_expr(e.operand, df, scope)
+            if op_c is not None:
                 cond_c = G.truth(G.op_eq(op_c, self.compile_expr(cond, df, scope)))
             else:
                 cond_c = G.truth(self.compile_expr(cond, df, scope))

@@ -26,7 +26,11 @@ class _Ctx:
         self.scope = scope
 
     def gv(self, i: int) -> Column:
-        return self.compiler.compile_expr(self.e.args[i], self.df, self.scope)
+        """Compiled gval of arg i; composed args are let-bound to a
+        hidden projection column (Compiler._maybe_let) so a kernel's
+        many field reads stay cheap attribute accesses."""
+        col = self.compiler.compile_expr(self.e.args[i], self.df, self.scope)
+        return self.compiler._maybe_let(col, self.e.args[i], self.df)
 
     _MISSING = object()
 
@@ -342,12 +346,31 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
             return G.gv_timestamp(F.lit(lv + TMP.PG_EPOCH_US))
         pvc = ctx.prop_variant(0)
         if pvc is not None:
-            # variant-native fast path: TIMESTAMP/DATE payloads read
-            # directly; strings fall back to the datetime parser
-            us = F.coalesce(
-                F.unix_micros(F.try_variant_get(pvc, "$", "timestamp")),
-                F.unix_date(F.try_variant_get(pvc, "$", "date")).cast("long") * TMP.US_PER_DAY,
-                TMP.parse_ts_us(F.try_variant_get(pvc, "$", "string"), apply_tz=with_tz),
+            # variant-native fast path DISPATCHED ON THE PAYLOAD TYPE:
+            # a bare coalesce over try_variant_get would silently cast an
+            # integer property as seconds-since-1970 via the timestamp
+            # branch, while the reference treats integers as µs since
+            # 2000-01-01 (gtype_typecasting.c SetEpochTimestamp) — the
+            # round-4 advice-high bug.
+            sch = F.schema_of_variant(pvc)
+            us = (
+                F.when(
+                    (sch == "TIMESTAMP") | (sch == "TIMESTAMP_NTZ"),
+                    F.unix_micros(F.try_variant_get(pvc, "$", "timestamp")),
+                )
+                .when(
+                    sch == "DATE",
+                    F.unix_date(F.try_variant_get(pvc, "$", "date")).cast("long")
+                    * TMP.US_PER_DAY,
+                )
+                .when(
+                    sch == "BIGINT",
+                    F.try_variant_get(pvc, "$", "bigint") + F.lit(TMP.PG_EPOCH_US),
+                )
+                .when(
+                    sch == "STRING",
+                    TMP.parse_ts_us(F.try_variant_get(pvc, "$", "string"), apply_tz=with_tz),
+                )
             )
             return G.gv_timestamp(us)
         return TMP.cast_timestamp(ctx.gv(0), with_tz=with_tz)
@@ -357,12 +380,24 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
             return G.gv_date(F.lit(TMP.py_parse_date_days(lv)).cast("long"))
         pvc = ctx.prop_variant(0)
         if pvc is not None:
-            days = F.coalesce(
-                F.unix_date(F.try_variant_get(pvc, "$", "date")).cast("long"),
-                TMP._long_floor_div(
-                    F.unix_micros(F.try_variant_get(pvc, "$", "timestamp")), TMP.US_PER_DAY
-                ),
-                TMP.parse_date_days(F.try_variant_get(pvc, "$", "string")),
+            # type-dispatched like totimestamp above: integers are days
+            # since 2000-01-01, NOT a timestamp cast (advice-high fix)
+            sch = F.schema_of_variant(pvc)
+            days = (
+                F.when(
+                    sch == "DATE", F.unix_date(F.try_variant_get(pvc, "$", "date")).cast("long")
+                )
+                .when(
+                    (sch == "TIMESTAMP") | (sch == "TIMESTAMP_NTZ"),
+                    TMP._long_floor_div(
+                        F.unix_micros(F.try_variant_get(pvc, "$", "timestamp")), TMP.US_PER_DAY
+                    ),
+                )
+                .when(
+                    sch == "BIGINT",
+                    F.try_variant_get(pvc, "$", "bigint") + F.lit(TMP.PG_EPOCH_DAYS),
+                )
+                .when(sch == "STRING", TMP.parse_date_days(F.try_variant_get(pvc, "$", "string")))
             )
             return G.gv_date(days)
         return TMP.cast_date(ctx.gv(0))

@@ -151,6 +151,12 @@ class WriteRunner:
         if off:
             mapping = F.create_map(*[F.lit(x) for kv in sorted(off.items()) for x in kv])
             base = mapping[F.col("__pid")]
+            # if the plan re-executes with different partitioning (AQE
+            # coalescing, nondeterministic upstream), a pid missing from
+            # the map must FAIL the statement, not commit null ids:
+            # assert_true returns NULL when the check passes, raises when
+            # it does not, so the coalesce is a pass-through guard
+            base = F.coalesce(F.assert_true(base.isNotNull()).cast("long"), base)
         else:  # zero input rows: type-stable placeholder, no rows to number
             base = F.lit(0)
         w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())

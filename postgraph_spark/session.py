@@ -48,6 +48,10 @@ def get_spark(app_name: str = "postgraph_spark", *, cpus: int | None = None) -> 
         # events.parquet stores TIMESTAMP(NANOS) which Spark has no native
         # type for; read as long and convert at load (sources.relational)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # per-Column-op call-site capture (error-message sugar) walks the
+        # Python stack on EVERY F.* call — measurable driver overhead for
+        # this engine's large generated expression trees
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
