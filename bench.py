@@ -55,10 +55,14 @@ def main() -> None:
     spark = get_spark("postgraph_spark_bench")
 
     timings: dict[str, float] = {}
+    build: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        df = fn(spark, sf_dir)  # parse + compile + eager Catalyst analysis
+        mid = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        build[name] = round(mid - start, 3)
         timings[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)
@@ -69,6 +73,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # driver-side plan construction share per query — compile
+                # pathologies are visible instead of hiding in the total
+                "build_sec": build,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

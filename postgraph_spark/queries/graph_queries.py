@@ -39,11 +39,13 @@ def graph_match_1hop(spark, sf_dir):
     c = g.vertices_with_label("customer").alias("c")
     o = g.vertices_with_label("orders").alias("o")
     e = g.edges_with_label("placed").alias("e")
+    # property reads go through the pv VARIANT (parsed once at graph
+    # build) — variant_get, never a get_json_object text re-parse
     return (
         c.join(e, F.col("c.id") == F.col("e.start_id"))
         .join(o, F.col("e.end_id") == F.col("o.id"))
-        .filter(F.get_json_object("o.properties", "$.o_totalprice").cast("double") > 300000)
-        .select(F.get_json_object("c.properties", "$.c_custkey").cast("long").alias("custkey"))
+        .filter(F.try_variant_get(F.col("o.pv"), "$.o_totalprice", "double") > 300000)
+        .select(F.try_variant_get(F.col("c.pv"), "$.c_custkey", "long").alias("custkey"))
         .groupBy("custkey")
         .agg(F.count(F.lit(1)).alias("n_big_orders"))
     )
@@ -74,10 +76,10 @@ def graph_match_2hop(spark, sf_dir):
         .join(o, F.col("ep.end_id") == F.col("o.id"))
         .join(from_nation, F.col("c.id") == F.col("en.start_id"))
         .join(n, F.col("en.end_id") == F.col("n.id"))
-        .filter(F.get_json_object("o.properties", "$.o_totalprice").cast("double") > 200000)
+        .filter(F.try_variant_get(F.col("o.pv"), "$.o_totalprice", "double") > 200000)
         .select(
-            F.get_json_object("n.properties", "$.n_name").alias("nation"),
-            F.get_json_object("o.properties", "$.o_orderkey").cast("long").alias("okey"),
+            F.try_variant_get(F.col("n.pv"), "$.n_name", "string").alias("nation"),
+            F.try_variant_get(F.col("o.pv"), "$.o_orderkey", "long").alias("okey"),
         )
         .groupBy("nation")
         .agg(F.countDistinct("okey").alias("n_orders"))
