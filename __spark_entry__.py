@@ -44,6 +44,7 @@ _PRIORITY = [
     "cypher_union_labels", "cypher_unwind_collect", "cypher_exists_pattern",
     "cypher_with_orderby_limit", "cypher_temporal_funcs",
     "cypher_named_paths", "cypher_window_topn", "cypher_group_having",
+    "cypher_quantified", "cypher_grouping_sets", "cypher_setop_all",
     # multimodal + streaming
     "multimodal_meta", "multimodal_frame_sample", "multimodal_resize",
     "stream_windowed_counts", "stream_sessionize",

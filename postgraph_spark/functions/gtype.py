@@ -432,7 +432,7 @@ def canon_key_text(gv: Column, null_as_sentinel: bool = False) -> Column:
     only match same-side sentinels (used to re-join created MERGE rows
     whose key expression was null)."""
     nullv = F.lit(NULL_KEY_SENTINEL) if null_as_sentinel else F.lit(None).cast("string")
-    return (
+    chain = (
         F.when(gv.t == T_NULL, nullv)
         .when(gv.t == T_NUMBER, F.concat(F.lit("4:"), gv.d.cast("string")))
         # timestamp/date cross-compare by instant (shared µs axis) and
@@ -444,9 +444,21 @@ def canon_key_text(gv: Column, null_as_sentinel: bool = False) -> Column:
             F.concat(F.lit("5:"), _temporal_us(gv).cast("string")),
         )
         .when(gv.t == T_INTERVAL, F.concat(F.lit("8:"), gv.i.cast("string")))
-        .otherwise(
-            F.concat(gv.t.cast("string"), F.lit(":"), F.coalesce(to_json_text(gv), F.lit("")))
+    )
+    if T_ARRAY in gv_types(gv):
+        # canonical array key: elements keyed like cmp_eq's element walk
+        # (numbers through the double image), so [1] and [1.0] share a
+        # key and DISTINCT/joins collapse them (gtype_util.c:233-360)
+        elem_txt = F.transform(
+            to_variant_array(gv),
+            lambda e: F.to_json(_elem_sort_key(e)),
         )
+        chain = chain.when(
+            gv.t == T_ARRAY,
+            F.concat(F.lit("1:["), F.array_join(elem_txt, ",", "\x00"), F.lit("]")),
+        )
+    return chain.otherwise(
+        F.concat(gv.t.cast("string"), F.lit(":"), F.coalesce(to_json_text(gv), F.lit("")))
     )
 
 
@@ -459,18 +471,52 @@ def _temporal_us(gv: Column) -> Column:
     return F.when(gv.t == T_DATE, gv.i * US_PER_DAY).otherwise(gv.i)
 
 
+_ELEM_KEY_T = "array<struct<e0:int,e1:double,e2:string,e3:int,e4:string>>"
+
+
+def _elem_sort_key(e: Column) -> Column:
+    """Array-element (variant) -> scalar orderability key. Numbers key
+    on their double image so [1] and [1.0] compare equal element-wise
+    (compare_gtype_containers_orderability, gtype_util.c:233-360);
+    nested containers fall back to their JSON text (documented residual
+    divergence at depth >= 2)."""
+    ev = from_variant(e)
+    return F.struct(
+        ev.t.alias("e0"),
+        ev.d.alias("e1"),
+        ev.s.alias("e2"),
+        ev.b.cast("int").alias("e3"),
+        ev.j.alias("e4"),
+    )
+
+
+def _array_keys(gv: Column) -> Column:
+    """gval array -> array of element orderability keys (null for
+    non-arrays). Spark orders arrays element-wise left-to-right —
+    exactly the reference's container orderability walk."""
+    return F.when(gv.t == T_ARRAY, F.transform(to_variant_array(gv), _elem_sort_key))
+
+
 def sort_key(gv: Column) -> Column:
     """Total-order sort key. bool false<true via int; NaN handled by
     Spark's double ordering (NaN last = reference's NaN > non-NaN).
     timestamp and date share one rank (k0=5) so k1 — the µs axis both
     types store in d — decides their cross-type order, mirroring
-    date_cmp_timestamp_internal (gtype_util.c:1838-1848)."""
+    date_cmp_timestamp_internal (gtype_util.c:1838-1848). Arrays order
+    ELEMENT-WISE via k4 (element keys: numbers through their double
+    image), so [1,'a'] < [1.0,'b'] — gtype_util.c:233-360; objects and
+    deeper nestings still order by JSON text via k5 (documented
+    divergence). The k4 transform is pruned away when the static type
+    set excludes arrays."""
+    may_arr = T_ARRAY in gv_types(gv)
+    k4 = _array_keys(gv) if may_arr else F.lit(None).cast(_ELEM_KEY_T)
     return F.struct(
         F.when(gv.t == T_DATE, F.lit(T_TIMESTAMP)).otherwise(gv.t).alias("k0"),
         gv.d.alias("k1"),
         gv.s.alias("k2"),
         gv.b.cast("int").alias("k3"),
-        gv.j.alias("k4"),
+        k4.alias("k4"),
+        F.when(gv.t != T_ARRAY, gv.j).alias("k5"),
     )
 
 
@@ -488,14 +534,14 @@ def cmp_eq(a: Column, b: Column) -> Column:
     type -> value compare; null = null -> true under orderability but the
     expression layer routes through 3VL wrappers where Cypher requires).
 
-    KNOWN DIVERGENCE: containers (arrays/objects) compare by their JSON
-    text, so [1] = [1.0] is false and array ordering is lexicographic on
-    text, while the reference compares containers element-wise with
-    numeric cross-type equality (compare_gtype_containers_orderability,
-    gtype_util.c). Scalar comparisons (the overwhelmingly common case)
-    match exactly; an element-wise container compare would need a
-    recursive UDF on the hot comparison path."""
-    return (
+    Arrays compare ELEMENT-WISE with numeric cross-type equality
+    ([1] = [1.0] is true — compare_gtype_containers_orderability,
+    gtype_util.c:233-360) via element orderability keys; objects and
+    containers nested deeper than one level still compare by JSON text
+    (documented residual divergence). The array branch is pruned when
+    either side's static type set excludes arrays."""
+    may_arr = T_ARRAY in gv_types(a) and T_ARRAY in gv_types(b)
+    chain = (
         F.when((a.t == T_NULL) & (b.t == T_NULL), F.lit(True))
         .when((a.t == T_NULL) | (b.t == T_NULL), F.lit(False))
         .when((a.t == T_NUMBER) & (b.t == T_NUMBER), _num_eq(a, b))
@@ -509,8 +555,13 @@ def cmp_eq(a: Column, b: Column) -> Column:
         .when(a.t == T_STRING, a.s == b.s)
         .when(a.t == T_BOOL, a.b == b.b)
         .when(a.t.isin(*_TEMPORAL_TS), a.i == b.i)
-        .otherwise(F.coalesce(a.j == b.j, F.lit(False)))
     )
+    if may_arr:
+        chain = chain.when(
+            (a.t == T_ARRAY) & (b.t == T_ARRAY),
+            F.coalesce(_array_keys(a) == _array_keys(b), F.lit(False)),
+        )
+    return chain.otherwise(F.coalesce(a.j == b.j, F.lit(False)))
 
 
 def _cmp3vl(a: Column, b: Column, res: Column) -> Column:

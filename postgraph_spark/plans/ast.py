@@ -111,6 +111,18 @@ class ExistsPattern:
 
 
 @dataclass
+class SubqueryCmp:
+    """Quantified subquery comparison: `expr IN (query)`,
+    `expr op ANY/SOME/ALL (query)` (cypher_gram.y:17037-17040,
+    17110-17126; sublink transform cypher_expr.c:82,231)."""
+
+    op: str  # = <> < <= > >=
+    quant: str  # 'any' | 'all'
+    left: Any
+    query: Any  # SingleQuery | SetOp producing one column
+
+
+@dataclass
 class Cast:
     """expr :: typename (cypher_gram.y:17107-17109) or a typed literal
     TIMESTAMP '...' / DATE '...' / INTERVAL '...' (g.y:17655+)."""
@@ -172,11 +184,14 @@ class ReturnItem:
 
 @dataclass
 class GroupSpec:
-    """One GROUP BY item: a plain expr or rollup/cube over exprs
-    (cypher_gram.y:4431-4460)."""
+    """One GROUP BY item: a plain expr, rollup/cube over exprs, empty
+    grouping `()`, or GROUPING SETS (cypher_gram.y:4431-4490).
+    For kind='grouping_sets', `sets` is the list of expr-lists (an
+    empty inner list = the grand-total set)."""
 
-    kind: str  # 'expr' | 'rollup' | 'cube'
+    kind: str  # 'expr' | 'rollup' | 'cube' | 'grouping_sets' | 'empty'
     exprs: list
+    sets: list = field(default_factory=list)
 
 
 @dataclass

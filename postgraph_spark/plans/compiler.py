@@ -119,10 +119,16 @@ class Compiler:
                 return left.unionByName(right).distinct()
             if q.op == "intersect":
                 return left.intersect(right)
+            if q.op == "intersect_all":
+                # multiset intersection (min of multiplicities)
+                return left.intersectAll(right)
             if q.op == "except":
                 # SQL EXCEPT (DISTINCT): a left row with ANY match on the
                 # right is removed entirely (not multiset difference)
                 return left.subtract(right)
+            if q.op == "except_all":
+                # multiset difference (multiplicities subtract)
+                return left.exceptAll(right)
             raise CompileError(q.op)
         return self.compile_single(q)
 
@@ -348,6 +354,11 @@ class Compiler:
         coalesce(marker, false) is the predicate's truth value."""
 
         def walk(e, df):
+            if isinstance(e, A.SubqueryCmp):
+                marker = f"__sq{next(self._anon)}"
+                df = self._attach_subquery_cmp(marker, e, df, scope)
+                scope.kinds[marker] = VKIND_VALUE
+                return A.Var(marker), df
             if isinstance(e, A.ExistsPattern):
                 marker = f"__exists{next(self._anon)}"
                 sub = Compiler(self.spark, self.graph)
@@ -445,6 +456,98 @@ class Compiler:
             return e, df
 
         return walk(expr, df)
+
+    # ---------------------------------------- quantified subqueries
+
+    def _attach_subquery_cmp(self, marker: str, e: A.SubqueryCmp, df, scope) -> DataFrame:
+        """`expr op ANY/ALL (query)` / `expr IN (query)` -> a marker gval
+        column with SQL 3VL (sublink transform, cypher_expr.c:82,231;
+        grammar g.y:17037-17040, 17110-17126). The subquery is
+        uncorrelated; its contribution to the outer plan is
+          - a broadcast 1-ROW aggregate (non-null count, null count,
+            min/max orderability keys) cross-joined to every outer row —
+            constant data movement at any outer scale, and
+          - for membership ops (= ANY / <> ALL) an equi join on the
+            canonical key (hash/broadcast-joinable, never a per-row
+            scan of the subquery result).
+        Order ops reduce to min/max because gtype comparison IS the
+        orderability total order, so `x > s for some s` <=> `x > min`."""
+        if df is None:
+            raise CompileError("quantified subquery requires a preceding clause")
+        sub = Compiler(self.spark, self.graph)
+        sdf = sub.compile_query(e.query)
+        if len(sdf.columns) != 1:
+            raise CompileError("quantified subquery must return exactly one column")
+        scol = G.gv_ref(sdf.columns[0])
+        left = self.compile_expr(e.left, df, scope)
+        op, quant = e.op, e.quant
+        membership = (op == "=" and quant == "any") or (op == "<>" and quant == "all")
+
+        n_c, nn_c = f"{marker}_n", f"{marker}_nn"
+        min_c, max_c = f"{marker}_min", f"{marker}_max"
+        valid = scol["t"] != G.T_NULL
+        agg = sdf.agg(
+            F.count(F.when(valid, 1)).alias(n_c),
+            F.count(F.when(~valid, 1)).alias(nn_c),
+            F.min(F.when(valid, G.sort_key(scol))).alias(min_c),
+            F.max(F.when(valid, G.sort_key(scol))).alias(max_c),
+        )
+        df = df.join(F.broadcast(agg), F.lit(True), "left_outer")
+        n, nn = F.col(n_c), F.col(nn_c)
+        smin, smax = F.col(min_c), F.col(max_c)
+        kx = G.sort_key(left)
+        x_null = left["t"] == G.T_NULL
+        drops = [n_c, nn_c, min_c, max_c]
+
+        found = None
+        if membership:
+            key_c = f"{marker}_k"
+            keys = (
+                sdf.select(G.canon_key_text(scol).alias(key_c))
+                .filter(F.col(key_c).isNotNull())
+                .distinct()
+            )
+            df = df.join(keys, G.canon_key_text(left) == F.col(key_c), "left_outer")
+            found = F.col(key_c).isNotNull()
+            drops.append(key_c)
+
+        if quant == "all":
+            if membership:  # <> ALL (NOT IN)
+                hit, empty_val, miss_val = found, F.lit(True), F.lit(True)
+                hit_val = F.lit(False)
+            else:
+                falsify = {
+                    ">": kx <= smax, ">=": kx < smax,
+                    "<": kx >= smin, "<=": kx > smin,
+                    "=": ~((smin == kx) & (smax == kx)),
+                }.get(op)
+                if falsify is None:
+                    raise CompileError(f"unsupported quantified op {op} ALL")
+                hit, hit_val = falsify, F.lit(False)
+                empty_val, miss_val = F.lit(True), F.lit(True)
+        else:  # any/some
+            empty_val, miss_val = F.lit(False), F.lit(False)
+            hit_val = F.lit(True)
+            if membership:  # = ANY (IN)
+                hit = found
+            else:
+                satisfy = {
+                    ">": kx > smin, ">=": kx >= smin,
+                    "<": kx < smax, "<=": kx <= smax,
+                    "<>": (n >= 2) | ((n == 1) & ~((smin == kx) & (smax == kx))),
+                }.get(op)
+                if satisfy is None:
+                    raise CompileError(f"unsupported quantified op {op} ANY")
+                hit = satisfy
+        nullb = F.lit(None).cast("boolean")
+        res = (
+            F.when((n == 0) & (nn == 0), empty_val)
+            .when(x_null, nullb)
+            .when((n > 0) & F.coalesce(hit, F.lit(False)), hit_val)
+            .when(nn > 0, nullb)
+            .otherwise(miss_val)
+        )
+        return df.withColumn(marker, G.gv_bool(res)).drop(*drops)
 
     def _compile_path(self, path: A.Path, df, scope: Scope, new_edge_vars, new_vle_vars):
         elements = path.elements
@@ -856,7 +959,7 @@ class Compiler:
             if letn:
                 out = out.drop(*letn)
         if clause.distinct:
-            out = out.distinct()
+            out = self._distinct_rows(out, new_scope)
         if clause.order_by:
             sort_cols = [self._sort_col(si, out, new_scope) for si in clause.order_by]
             out, letn = self._apply_lets(out)
@@ -881,15 +984,34 @@ class Compiler:
         new_scope = Scope()
         key_exprs: list = []
         kind = "plain"
+        sets_idx: list[list[int]] = []
         for gs in group_specs:
             if gs.kind == "expr":
                 key_exprs.extend(gs.exprs)
+            elif gs.kind == "empty":
+                # GROUP BY () — the empty grouping set (grand total),
+                # g.y:4441-4490; alone it is a plain no-key aggregate
+                if len(group_specs) != 1:
+                    raise CompileError("empty grouping () must be the only GROUP BY item")
+            elif gs.kind == "grouping_sets":
+                if len(group_specs) != 1:
+                    raise CompileError("GROUPING SETS must be the only GROUP BY item")
+                kind = "grouping_sets"
+                for s in gs.sets:
+                    idxs = []
+                    for e in s:
+                        if e not in key_exprs:
+                            key_exprs.append(e)
+                        idxs.append(key_exprs.index(e))
+                    sets_idx.append(idxs)
             else:
                 if len(group_specs) != 1:
                     raise CompileError("ROLLUP/CUBE must be the only GROUP BY item")
                 kind = gs.kind
                 key_exprs.extend(gs.exprs)
-        if not key_exprs and having is None:
+        if not key_exprs and having is None and kind == "plain" and not any(
+            gs.kind == "empty" for gs in group_specs
+        ):
             raise CompileError("GROUP BY requires at least one key")
 
         key_cols = []
@@ -950,6 +1072,10 @@ class Compiler:
             grouped = pre.rollup(*gcols)
         elif kind == "cube":
             grouped = pre.cube(*gcols)
+        elif kind == "grouping_sets":
+            grouped = pre.groupingSets(
+                [[gcols[i] for i in s] for s in sets_idx], *gcols
+            )
         else:
             grouped = pre.groupBy(*gcols)
         agg_df = grouped.agg(*agg_cols) if agg_cols else grouped.agg(F.count(F.lit(1)).alias("__cnt"))
@@ -982,6 +1108,28 @@ class Compiler:
             new_scope.kinds[name] = VKIND_VALUE
         agg_df, _letn = self._apply_lets(agg_df)
         return agg_df.select(*final_cols), new_scope
+
+    def _distinct_rows(self, df: DataFrame, scope: Scope) -> DataFrame:
+        """DISTINCT under gtype ORDERABILITY equality: gval columns
+        deduplicate by their canonical key (1 and 1.0 collapse; arrays
+        by element keys — gtype_util.c:233-360), keeping the first
+        representative. Entity/path columns keep struct equality
+        (btree cmp compares ids). Same single-shuffle shape as a plain
+        distinct()."""
+        val_cols = [c for c in df.columns if scope.kinds.get(c) == VKIND_VALUE]
+        if not val_cols:
+            return df.distinct()
+        keys = []
+        for c in df.columns:
+            if c in val_cols:
+                keys.append(
+                    G.canon_key_text(G.gv_ref(c), null_as_sentinel=True).alias(f"__dk_{c}")
+                )
+            else:
+                keys.append(F.col(c).alias(f"__dk_{c}"))
+        pre = df.select("*", *keys)
+        grouped = pre.groupBy(*[F.col(f"__dk_{c}") for c in df.columns])
+        return grouped.agg(*[F.first(c).alias(c) for c in df.columns]).select(*df.columns)
 
     def _int_lit(self, e) -> int:
         """Constant-fold an integer expression (SKIP/LIMIT and frame

@@ -77,11 +77,13 @@ class Parser:
         return q
 
     def parse_setop(self):
+        """UNION / INTERSECT / EXCEPT with ALL|DISTINCT on all three
+        (cypher_gram.y:1082-1102)."""
         left = self.parse_single()
         while self.at_kw("union", "intersect", "except"):
             op = self.advance().value
-            if op == "union":
-                op = "union_all" if self.try_kw("all") else "union"
+            if self.try_kw("all"):
+                op = op + "_all"
             else:
                 self.try_kw("distinct")
             right = self.parse_single()
@@ -240,6 +242,8 @@ class Parser:
         )
 
     def parse_group_by_list(self) -> list:
+        """plain exprs | ROLLUP(...) | CUBE(...) | GROUPING SETS
+        ((a,b),(a),()) | empty grouping () (cypher_gram.y:4441-4490)."""
         out = []
         while True:
             if self.at_name("rollup", "cube") and self.peek().value == "(":
@@ -248,6 +252,32 @@ class Parser:
                 exprs = self.parse_expr_list()
                 self.eat_op(")")
                 out.append(A.GroupSpec(kind, exprs))
+            elif (
+                self.at_name("grouping")
+                and self.peek().kind == "name"
+                and self.peek().value.lower() == "sets"
+            ):
+                self.advance()
+                self.advance()
+                self.eat_op("(")
+                sets: list = []
+                while True:
+                    if self.at_op("("):
+                        self.advance()
+                        inner = [] if self.at_op(")") else self.parse_expr_list()
+                        self.eat_op(")")
+                        sets.append(inner)
+                    else:
+                        sets.append([self.parse_expr()])
+                    if not self.at_op(","):
+                        break
+                    self.advance()
+                self.eat_op(")")
+                out.append(A.GroupSpec("grouping_sets", [], sets=sets))
+            elif self.at_op("(") and self.peek().kind == "op" and self.peek().value == ")":
+                self.advance()
+                self.advance()
+                out.append(A.GroupSpec("empty", []))
             else:
                 out.append(A.GroupSpec("expr", [self.parse_expr()]))
             if not self.at_op(","):
@@ -491,6 +521,19 @@ class Parser:
         while True:
             if self.cur.kind == "op" and self.cur.value in self._CMP:
                 op = self.advance().value
+                # quantified subquery: op ANY/SOME/ALL ( query )
+                # (cypher_gram.y:17110-17126)
+                if (
+                    (self.at_kw("all") or self.at_name("any", "some"))
+                    and self.peek().kind == "op"
+                    and self.peek().value == "("
+                ):
+                    quant = "all" if self.advance().value.lower() == "all" else "any"
+                    self.eat_op("(")
+                    sub = self.parse_setop()
+                    self.eat_op(")")
+                    chain.append(A.SubqueryCmp(op, quant, left, sub))
+                    break
                 right = self.parse_bitor()
                 chain.append(A.BinOp(op, left, right))
                 left = right
@@ -527,6 +570,16 @@ class Parser:
                 break
             elif self.at_kw("in"):
                 self.advance()
+                # expr IN ( query ) — membership vs a subquery
+                # (cypher_gram.y:17037-17040, `@=` sublink)
+                if self.at_op("(") and self.peek().kind == "kw" and self.peek().value in (
+                    "match", "unwind", "with", "return", "optional",
+                ):
+                    self.eat_op("(")
+                    sub = self.parse_setop()
+                    self.eat_op(")")
+                    chain.append(A.SubqueryCmp("=", "any", left, sub))
+                    break
                 chain.append(A.BinOp("IN", left, self.parse_bitor()))
                 break
             elif self.at_kw("is"):

@@ -360,6 +360,84 @@ def cypher_named_paths(spark, sf_dir):
 
 
 @register(
+    "cypher_quantified",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS okey, round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_totalprice > ALL (SELECT c_acctbal FROM customer)
+      AND o_orderstatus IN (SELECT o_orderstatus FROM orders WHERE o_totalprice > 400000)
+    """,
+)
+def cypher_quantified(spark, sf_dir):
+    """Quantified subqueries from Cypher text (cypher_gram.y:17037-17040,
+    17110-17126; sublink transform cypher_expr.c:82,231): `> ALL (...)`
+    compiles to a broadcast 1-row min/max aggregate, `IN (...)` to an
+    equi marker join on the canonical key — both constant-shuffle at any
+    outer scale."""
+    eng = _tpch_engine(spark, sf_dir)
+    out = eng.execute(
+        "MATCH (o:orders) "
+        "WHERE o.o_totalprice > ALL (MATCH (c:customer) RETURN c.c_acctbal) "
+        "AND o.o_orderstatus IN (MATCH (o2:orders) WHERE o2.o_totalprice > 400000 "
+        "                        RETURN o2.o_orderstatus) "
+        "RETURN o.o_orderkey AS okey, round(o.o_totalprice, 2) AS price"
+    )
+    return out.select(
+        F.col("okey")["i"].alias("okey"), F.col("price")["d"].alias("price")
+    )
+
+
+@register(
+    "cypher_grouping_sets",
+    """
+    SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+           round(sum(o.o_totalprice), 2) AS rev, CAST(count(*) AS BIGINT) AS n
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY GROUPING SETS ((c.c_mktsegment, o.o_orderpriority), (c.c_mktsegment), ())
+    """,
+)
+def cypher_grouping_sets(spark, sf_dir):
+    """GROUP BY GROUPING SETS from Cypher text (cypher_gram.y:4441-4490)
+    -> DataFrame.groupingSets — one shuffle computing all three
+    granularities (detail, per-segment, grand total)."""
+    eng = _tpch_engine(spark, sf_dir)
+    out = eng.execute(
+        "MATCH (c:customer)-[:placed]->(o:orders) "
+        "WITH c.c_mktsegment AS seg, o.o_orderpriority AS pri, o.o_totalprice AS price "
+        "WITH seg, pri, round(sum(price), 2) AS rev, count(*) AS n "
+        "GROUP BY GROUPING SETS ((seg, pri), (seg), ()) "
+        "RETURN seg, pri, rev, n"
+    )
+    return out.select(
+        F.col("seg")["s"].alias("seg"),
+        F.col("pri")["s"].alias("pri"),
+        F.col("rev")["d"].alias("rev"),
+        F.col("n")["i"].alias("n"),
+    )
+
+
+@register(
+    "cypher_setop_all",
+    """
+    SELECT c_mktsegment AS seg FROM customer
+    INTERSECT ALL
+    SELECT c_mktsegment AS seg FROM customer WHERE c_acctbal > 0
+    """,
+)
+def cypher_setop_all(spark, sf_dir):
+    """INTERSECT ALL between full Cypher queries — multiset semantics
+    (min of multiplicities; cypher_gram.y:1082-1102 allows ALL on all
+    three set operations) -> DataFrame.intersectAll."""
+    eng = _tpch_engine(spark, sf_dir)
+    out = eng.execute(
+        "MATCH (c:customer) RETURN c.c_mktsegment AS seg "
+        "INTERSECT ALL "
+        "MATCH (c:customer) WHERE c.c_acctbal > 0 RETURN c.c_mktsegment AS seg"
+    )
+    return out.select(F.col("seg")["s"].alias("seg"))
+
+
+@register(
     "cypher_window_topn",
     """
     SELECT seg, okey, price, rn FROM (
