@@ -51,7 +51,8 @@ _PRIORITY = [
     # function kits
     "vector_distance_funcs", "typecasting_funcs", "json_containment_ops",
     "quantified_all_rewrite", "tsearch_match", "range_ops",
-    "network_funcs", "date_bin_events",
+    "network_funcs", "date_bin_events", "cypher_extended_casts",
+    "cypher_kit_funcs",
     # LLM-pipeline operators
     "dedup_exact_groups", "minhash_signatures", "dedup_minhash_lsh_pairs",
     "dedup_jaccard_pairs", "simhash_fingerprints", "text_stats",

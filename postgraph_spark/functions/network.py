@@ -76,6 +76,26 @@ def set_masklen(col: Column, prefix: int) -> Column:
     return _set(col)
 
 
+@pandas_udf(T.StringType())
+def set_masklen_col(s: pd.Series, prefix: pd.Series) -> pd.Series:
+    """set_masklen(inet, int) with a COLUMN prefix (the Cypher-callable
+    form; gtype_network.c set_masklen)."""
+    import ipaddress
+
+    def safe(v, p):
+        if v is None or p is None:
+            return None
+        try:
+            iface = ipaddress.ip_interface(v)
+            if not 0 <= int(p) <= iface.ip.max_prefixlen:
+                return None
+            return f"{iface.ip}/{int(p)}"
+        except ValueError:
+            return None
+
+    return pd.Series([safe(v, p) for v, p in zip(s, prefix)])
+
+
 @pandas_udf(T.BooleanType())
 def subnet_contains(net: pd.Series, addr: pd.Series) -> pd.Series:
     """`>>` — net strictly contains addr's network (gtype_ops.c:756-827)."""

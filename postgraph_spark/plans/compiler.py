@@ -45,6 +45,14 @@ _CAST_FN = {
     "date": "todate", "time": "totime", "timetz": "totimetz",
     "interval": "tointerval", "integer": "tointeger", "float": "tofloat",
     "numeric": "tonumeric", "string": "tostring", "boolean": "toboolean",
+    # extended kits (gtype_typecasting.c full surface; functions/casts.py)
+    "bytea": "tobytea", "inet": "toinet", "cidr": "tocidr",
+    "macaddr": "tomacaddr", "macaddr8": "tomacaddr8",
+    "tsvector": "totsvector", "tsquery": "totsquery",
+    "intrange": "tointrange", "numrange": "tonumrange",
+    "tsrange": "totsrange", "tstzrange": "totstzrange",
+    "daterange": "todaterange", "graphid": "tographid",
+    "vector": "tovector",
 }
 
 VKIND_VERTEX = "vertex"

@@ -123,6 +123,31 @@ def _entity_array_json(arr: Column, is_edge: bool) -> Column:
     )
 
 
+#: extended to* casts -> functions/casts.py implementations
+_EXT_CASTS = {
+    "tobytea": "cast_bytea",
+    "toinet": "cast_inet", "tocidr": "cast_cidr",
+    "tomacaddr": "cast_macaddr", "tomacaddr8": "cast_macaddr8",
+    "totsvector": "cast_tsvector", "totsquery": "cast_tsquery",
+    "tointrange": "cast_intrange", "tonumrange": "cast_numrange",
+    "totsrange": "cast_tsrange", "totstzrange": "cast_tstzrange",
+    "todaterange": "cast_daterange", "tographid": "cast_graphid",
+}
+
+#: network kit Cypher names (gtype_network.c)
+_NET_FNS = {
+    "host", "masklen", "family", "network", "broadcast", "netmask",
+    "hostmask", "abbrev", "set_masklen", "inet_same_family",
+}
+
+#: vector kit Cypher names (vector.c)
+_VEC_FNS = {
+    "l2_distance", "l2_squared_distance", "l1_distance", "inner_product",
+    "negative_inner_product", "cosine_distance", "spherical_distance",
+    "norm", "dims",
+}
+
+
 def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
     name = e.name
     ctx = _Ctx(compiler, e, df, scope)
@@ -463,6 +488,97 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
         return TMP.isfinite_gv(ctx.gv(0))
     if name == "overlaps":
         return TMP.overlaps_gv(ctx.gv(0), ctx.gv(1), ctx.gv(2), ctx.gv(3))
+
+    # ---- extended typecasts (gtype_typecasting.c full to* surface) ----
+    if name in _EXT_CASTS:
+        from postgraph_spark.functions import casts as C
+
+        return getattr(C, _EXT_CASTS[name])(ctx.gv(0))
+    if name in ("intrange", "numrange", "tsrange", "tstzrange", "daterange") and ctx.nargs >= 2:
+        # range constructors (gtype_range.c): (lo, hi[, flags-text])
+        from postgraph_spark.functions import casts as C
+
+        flags = ctx.gv(2)["s"] if ctx.nargs > 2 else None
+        if name == "intrange":
+            return C.range_ctor_int(ctx.gv(0)["i"], ctx.gv(1)["i"], flags)
+        if name == "numrange":
+            return C.range_ctor_num(ctx.gv(0)["d"], ctx.gv(1)["d"], flags)
+        # temporal ctors: render bound text from the gvals, reuse casts
+        lo, hi = ctx.gv(0), ctx.gv(1)
+        f = F.coalesce(flags, F.lit("[)")) if flags is not None else F.lit("[)")
+        txt = F.concat(
+            f.substr(1, 1), F.coalesce(G.temporal_text(lo), F.lit("")), F.lit(","),
+            F.coalesce(G.temporal_text(hi), F.lit("")), f.substr(2, 1),
+        )
+        cast = {"tsrange": C.cast_tsrange, "tstzrange": C.cast_tstzrange,
+                "daterange": C.cast_daterange}[name]
+        return cast(G.gv_str(txt))
+    if name in ("lower", "upper", "isempty") and ctx.nargs == 1:
+        # range accessors (gtype_range.c) — note: 'lower'/'upper' over a
+        # STRING gval remain the string functions below, so dispatch on
+        # the argument's static type when known
+        a = ctx.gv(0)
+        if G.T_STRING in G.gv_types(a):
+            rng_like = a["s"].rlike(r"^([\[\(].*[\]\)]|empty)$")
+            from postgraph_spark.functions import casts as C
+
+            if name == "isempty":
+                return C.range_isempty(a)
+            fn = C.range_lower if name == "lower" else C.range_upper
+            alt = F.lower(a["s"]) if name == "lower" else F.upper(a["s"])
+            picked = fn(a)
+            return G._mk(
+                F.when(rng_like, picked["t"]).otherwise(G._t_or_null(alt, G.T_STRING)),
+                i=F.when(rng_like, picked["i"]),
+                d=F.when(rng_like, picked["d"]),
+                s=F.when(~rng_like, alt),
+            )
+    if name == "range_contains":
+        from postgraph_spark.functions import casts as C
+
+        return C.range_contains_elem(ctx.gv(0), ctx.gv(1))
+
+    # ---- network kit by Cypher name (gtype_network.c, 13 fns) ----
+    if name in _NET_FNS:
+        from postgraph_spark.functions import network as NET
+
+        a = ctx.gv(0)
+        s = F.when(a["t"] == G.T_STRING, a["s"])
+        if name == "set_masklen":
+            n = ctx.gv(1)["i"]
+            import pandas as pd  # noqa: F401 — kit import guard
+            out = NET.set_masklen_col(s, n)
+            return G.gv_str(out)
+        if name == "inet_same_family":
+            b = ctx.gv(1)
+            return G.gv_bool(NET.inet_same_family(s, F.when(b["t"] == G.T_STRING, b["s"])))
+        out = getattr(NET, name)(s)
+        if name in ("masklen", "family"):
+            return G.gv_int(out.cast("long"))
+        return G.gv_str(out)
+
+    # ---- vector kit by Cypher name (vector.c, 11 fns) ----
+    if name in _VEC_FNS:
+        from postgraph_spark.functions import vector as V
+
+        def varr(i: int) -> Column:
+            g = ctx.gv(i)
+            return F.when(g["t"] == G.T_ARRAY, F.from_json(g["j"], "array<double>"))
+
+        if name == "dims":
+            return G.gv_int(F.size(varr(0)).cast("long"))
+        if name == "norm":
+            return G.gv_float(V.l2_norm(varr(0)))
+        fn = {
+            "l2_distance": V.l2_distance,
+            "l2_squared_distance": V.l2_squared_distance,
+            "l1_distance": V.l1_distance,
+            "inner_product": V.inner_product,
+            "negative_inner_product": V.negative_inner_product,
+            "cosine_distance": V.cosine_distance,
+            "spherical_distance": V.spherical_distance,
+        }[name]
+        return G.gv_float(fn(varr(0), varr(1)))
 
     if name == "tovector":
         # vector-as-gtype-array (gtype_typecasting.c:401-440 parses the

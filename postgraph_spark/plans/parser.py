@@ -662,6 +662,15 @@ class Parser:
         "numeric": "numeric", "decimal": "numeric",
         "text": "string", "string": "string", "varchar": "string",
         "bool": "boolean", "boolean": "boolean",
+        # extended scalar kits (functions/casts.py)
+        "bytea": "bytea", "inet": "inet", "cidr": "cidr",
+        "macaddr": "macaddr", "macaddr8": "macaddr8",
+        "tsvector": "tsvector", "tsquery": "tsquery",
+        "intrange": "intrange", "int4range": "intrange",
+        "int8range": "intrange", "numrange": "numrange",
+        "tsrange": "tsrange", "tstzrange": "tstzrange",
+        "daterange": "daterange", "graphid": "graphid",
+        "vector": "vector",
     }
 
     def parse_type_name(self) -> str:

@@ -280,3 +280,139 @@ def date_bin_events(spark, sf_dir):
             F.round(F.max("value"), 4).alias("max_value"),
         )
     )
+
+
+@register(
+    "cypher_extended_casts",
+    """
+    SELECT i,
+      CAST(i AS VARCHAR) AS s_i,
+      CAST(CAST(i AS VARCHAR) AS BIGINT) AS i_rt,
+      CAST(CAST(i AS VARCHAR) || '.25' AS DOUBLE) AS f_p,
+      (i % 2 = 0) AS b,
+      '\\x' || lower(hex(CAST('v' || CAST(i % 16 AS VARCHAR) AS BLOB))) AS by,
+      '00:11:22:33:44:' || right('0' || CAST(i % 100 AS VARCHAR), 2) AS mac,
+      '00:11:22:ff:fe:33:44:' || right('0' || CAST(i % 100 AS VARCHAR), 2) AS mac8,
+      '10.' || CAST(i % 256 AS VARCHAR) || '.0.1' AS inet,
+      '10.' || CAST(i % 256 AS VARCHAR) || '.0.0/24' AS cidr,
+      '''common'' ''w' || CAST(i % 7 AS VARCHAR) || '''' AS tsv,
+      '''w' || CAST(i % 7 AS VARCHAR) || ''' & ''zz''' AS tsq,
+      '[' || CAST(i % 10 AS VARCHAR) || ',' || CAST(i % 10 + 6 AS VARCHAR) || ')' AS irange,
+      '(0.5,' || CAST(i % 10 + 1 AS VARCHAR) || '.25]' AS nrange,
+      '["2020-01-01","2020-02-01")' AS drange,
+      CAST(i AS BIGINT) AS gid
+    FROM range(500) t(i)
+    """,
+)
+def cypher_extended_casts(spark, sf_dir):
+    """The extended to* cast surface through CYPHER TEXT
+    (gtype_typecasting.c; functions/casts.py): bytea, macaddr/macaddr8,
+    inet/cidr, tsvector/tsquery, int/num/date ranges with reference
+    canonicalization, graphid — 16 cast families in one row, every one
+    oracle-checked against DuckDB-constructed canonical text."""
+    from postgraph_spark.engine import CypherEngine
+
+    eng = CypherEngine(spark)
+    out = eng.execute(
+        "UNWIND range(0, 499) AS i "
+        "RETURN i, "
+        "  toString(i) AS s_i, "
+        "  toInteger(toString(i)) AS i_rt, "
+        "  toFloat(toString(i) + '.25') AS f_p, "
+        "  toBoolean(CASE WHEN i % 2 = 0 THEN 'true' ELSE 'false' END) AS b, "
+        "  toBytea('v' + toString(i % 16)) AS by, "
+        "  toMacAddr('00-11-22-33-44-' + right('0' + toString(i % 100), 2)) AS mac, "
+        "  toMacAddr8('001122' + '3344' + right('0' + toString(i % 100), 2)) AS mac8, "
+        "  toInet('10.' + toString(i % 256) + '.0.1') AS inet, "
+        "  toCidr('10.' + toString(i % 256) + '.0.0/24') AS cidr, "
+        "  toTSVector('w' + toString(i % 7) + ' common w' + toString(i % 7)) AS tsv, "
+        "  toTSQuery('w' + toString(i % 7) + ' & zz') AS tsq, "
+        "  ('[' + toString(i % 10) + ',' + toString(i % 10 + 5) + ']')::intrange AS irange, "
+        "  toNumRange('(0.5, ' + toString(i % 10 + 1) + '.25]') AS nrange, "
+        "  toDateRange('[2020-01-01, 2020-02-01)') AS drange, "
+        "  toGraphid(i) AS gid"
+    )
+    return out.select(
+        F.col("i")["i"].alias("i"),
+        F.col("s_i")["s"].alias("s_i"),
+        F.col("i_rt")["i"].alias("i_rt"),
+        F.col("f_p")["d"].alias("f_p"),
+        F.col("b")["b"].alias("b"),
+        F.col("by")["s"].alias("by"),
+        F.col("mac")["s"].alias("mac"),
+        F.col("mac8")["s"].alias("mac8"),
+        F.col("inet")["s"].alias("inet"),
+        F.col("cidr")["s"].alias("cidr"),
+        F.col("tsv")["s"].alias("tsv"),
+        F.col("tsq")["s"].alias("tsq"),
+        F.col("irange")["s"].alias("irange"),
+        F.col("nrange")["s"].alias("nrange"),
+        F.col("drange")["s"].alias("drange"),
+        F.col("gid")["i"].alias("gid"),
+    )
+
+
+@register(
+    "cypher_kit_funcs",
+    """
+    SELECT i,
+      '10.' || CAST(i % 200 AS VARCHAR) || '.0.' || CAST(i % 50 + 1 AS VARCHAR) AS host,
+      24 AS mlen,
+      4 AS fam,
+      '10.' || CAST(i % 200 AS VARCHAR) || '.0.0/24' AS net,
+      '10.' || CAST(i % 200 AS VARCHAR) || '.0.255' AS bcast,
+      '10.' || CAST(i % 200 AS VARCHAR) || '.0.' || CAST(i % 50 + 1 AS VARCHAR) || '/16' AS remask,
+      round(sqrt(CAST((i % 10) * (i % 10) + 9 AS DOUBLE)), 4) AS l2,
+      CAST((i % 10) * 3 AS DOUBLE) AS ip,
+      2 AS nd,
+      (i % 10 <= 5) AS contained,
+      CAST(i % 10 AS BIGINT) AS lo,
+      CAST(i % 10 + 6 AS BIGINT) AS hi,
+      (i % 10) <= 1 AS isempty_neg
+    FROM range(500) t(i)
+    """,
+)
+def cypher_kit_funcs(spark, sf_dir):
+    """Network, vector-distance and range kits resolved BY NAME from
+    Cypher text (gtype_network.c 13 fns; vector.c 11 fns; gtype_range.c
+    ctors/accessors): host/masklen/family/network/broadcast/set_masklen,
+    l2_distance/inner_product/dims, intrange/range_contains/lower/upper/
+    isempty."""
+    from postgraph_spark.engine import CypherEngine
+
+    eng = CypherEngine(spark)
+    out = eng.execute(
+        "UNWIND range(0, 499) AS i "
+        "WITH i, '10.' + toString(i % 200) + '.0.' + toString(i % 50 + 1) + '/24' AS addr, "
+        "     intrange(i % 10, i % 10 + 5, '[]') AS rng "
+        "RETURN i, "
+        "  host(addr) AS host, "
+        "  masklen(addr) AS mlen, "
+        "  family(addr) AS fam, "
+        "  network(addr) AS net, "
+        "  broadcast(addr) AS bcast, "
+        "  set_masklen(addr, 16) AS remask, "
+        "  round(l2_distance([toFloat(i % 10), 0.0], [0.0, 3.0]), 4) AS l2, "
+        "  inner_product([toFloat(i % 10), 2.0], [3.0, 0.0]) AS ip, "
+        "  dims([1.0, 2.0]) AS nd, "
+        "  range_contains(rng, 5) AS contained, "
+        "  lower(rng) AS lo, "
+        "  upper(rng) AS hi, "
+        "  isempty(toIntRange('(0,' + toString(i % 10) + ')')) AS isempty_neg"
+    )
+    return out.select(
+        F.col("i")["i"].alias("i"),
+        F.col("host")["s"].alias("host"),
+        F.col("mlen")["i"].alias("mlen"),
+        F.col("fam")["i"].alias("fam"),
+        F.col("net")["s"].alias("net"),
+        F.col("bcast")["s"].alias("bcast"),
+        F.col("remask")["s"].alias("remask"),
+        F.col("l2")["d"].alias("l2"),
+        F.col("ip")["d"].alias("ip"),
+        F.col("nd")["i"].alias("nd"),
+        F.col("contained")["b"].alias("contained"),
+        F.col("lo")["i"].alias("lo"),
+        F.col("hi")["i"].alias("hi"),
+        F.col("isempty_neg")["b"].alias("isempty_neg"),
+    )

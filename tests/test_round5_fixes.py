@@ -190,3 +190,45 @@ def test_infinity_cast_roundtrip(eng):
     assert eng.fetch_values("RETURN 'infinity'::timestamp") == ["infinity"]
     assert eng.fetch_values("RETURN '-infinity'::timestamp") == ["-infinity"]
     assert eng.fetch_values("RETURN isfinite('infinity'::timestamp)") == [False]
+
+
+# -------------------------------------- extended to* casts (casts.py)
+
+CAST_GOLDENS = [
+    # gtype_typecasting.c tobytea; byteain hex form passes through
+    ("RETURN toBytea('abc')", ["\\x616263"]),
+    ("RETURN '\\\\x01ff'::bytea", ["\\x01ff"]),
+    # old/regress/network.out:113-137, 241-251
+    ("RETURN toMacAddr('12:34:56:78:90:ab')", ["12:34:56:78:90:ab"]),
+    ("RETURN toMacAddr('1234.5678.90ab')", ["12:34:56:78:90:ab"]),
+    ("RETURN toMacAddr8('12:34:56:78:90:ab')", ["12:34:56:ff:fe:78:90:ab"]),
+    ("RETURN toMacAddr8('12:34:56:FF:FE:ab:cd:ef')::macaddr", ["12:34:56:ab:cd:ef"]),
+    ("RETURN toMacAddr('nonsense')", [None]),
+    ("RETURN toInet('192.168.1.5')", ["192.168.1.5"]),
+    ("RETURN toCidr('192.168.1.0/24')", ["192.168.1.0/24"]),
+    ("RETURN toCidr('192.168.1.5/24')", [None]),  # host bits set -> error
+    ("RETURN toTSVector('y x y')", ["'x' 'y'"]),
+    ("RETURN toTSQuery('x & y')", ["'x' & 'y'"]),
+    # old/regress/range.out:28-49 int canonicalization
+    ("RETURN toIntRange('[0, 1]')", ["[0,2)"]),
+    ("RETURN toIntRange('[0, 1)')", ["[0,1)"]),
+    ("RETURN toIntRange('(0, 1]')", ["[1,2)"]),
+    ("RETURN toIntRange('(0, 1)')", ["empty"]),
+    ("RETURN toNumRange('(0.5, 1]')", ["(0.5,1]"]),
+    ("RETURN toDateRange('[2000-01-01, 2001-01-01)')", ['["2000-01-01","2001-01-01")']),
+    ("RETURN intrange(0, 1, '[]')", ["[0,2)"]),
+    ("RETURN range_contains(toIntRange('[1, 5)'), 3)", [True]),
+    ("RETURN isempty(toIntRange('(0,1)'))", [True]),
+    ("RETURN lower(toNumRange('[0.5, 2)'))", [0.5]),
+    ("RETURN lower('ABC')", ["abc"]),  # string lower still resolves
+    ("RETURN host('10.1.2.3/24')", ["10.1.2.3"]),
+    ("RETURN masklen('10.1.2.3/24')", [24]),
+    ("RETURN l2_distance([0.0, 0.0], [3.0, 4.0])", [5.0]),
+    ("RETURN inner_product([1.0, 2.0], [3.0, 4.0])", [11.0]),
+    ("RETURN dims([1.0, 2.0, 3.0])", [3]),
+]
+
+
+def test_extended_casts_and_kits(eng):
+    for q, want in CAST_GOLDENS:
+        assert eng.fetch_values(q) == want, q
