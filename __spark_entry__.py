@@ -35,10 +35,10 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # relational core (distinct operator families)
     "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
-    "semi_join_exists", "left_outer_join", "agg_stats", "regr_family",
+    "agg_stats", "regr_family",
     "percentile_quantiles", "unwind_word_count", "null_handling",
     # graph pattern operators (hand-planned)
-    "graph_match_1hop", "graph_match_2hop", "graph_vle_paths",
+    "graph_match_2hop", "graph_vle_paths",
     # the FULL Cypher engine path
     "cypher_match_agg", "cypher_match_where", "cypher_optional_match",
     "cypher_union_labels", "cypher_unwind_collect", "cypher_exists_pattern",
@@ -49,16 +49,23 @@ _PRIORITY = [
     "multimodal_meta", "multimodal_frame_sample", "multimodal_resize",
     "stream_windowed_counts", "stream_sessionize",
     # function kits
-    "vector_distance_funcs", "typecasting_funcs", "json_containment_ops",
-    "quantified_all_rewrite", "tsearch_match", "range_ops",
+    "vector_distance_funcs", "json_containment_ops",
+    "tsearch_match", "range_ops",
     "network_funcs", "date_bin_events", "cypher_extended_casts",
     "cypher_kit_funcs",
-    # LLM-pipeline operators
+    # LLM-pipeline operators — all 13 inside the driver's 50-row prefix
     "dedup_exact_groups", "minhash_signatures", "dedup_minhash_lsh_pairs",
     "dedup_jaccard_pairs", "simhash_fingerprints", "text_stats",
     "lang_id_heuristic", "sim_topk_cosine", "sim_topk_ivf",
     "embed_neardup_pairs", "embed_neardup_lsh", "rolling_hash_fingerprint",
     "token_count_bpe",
+    # shapes re-exercised by the Cypher rows above — demoted past the
+    # 50-row prefix (still oracle-checked locally): semi/anti and outer
+    # joins (cypher_exists_pattern / cypher_optional_match), engine 1hop
+    # (cypher_match_where), quantified rewrite (cypher_quantified),
+    # base typecasts (cypher_extended_casts)
+    "semi_join_exists", "left_outer_join", "graph_match_1hop",
+    "quantified_all_rewrite", "typecasting_funcs",
 ]
 
 

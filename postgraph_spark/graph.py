@@ -92,6 +92,9 @@ class Graph:
         #: the reference's heap-table durability; WriteRunner calls
         #: persist() after each commit)
         self.durable_path: str | None = None
+        #: current snapshot subdirectory (``snap-N``) under durable_path;
+        #: None = legacy flat layout (tables at durable_path/{vertices,edges})
+        self._snapshot: str | None = None
 
     def vertices_with_label(self, label: str | None) -> DataFrame:
         """Label scan. With a known label id this is a graphid high-bits
@@ -158,12 +161,26 @@ class Graph:
 
     @classmethod
     def read(cls, spark: SparkSession, path: str, name: str | None = None) -> "Graph":
+        """Open a durable graph. catalog.json is the single commit point:
+        its ``snapshot`` field names the live ``snap-N`` directory, so a
+        reader always sees one fully-consistent (vertices, edges) pair —
+        a crash mid-persist leaves either the old or the new snapshot,
+        never a torn mix. Graphs written by older layouts (tables directly
+        under ``path``) are still readable."""
+        meta_path = os.path.join(path, "catalog.json")
+        meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        snapshot = meta.get("snapshot")
+        base = os.path.join(path, snapshot) if snapshot else path
+
         def load(sub: str, schema) -> DataFrame:
-            p = os.path.join(path, sub)
-            # crash recovery for the atomic snapshot swap (persist):
+            p = os.path.join(base, sub)
+            # legacy-layout crash recovery (pre-snapshot per-table swap):
             # if the live dir vanished mid-swap, the .old sibling IS the
-            # previous committed snapshot — restore it
-            if not os.path.isdir(p) and os.path.isdir(p + ".old"):
+            # previous committed table — restore it
+            if snapshot is None and not os.path.isdir(p) and os.path.isdir(p + ".old"):
                 os.rename(p + ".old", p)
             try:
                 return spark.read.schema(schema).parquet(p)
@@ -172,14 +189,20 @@ class Graph:
 
         vertices = load("vertices", VERTEX_SCHEMA)
         edges = load("edges", EDGE_SCHEMA)
-        meta_path = os.path.join(path, "catalog.json")
-        label_ids = {}
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                label_ids = json.load(f).get("label_ids", {})
-        g = cls(name or os.path.basename(path), vertices, edges, label_ids)
+        g = cls(name or os.path.basename(path), vertices, edges, meta.get("label_ids", {}))
         g.durable_path = path
+        g._snapshot = snapshot
         return g
+
+    def _table_dir(self, kind: str) -> str:
+        """Resolved on-disk directory for a table under the live snapshot
+        (or the legacy flat layout when no snapshot pointer exists)."""
+        base = (
+            os.path.join(self.durable_path, self._snapshot)
+            if self._snapshot
+            else self.durable_path
+        )
+        return os.path.join(base, kind)
 
     def write(self, path: str, mode: str = "overwrite") -> None:
         """Persist partitioned by label → labeled scans prune partitions."""
@@ -194,78 +217,99 @@ class Graph:
             json.dump({"name": self.name, "label_ids": self.label_ids}, f)
 
     def _write_catalog(self) -> None:
-        """Atomic catalog.json update (temp file + rename)."""
+        """Atomic catalog.json update (temp file + rename). Carries the
+        live-snapshot pointer, so this rename IS the commit point for
+        full persists."""
         if not self.durable_path:
             return
         os.makedirs(self.durable_path, exist_ok=True)
         tmp = os.path.join(self.durable_path, ".catalog.json.tmp")
+        meta = {"name": self.name, "label_ids": self.label_ids}
+        if self._snapshot:
+            meta["snapshot"] = self._snapshot
         with open(tmp, "w") as f:
-            json.dump({"name": self.name, "label_ids": self.label_ids}, f)
+            json.dump(meta, f)
         os.replace(tmp, os.path.join(self.durable_path, "catalog.json"))
 
     def persist(self) -> None:
-        """FULL durable snapshot, atomically: write to a temp sibling
-        directory, swap each table dir via rename, update catalog.json
-        last — an interrupted persist leaves the previous snapshot
-        readable (read() restores a half-swapped .old). Incremental
-        commits (the per-statement path) use persist_append /
+        """FULL durable snapshot, atomically: write BOTH tables into a
+        fresh versioned ``snap-N`` directory, then commit with a single
+        catalog.json pointer rename — a crash at any point leaves either
+        the previous or the new snapshot fully consistent (never a torn
+        new-vertices/old-edges mix). Superseded snapshot directories are
+        garbage-collected after the commit (and opportunistically on the
+        next persist if that cleanup itself was interrupted).
+        Incremental commits (the per-statement path) use persist_append /
         persist_partitions instead; a lakehouse deployment swaps all of
         this for Delta append/MERGE, which versions instead of swapping.
-        Both tables are pinned (localCheckpoint) first — an overwrite of
-        files a table's lineage still reads would otherwise invalidate
-        it (classic parquet overwrite-while-reading hazard)."""
+        Both tables are pinned (localCheckpoint) first — removing files a
+        table's lineage still reads would otherwise invalidate it
+        (classic parquet overwrite-while-reading hazard)."""
         if not self.durable_path:
             return
         self.vertices = self.vertices.localCheckpoint(eager=True)
         self.edges = self.edges.localCheckpoint(eager=True)
         os.makedirs(self.durable_path, exist_ok=True)
-        tmp = self.durable_path.rstrip("/") + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        self.write(tmp)
-        for sub in ("vertices", "edges"):
-            # an empty table writes no directory at all — swap an empty
-            # dir so the rename pair below stays uniform
-            os.makedirs(os.path.join(tmp, sub), exist_ok=True)
-        for sub in ("vertices", "edges"):
-            cur = os.path.join(self.durable_path, sub)
-            old = cur + ".old"
-            shutil.rmtree(old, ignore_errors=True)
-            if os.path.isdir(cur):
-                os.rename(cur, old)
-            os.rename(os.path.join(tmp, sub), cur)
-            shutil.rmtree(old, ignore_errors=True)
-        os.replace(
-            os.path.join(tmp, "catalog.json"), os.path.join(self.durable_path, "catalog.json")
-        )
-        shutil.rmtree(tmp, ignore_errors=True)
+        prev = self._snapshot
+        epoch = int(prev.rsplit("-", 1)[1]) + 1 if prev else 1
+        new_rel = f"snap-{epoch}"
+        new_dir = os.path.join(self.durable_path, new_rel)
+        shutil.rmtree(new_dir, ignore_errors=True)
+        for kind, tbl, schema in (
+            ("vertices", self.vertices, VERTEX_SCHEMA),
+            ("edges", self.edges, EDGE_SCHEMA),
+        ):
+            tbl.select(*schema.fieldNames()).write.mode("overwrite").partitionBy(
+                "label"
+            ).parquet(os.path.join(new_dir, kind))
+            # an empty table writes no directory at all — materialize it
+            # so read() finds a uniform layout
+            os.makedirs(os.path.join(new_dir, kind), exist_ok=True)
+        self._snapshot = new_rel
+        self._write_catalog()  # <- the atomic commit of both tables
+        # GC: superseded snapshots and any legacy flat-layout tables
+        for entry in os.listdir(self.durable_path):
+            p = os.path.join(self.durable_path, entry)
+            stale_snap = entry.startswith("snap-") and entry != new_rel
+            legacy = prev is None and entry in (
+                "vertices", "edges", "vertices.old", "edges.old"
+            )
+            if os.path.isdir(p) and (stale_snap or legacy):
+                shutil.rmtree(p, ignore_errors=True)
 
     def persist_append(self, kind: str, new_rows: DataFrame) -> None:
         """Durable CREATE/MERGE commit: append ONLY the new rows into the
-        backing parquet's label partitions — O(new rows) I/O, not the
-        former O(table) full rewrite (round-4 verdict's write-path
-        scale-killer). Parquet appends are crash-safe at job granularity:
-        the output committer moves files into place at job commit, so an
-        interrupted append leaves only ignorable staging trash."""
+        live snapshot's label partitions — O(new rows) I/O, not an
+        O(table) rewrite (round-4 verdict's write-path scale-killer).
+        The catalog (which may have interned new labels) is committed
+        FIRST: a crash between the two steps then leaves at worst an
+        unused label id, never durable rows under a label missing from
+        the reloaded catalog. Parquet appends are crash-safe at job
+        granularity: the output committer moves files into place at job
+        commit, so an interrupted append leaves only ignorable staging
+        trash."""
         if not self.durable_path:
             return
+        self._write_catalog()
         schema = VERTEX_SCHEMA if kind == "vertices" else EDGE_SCHEMA
-        sub = os.path.join(self.durable_path, kind)
         new_rows.select(*schema.fieldNames()).write.mode("append").partitionBy(
             "label"
-        ).parquet(sub)
-        self._write_catalog()  # CREATE may have interned new labels
+        ).parquet(self._table_dir(kind))
 
     def persist_partitions(self, kind: str, labels: list[str]) -> None:
         """Durable SET/DELETE commit: rewrite ONLY the touched label
         partitions (dynamic partition overwrite) from the pinned
         in-memory table — O(touched partitions), not O(table). A label
         whose partition became empty writes no files under dynamic
-        overwrite, so its stale directory is removed explicitly."""
+        overwrite, so its stale directory is removed explicitly —
+        matching on the UNESCAPED partition value, since Spark
+        percent-escapes special characters (space, ':', '/') in
+        partition directory names."""
         if not self.durable_path or not labels:
             return
         tbl = self.vertices if kind == "vertices" else self.edges
         schema = VERTEX_SCHEMA if kind == "vertices" else EDGE_SCHEMA
-        sub = os.path.join(self.durable_path, kind)
+        sub = self._table_dir(kind)
         if not os.path.isdir(sub):  # never snapshotted yet: full write
             self.persist()
             return
@@ -281,11 +325,13 @@ class Graph:
             r["label"]
             for r in remaining.select("label").distinct().collect()
         }
-        for label in labels:
-            if label not in present:
-                shutil.rmtree(
-                    os.path.join(sub, f"label={label}"), ignore_errors=True
-                )
+        from urllib.parse import unquote
+
+        gone = {label for label in labels if label not in present}
+        if gone:
+            for entry in os.listdir(sub):
+                if entry.startswith("label=") and unquote(entry[6:]) in gone:
+                    shutil.rmtree(os.path.join(sub, entry), ignore_errors=True)
         self._write_catalog()
 
     def alloc_entry_ids(self, label: str, n: int) -> tuple[int, int]:

@@ -487,7 +487,14 @@ class Compiler:
         if len(sdf.columns) != 1:
             raise CompileError("quantified subquery must return exactly one column")
         scol = G.gv_ref(sdf.columns[0])
+        # Compile the left operand with an isolated let buffer and flush
+        # its lets onto df BEFORE the aggregate/membership joins reference
+        # the compiled column — otherwise a composed left operand (e.g.
+        # toupper(p.name + 'x') = ANY (...)) leaves __letN refs unresolved.
+        outer_lets, self._lets = self._lets, ([] if self._lets is not None else None)
         left = self.compile_expr(e.left, df, scope)
+        df, left_lets = (self._apply_lets(df) if self._lets is not None else (df, []))
+        self._lets = outer_lets
         op, quant = e.op, e.quant
         membership = (op == "=" and quant == "any") or (op == "<>" and quant == "all")
 
@@ -505,7 +512,7 @@ class Compiler:
         smin, smax = F.col(min_c), F.col(max_c)
         kx = G.sort_key(left)
         x_null = left["t"] == G.T_NULL
-        drops = [n_c, nn_c, min_c, max_c]
+        drops = [n_c, nn_c, min_c, max_c, *left_lets]
 
         found = None
         if membership:
@@ -542,7 +549,9 @@ class Compiler:
                 satisfy = {
                     ">": kx > smin, ">=": kx >= smin,
                     "<": kx < smax, "<=": kx <= smax,
-                    "<>": (n >= 2) | ((n == 1) & ~((smin == kx) & (smax == kx))),
+                    # some value differs from x iff min or max differs —
+                    # duplicate-safe (n rows may all equal x)
+                    "<>": ~((smin == kx) & (smax == kx)),
                 }.get(op)
                 if satisfy is None:
                     raise CompileError(f"unsupported quantified op {op} ANY")
@@ -969,7 +978,19 @@ class Compiler:
         if clause.distinct:
             out = self._distinct_rows(out, new_scope)
         if clause.order_by:
-            sort_cols = [self._sort_col(si, out, new_scope) for si in clause.order_by]
+            # `RETURN p.v ORDER BY p.v`: the sort expression references a
+            # variable the projection dropped — when it is AST-equal to a
+            # returned item, sort by that item's output column instead
+            # (transform_cypher_order_by resolves against the target list
+            # first, cypher_clause.c)
+            order_by = []
+            for si in clause.order_by:
+                for item, name in zip(items, names):
+                    if si.expr == item.expr:
+                        si = A.SortItem(A.Var(name), si.descending, si.nulls_first)
+                        break
+                order_by.append(si)
+            sort_cols = [self._sort_col(si, out, new_scope) for si in order_by]
             out, letn = self._apply_lets(out)
             out = out.orderBy(*sort_cols)
             if letn:

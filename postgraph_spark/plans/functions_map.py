@@ -519,11 +519,20 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
         # the argument's static type when known
         a = ctx.gv(0)
         if G.T_STRING in G.gv_types(a):
-            rng_like = a["s"].rlike(r"^([\[\(].*[\]\)]|empty)$")
             from postgraph_spark.functions import casts as C
 
             if name == "isempty":
                 return C.range_isempty(a)
+            # Only treat the text as a range when it has a two-bound
+            # comma body whose non-empty bounds parse as numbers —
+            # 'empty', '(abc)' or any bracketed plain string stays a
+            # string and gets the string lower()/upper() below.
+            p = C._range_parts(a["s"])
+            rng_like = (
+                p["ok"]
+                & ((p["lo"] == "") | p["lo"].try_cast("double").isNotNull())
+                & ((p["hi"] == "") | p["hi"].try_cast("double").isNotNull())
+            )
             fn = C.range_lower if name == "lower" else C.range_upper
             alt = F.lower(a["s"]) if name == "lower" else F.upper(a["s"])
             picked = fn(a)

@@ -60,6 +60,17 @@ def _data_files(path):
     return out
 
 
+def _table_dir(graph_path, kind):
+    """Resolve the live snapshot's table dir via the catalog pointer —
+    catalog.json's `snapshot` field is the single commit point."""
+    import json
+    import os
+
+    with open(os.path.join(graph_path, "catalog.json")) as f:
+        meta = json.load(f)
+    return os.path.join(graph_path, meta["snapshot"], kind)
+
+
 def test_create_appends_only_new_rows(spark, root):
     """Incremental durable commits: a small CREATE into an existing
     durable graph must APPEND files (O(rows)), leaving every
@@ -72,7 +83,7 @@ def test_create_appends_only_new_rows(spark, root):
     eng.execute("CREATE GRAPH incr")
     eng.execute("USE GRAPH incr")
     eng.execute("UNWIND range(1, 500) AS i CREATE (:bulk {i: i})")
-    vdir = os.path.join(root, "incr", "vertices")
+    vdir = _table_dir(os.path.join(root, "incr"), "vertices")
     before = _data_files(vdir)
     assert before, "bulk create should have produced data files"
 
@@ -81,6 +92,16 @@ def test_create_appends_only_new_rows(spark, root):
     assert before <= after, "existing data files must be untouched by an append"
     new_files = after - before
     assert new_files and all("label=tiny" in f for f in new_files)
+
+    # a LITERAL CREATE statement (the engine.py path, not WriteRunner)
+    # must also append only — round-5 verdict item #3
+    before = _data_files(vdir)
+    eng.execute("CREATE (:solo {i: 1})")
+    after = _data_files(vdir)
+    assert before <= after, "literal CREATE must not rewrite existing files"
+    new_files = after - before
+    assert new_files and all("label=solo" in f for f in new_files)
+    assert eng.fetch_values("MATCH (s:solo) RETURN count(*)") == [1]
 
     # SET rewrites ONLY the touched label partition
     before = _data_files(vdir)
