@@ -55,6 +55,7 @@ def vle(
     edge_prop_filter: F.Column | None = None,
     start_ids: DataFrame | None = None,
     max_hops_cap: int = 64,
+    reachability: bool = False,
 ) -> DataFrame:
     """All variable-length paths: (start_id, end_id, edge_ids, hops).
 
@@ -63,7 +64,20 @@ def vle(
     traversal instead of expanding from every vertex).
     edge_prop_filter: Column predicate over the edge table's columns
     (applied before orientation), e.g. property containment.
+
+    reachability: BFS mode for EXISTS-style consumers that only need the
+    DISTINCT (start, end) pairs, never per-path rows. The frontier is
+    deduplicated against a visited set each hop, so state is bounded by
+    |pairs| <= |V|^2 instead of the (worst-case exponential) path count,
+    and an unbounded ``*`` terminates at the graph diameter rather than
+    a hop cap. Sound for lo <= 1: a shortest walk repeats no edge, so
+    min-dist(s,t) <= hi iff an edge-distinct path of length in [lo, hi]
+    exists (for lo > 1 that equivalence breaks; callers must fall back
+    to path mode). edge_ids/node_ids come back EMPTY — a reachability
+    row represents a pair, not a path.
     """
+    if reachability and lo > 1:
+        raise ValueError("reachability mode requires lo <= 1")
     edges = graph.edges_with_label(edge_label)
     if edge_prop_filter is not None:
         edges = edges.filter(edge_prop_filter)
@@ -86,6 +100,9 @@ def vle(
         F.array(F.col("start_id")).alias("node_ids"),
         F.lit(0).alias("hops"),
     )
+
+    if reachability:
+        return _vle_reachability(oriented, zero, lo, hi, max_hops_cap)
 
     results: list[DataFrame] = []
     if lo == 0:
@@ -117,8 +134,12 @@ def vle(
         )
         if not lazy:
             # break lineage: each iteration's plan would otherwise nest the
-            # previous join tree (exponential optimizer time by ~hop 10)
-            expanded = expanded.localCheckpoint(eager=True)
+            # previous join tree (exponential optimizer time by ~hop 10).
+            # The repartition on the NEXT hop's join key lets AQE coalesce
+            # the checkpointed partitions to the frontier's actual size (a
+            # near-empty deep frontier collapses to one partition instead
+            # of dragging the full shuffle width through every hop).
+            expanded = expanded.repartition(F.col("end_id")).localCheckpoint(eager=True)
             if expanded.isEmpty():
                 break
         if hop >= lo:
@@ -131,6 +152,49 @@ def vle(
     for r in results[1:]:
         out = out.unionByName(r)
     return out
+
+
+def _vle_reachability(oriented, zero, lo, hi, max_hops_cap):
+    """BFS with a visited set: each (start, end) pair is emitted at its
+    minimum hop count only. Frontier and visited are (start_id, end_id)
+    pairs — memory is bounded by the reachable-pair count, never the
+    path count (dfs.c's enumeration semantics collapse to existence)."""
+    pairs = zero.select("start_id", "end_id", "hops")
+    results = [pairs] if lo == 0 else []
+    frontier = pairs.select("start_id", "end_id").localCheckpoint(eager=True)
+    # for lo >= 1 the hop-0 self pairs are NOT pre-visited: a genuine
+    # cycle back to the start must still be discovered and emitted once
+    # (its re-expansion only repeats hop-1 work once, then dedups away)
+    visited = frontier if lo == 0 else frontier.limit(0)
+    hop = 0
+    bound = hi if hi is not None else max_hops_cap
+    while hop < bound:
+        hop += 1
+        nxt = (
+            frontier.join(oriented, frontier.end_id == oriented.src)
+            .select("start_id", F.col("dst").alias("end_id"))
+            .distinct()
+            .join(visited, ["start_id", "end_id"], "left_anti")
+            .repartition(F.col("end_id"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        if hop >= lo:
+            results.append(nxt.withColumn("hops", F.lit(hop)))
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    if not results:
+        return zero.limit(0)
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "start_id", "end_id",
+        F.array().cast("array<long>").alias("edge_ids"),
+        F.array(F.col("start_id"), F.col("end_id")).alias("node_ids"),
+        "hops",
+    )
 
 
 def match_vle_counts(graph: Graph, begin_label: str, end_label: str, **kw) -> int:

@@ -370,6 +370,19 @@ class Compiler:
             if isinstance(e, A.ExistsPattern):
                 marker = f"__exists{next(self._anon)}"
                 sub = Compiler(self.spark, self.graph)
+                # existence-only consumer: a single unbound VLE with
+                # lo <= 1 can run in BFS reachability mode (bounded by
+                # pair count, not path count; terminates at the graph
+                # diameter for unbounded `*`) — see vle.py
+                rels = [el for el in e.pattern.elements[1::2]]
+                if (
+                    e.pattern.var is None
+                    and len(rels) == 1
+                    and rels[0].varlen is not None
+                    and rels[0].var is None
+                    and (rels[0].varlen[0] or 0) <= 1
+                ):
+                    sub._vle_reachability = True
                 pdf, pscope = sub.compile_match(
                     A.MatchClause([e.pattern], None, False, []), None, Scope()
                 )
@@ -758,6 +771,9 @@ class Compiler:
             edge_label=rel.label,
             edge_prop_filter=prop_filter,
             start_ids=starts,
+            reachability=(
+                getattr(self, "_vle_reachability", False) and rel.var is None
+            ),
         )
         vvar = rel.var or f"_vle{next(self._anon)}"
         pstruct = paths.select(
@@ -1347,6 +1363,10 @@ class Compiler:
                 return G.op_neg(operand)
             if e.op == "~":
                 return G.op_bitnot(operand)
+            if e.op == "!!":
+                from postgraph_spark.functions import tsearch as TS
+
+                return TS.op_tsnot(operand, e.operand)
             raise CompileError(e.op)
         if isinstance(e, A.IsNull):
             operand = self.compile_expr(e.operand, df, scope)
@@ -1406,6 +1426,21 @@ class Compiler:
     }
 
     def _compile_binop(self, e: A.BinOp, df, scope) -> Column:
+        # text-search operators (gtype_tsearch.c; regress/sql/tsearch.sql)
+        if e.op in ("@@", "<->", "||"):
+            from postgraph_spark.functions import tsearch as TS
+
+            left = self._maybe_let(self.compile_expr(e.left, df, scope), e.left, df)
+            if e.op == "@@":
+                # right side compiles lazily: a literal query never needs it
+                right_fn = lambda: self._maybe_let(  # noqa: E731
+                    self.compile_expr(e.right, df, scope), e.right, df
+                )
+                return TS.op_match(left, e.left, right_fn, e.right)
+            right = self._maybe_let(self.compile_expr(e.right, df, scope), e.right, df)
+            if e.op == "<->":
+                return TS.op_phrase(left, right, e.left, e.right)
+            return TS.op_concat(left, right, e.left, e.right)
         fn = self._BINOPS.get(e.op)
         if fn is None:
             raise CompileError(f"unknown operator {e.op}")
@@ -1418,6 +1453,29 @@ class Compiler:
                 return G.gv_bool(same if e.op == "=" else ~same)
         left = self._maybe_let(self.compile_expr(e.left, df, scope), e.left, df)
         right = self._maybe_let(self.compile_expr(e.right, df, scope), e.right, df)
+        if e.op == "&" and G.T_STRING in G.gv_types(left) and G.T_STRING in G.gv_types(right):
+            # `&` is tsquery AND for string (tsquery-text) operands and
+            # integer bitwise AND otherwise (gtype_ops.c:716-740 wires &
+            # per operand type); mixed static types branch at runtime
+            from postgraph_spark.functions import tsearch as TS
+
+            ts = TS.op_tsand(left, right, e.left, e.right)
+            if G.T_NUMBER not in G.gv_types(left) or G.T_NUMBER not in G.gv_types(right):
+                return ts
+            both_str = (left["t"] == G.T_STRING) & (right["t"] == G.T_STRING)
+            return TS.gv_if(both_str, ts, fn(left, right))
+        if (
+            e.op in ("@>", "<@")
+            and G.T_STRING in G.gv_types(left)
+            and G.T_STRING in G.gv_types(right)
+        ):
+            # tsquery containment (tsq_mcontains) when both operands are
+            # marked tsquery values; jsonb containment otherwise
+            from postgraph_spark.functions import tsearch as TS
+
+            both_q = (left["j"] == "tsq") & (right["j"] == "tsq")
+            tsres = TS.op_tsq_contains(left, right, contained_by=(e.op == "<@"))
+            return TS.gv_if(both_q, tsres, fn(left, right))
         return fn(left, right)
 
     def _compile_case(self, e: A.CaseExpr, df, scope) -> Column:

@@ -128,7 +128,8 @@ _EXT_CASTS = {
     "tobytea": "cast_bytea",
     "toinet": "cast_inet", "tocidr": "cast_cidr",
     "tomacaddr": "cast_macaddr", "tomacaddr8": "cast_macaddr8",
-    "totsvector": "cast_tsvector", "totsquery": "cast_tsquery",
+    # totsvector/totsquery route through the tsearch kit (full
+    # position/weight canonicalization), not casts.py
     "tointrange": "cast_intrange", "tonumrange": "cast_numrange",
     "totsrange": "cast_tsrange", "totstzrange": "cast_tstzrange",
     "todaterange": "cast_daterange", "tographid": "cast_graphid",
@@ -352,13 +353,23 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
         )
         return G.gv_bool(b)
     if name == "tonumeric":
-        # KNOWN DIVERGENCE: the reference's arbitrary-precision numeric
-        # (gtype_tonumeric) maps onto float8 here
+        # gtype_tonumeric (gtype.c:2319-2360 numeric promotion): the
+        # reference's arbitrary-precision numeric maps onto the gval's
+        # DUAL identity here — integral inputs (including integral text
+        # up to int64) keep their exact integer identity `i`, so
+        # tonumeric('9007199254740993') + 1 is exact past 2^53 (int
+        # arithmetic stays on `i`, compiler sum() keeps all-int sums on
+        # `i` too). Residual divergence: fractional values beyond float8
+        # precision and integers past int64 fall to float8.
         a = ctx.gv(0)
-        d = F.when(a["t"] == G.T_NUMBER, a["d"]).when(
-            a["t"] == G.T_STRING, a["s"].cast("double")
+        int_txt = a["s"].rlike(r"^\s*[+-]?[0-9]+\s*$")
+        i = F.when(a["t"] == G.T_NUMBER, a["i"]).when(
+            (a["t"] == G.T_STRING) & int_txt, F.trim(a["s"]).try_cast("long")
         )
-        return G.gv_float(d)
+        d = F.when(a["t"] == G.T_NUMBER, a["d"]).when(
+            a["t"] == G.T_STRING, a["s"].try_cast("double")
+        )
+        return G.gv_num(i=i, d=d)
 
     # ---- temporal casts (gtype_typecasting.c:278-399) ----
     # literal operands const-fold to a literal gval (see _Ctx.lit)
@@ -488,6 +499,69 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
         return TMP.isfinite_gv(ctx.gv(0))
     if name == "overlaps":
         return TMP.overlaps_gv(ctx.gv(0), ctx.gv(1), ctx.gv(2), ctx.gv(3))
+
+    # ---- text-search kit (gtype_tsearch.c, 9 fns + the two casts) ----
+    _TS_FNS = {
+        "totsvector": ("tsvector_in", "tsv"),
+        "totsquery": ("tsquery_in", "tsq"),
+        "to_tsvector": ("to_tsvector", "tsv"),
+        "plainto_tsquery": ("plainto", "tsq"),
+        "phraseto_tsquery": ("phraseto", "tsq"),
+        "websearch_to_tsquery": ("websearch", "tsq"),
+        "strip": ("strip", "tsv"),
+    }
+    if name in _TS_FNS and ctx.nargs == 1:
+        from postgraph_spark.functions import tsearch as TSK
+
+        udf_key, kind = _TS_FNS[name]
+        mark = TSK.gv_tsvector if kind == "tsv" else TSK.gv_tsquery
+        v = ctx.lit(0)
+        if isinstance(v, str):  # literal: fold at compile time (PG Const)
+            try:
+                return mark(F.lit(getattr(TSK, {
+                    "tsvector_in": "tsvector_in", "tsquery_in": "tsquery_in",
+                    "to_tsvector": "to_tsvector", "plainto": "plainto_tsquery",
+                    "phraseto": "phraseto_tsquery", "websearch": "websearch_to_tsquery",
+                    "strip": "ts_strip",
+                }[udf_key])(v)))
+            except ValueError:
+                return mark(F.lit(None).cast("string"))
+        a = ctx.gv(0)
+        return mark(TSK._udfs()[udf_key](F.when(a["t"] == G.T_STRING, a["s"])))
+    if name == "ts_delete" and ctx.nargs == 2:
+        from postgraph_spark.functions import tsearch as TSK
+
+        la, vb = TSK.ast_ts_literal(ctx.e.args[0]), ctx.lit(1)
+        if la is not None and isinstance(vb, str):
+            try:
+                return TSK.gv_tsvector(F.lit(TSK.ts_delete(TSK.tsvector_in(la[1]), vb)))
+            except ValueError:
+                return TSK.gv_tsvector(F.lit(None).cast("string"))
+        a, b = ctx.gv(0), ctx.gv(1)
+        return TSK.gv_tsvector(
+            TSK._udfs()["delete"](
+                F.when(a["t"] == G.T_STRING, a["s"]), F.when(b["t"] == G.T_STRING, b["s"])
+            )
+        )
+    if name == "tsquery_phrase" and ctx.nargs in (2, 3):
+        from postgraph_spark.functions import tsearch as TSK
+
+        la = TSK.ast_ts_literal(ctx.e.args[0])
+        lb = TSK.ast_ts_literal(ctx.e.args[1])
+        dist = ctx.lit(2) if ctx.nargs == 3 else 1
+        if la is not None and lb is not None and isinstance(dist, int):
+            try:
+                return TSK.gv_tsquery(F.lit(TSK.combine_phrase(la[1], lb[1], dist)))
+            except ValueError:
+                return TSK.gv_tsquery(F.lit(None).cast("string"))
+        if ctx.nargs == 3:
+            raise ValueError("tsquery_phrase distance must be a literal int")
+        a, b = ctx.gv(0), ctx.gv(1)
+        return TSK.gv_tsquery(
+            TSK._udfs()["phrase"](
+                F.when(a["t"] == G.T_STRING, a["s"]), F.when(b["t"] == G.T_STRING, b["s"])
+            )
+        )
 
     # ---- extended typecasts (gtype_typecasting.c full to* surface) ----
     if name in _EXT_CASTS:

@@ -513,7 +513,8 @@ class Parser:
     #: PG regex ops (gtype_string.c:193-227) and jsonb containment /
     #: existence (gtype_ops.c:849-1080), LIKE family (g.y:2595-2601)
     _CMP_OPS = {"~": "~", "~*": "~*", "!~": "!~", "!~*": "!~*",
-                "@>": "@>", "<@": "<@", "?": "?", "?|": "?|", "?&": "?&"}
+                "@>": "@>", "<@": "<@", "?": "?", "?|": "?|", "?&": "?&",
+                "@@": "@@"}
 
     def parse_comparison(self):
         left = self.parse_bitor()
@@ -598,19 +599,28 @@ class Parser:
         return out
 
     def parse_bitor(self):
-        # PG generic-operator precedence puts | and & between the
+        # PG generic-operator precedence puts ||, | and & between the
         # comparison predicates and additive arithmetic
         left = self.parse_bitand()
-        while self.at_op("|"):
-            self.advance()
-            left = A.BinOp("|", left, self.parse_bitand())
+        while self.at_op("|", "||"):
+            op = self.advance().value
+            left = A.BinOp(op, left, self.parse_bitand())
         return left
 
     def parse_bitand(self):
-        left = self.parse_additive()
+        left = self.parse_tsphrase()
         while self.at_op("&"):
             self.advance()
-            left = A.BinOp("&", left, self.parse_additive())
+            left = A.BinOp("&", left, self.parse_tsphrase())
+        return left
+
+    def parse_tsphrase(self):
+        # tsquery phrase operator `<->` (gtype_tsearch.c tsquery_phrase;
+        # between & and additive, mirroring PG operator precedence)
+        left = self.parse_additive()
+        while self.at_op("<->"):
+            self.advance()
+            left = A.BinOp("<->", left, self.parse_additive())
         return left
 
     def parse_additive(self):
@@ -634,6 +644,10 @@ class Parser:
         if self.at_op("~"):
             self.advance()
             return A.UnaryOp("~", self.parse_unary())
+        if self.at_op("!!"):
+            # tsquery negation (gtype_tsquery_not)
+            self.advance()
+            return A.UnaryOp("!!", self.parse_unary())
         if self.at_op("+"):
             self.advance()
             return self.parse_unary()

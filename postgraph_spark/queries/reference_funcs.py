@@ -144,29 +144,53 @@ def quantified_all_rewrite(spark, sf_dir):
     "tsearch_match",
     """
     WITH d AS (
-      SELECT doc_id, string_split_regex(lower(text), '\\W+') AS toks FROM documents)
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
+      FROM documents)
     SELECT doc_id,
            list_contains(toks, 'spark') AND list_contains(toks, 'table') AS match_and,
            list_contains(toks, 'spark') OR list_contains(toks, 'join') AS match_or,
            list_contains(toks, 'spark') AND NOT list_contains(toks, 'slow') AS match_not,
+           coalesce(len(list_filter(range(1, greatest(len(toks), 1)),
+                        i -> toks[i] = 'spark' AND toks[i+1] = 'table')) > 0,
+                    false) AS match_phrase,
+           (coalesce(len(list_filter(range(1, greatest(len(toks), 1)),
+                         i -> toks[i] = 'spark' AND toks[i+1] = 'table')) > 0,
+                     false)
+            OR (list_contains(toks, 'join') AND NOT list_contains(toks, 'slow')))
+             AS match_websearch,
            CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf_spark
     FROM d
     """,
 )
 def tsearch_match(spark, sf_dir):
-    """Text-search-lite (reference gtype_tsearch.c: to_tsvector/tsquery
-    + `@@` match): document -> token array; AND/OR/NOT query-tree match
-    and term frequency as array expressions (the tsvector is the sorted
-    token array; no positions needed for boolean match)."""
+    """Text search over documents (gtype_tsearch.c + `@@`): boolean
+    query-tree match, POSITIONAL phrase match (`spark <-> table`,
+    tsquery_phrase), and a websearch form (`"spark table" or join
+    -slow`, websearch_to_tsquery) — all compiled to JVM array algebra
+    over the token-position list, the same plan shape the tsearch kit's
+    literal-`@@` compiler emits (functions/tsearch.py compile_match).
+    Whole-stage codegen; the only shuffle is none — a pure scan+project.
+    """
     d = t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), r"\W+")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda x: x != "")
     d = d.select("doc_id", toks.alias("toks"))
     has = lambda term: F.array_contains("toks", term)  # noqa: E731
+    phrase = F.coalesce(
+        F.exists(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(1))),
+            lambda i: (F.element_at("toks", i) == "spark")
+            & (F.element_at("toks", i + 1) == "table"),
+        ),
+        F.lit(False),
+    )
     return d.select(
         "doc_id",
         (has("spark") & has("table")).alias("match_and"),
         (has("spark") | has("join")).alias("match_or"),
         (has("spark") & ~has("slow")).alias("match_not"),
+        phrase.alias("match_phrase"),
+        (phrase | (has("join") & ~has("slow"))).alias("match_websearch"),
         F.size(F.filter("toks", lambda x: x == "spark")).cast("long").alias("tf_spark"),
     )
 
