@@ -53,6 +53,8 @@ _CAST_FN = {
     "tsrange": "totsrange", "tstzrange": "totstzrange",
     "daterange": "todaterange", "graphid": "tographid",
     "vector": "tovector",
+    # minimal geometric kit (functions/geometric.py)
+    "point": "topoint", "box": "tobox",
 }
 
 VKIND_VERTEX = "vertex"
@@ -870,6 +872,13 @@ class Compiler:
     def compile_projection(self, clause, df, scope):
         items: list[A.ReturnItem] = list(clause.items)
         is_with = isinstance(clause, A.WithClause)
+        if df is None:
+            # literal-only projection (plain RETURN ...): materialize the
+            # 1-row frame UP FRONT so _maybe_let can bind composed
+            # subtrees — without it, a deep operand (e.g. nested map
+            # literals under @>) re-expands per consumer and analysis
+            # blows up
+            df = self.spark.range(1).select(F.lit(1).alias("__one"))
         # WITH ... WHERE resolves against the INPUT scope (the reference
         # puts the qual in the same Query as the projection, so FROM
         # columns are visible — regress/sql/cypher_with.sql:
@@ -1330,6 +1339,21 @@ class Compiler:
             return F.col(e.name)
         if isinstance(e, A.Prop):
             base = e.base
+            if (
+                isinstance(base, A.Index)
+                and isinstance(base.index, A.Lit)
+                and isinstance(base.index.value, int)
+                and base.index.value >= 0
+                and not isinstance(base.index.value, bool)
+            ):
+                # ns[0].properties.x -> ONE variant path `$[0].properties.x`
+                # instead of parse -> element -> re-parse -> field (halves
+                # both the executed parse work and the analyzed tree)
+                arr = self._maybe_let(self.compile_expr(base.base, df, scope), base.base, df)
+                jpath = f"$[{base.index.value}]." + ".".join(e.path)
+                return G.from_variant(
+                    F.try_variant_get(F.try_parse_json(arr["j"]), jpath, "variant")
+                )
             if isinstance(base, A.Var):
                 kind = scope.kinds.get(base.name)
                 if kind in (VKIND_VERTEX, VKIND_EDGE):
@@ -1343,7 +1367,11 @@ class Compiler:
                         F.try_variant_get(F.try_parse_json(gv["j"]), "$." + ".".join(e.path), "variant")
                     )
                 raise CompileError(f"cannot access property on {base.name!r}")
-            gv = self.compile_expr(base, df, scope)
+            # let-bind composed bases (ns[0].properties.x): the base's
+            # 6-field gval tree would otherwise be re-walked by analysis
+            # once per consumer field — the round-5 named-paths build-cost
+            # residue lived exactly here
+            gv = self._maybe_let(self.compile_expr(base, df, scope), base, df)
             return G.from_variant(
                 F.try_variant_get(F.try_parse_json(gv["j"]), "$." + ".".join(e.path), "variant")
             )

@@ -568,6 +568,79 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
         from postgraph_spark.functions import casts as C
 
         return getattr(C, _EXT_CASTS[name])(ctx.gv(0))
+
+    # ---- array casts (gtype_to_*_array; openCypher to*List names) ----
+    if name in ("tointegerlist", "tofloatlist", "tostringlist", "tobooleanlist"):
+        a = ctx.gv(0)
+        kind = name[2:-4]  # integer | float | string | boolean
+
+        def conv_txt(e):
+            ev = G.from_variant(e)
+            if kind == "integer":
+                v = (
+                    F.when((ev["t"] == G.T_NUMBER) & ev["i"].isNotNull(), ev["i"])
+                    .when(ev["t"] == G.T_NUMBER, ev["d"].cast("long"))
+                    .when(ev["t"] == G.T_STRING, ev["s"].try_cast("double").cast("long"))
+                    .when(ev["t"] == G.T_BOOL, ev["b"].cast("long"))
+                )
+                return v.cast("string")
+            if kind == "float":
+                v = F.when(ev["t"] == G.T_NUMBER, ev["d"]).when(
+                    ev["t"] == G.T_STRING, ev["s"].try_cast("double")
+                )
+                return v.cast("string")
+            if kind == "boolean":
+                v = F.when(ev["t"] == G.T_BOOL, ev["b"]).when(
+                    ev["t"] == G.T_STRING,
+                    F.when(F.lower(ev["s"]) == "true", F.lit(True)).when(
+                        F.lower(ev["s"]) == "false", F.lit(False)
+                    ),
+                )
+                return F.when(v, F.lit("true")).otherwise(
+                    F.when(~v, F.lit("false"))
+                )
+            # string: render via the canonical text (numbers/bools/strings)
+            return G.to_json_text(
+                G.gv_str(
+                    F.when(ev["t"] == G.T_STRING, ev["s"])
+                    .when((ev["t"] == G.T_NUMBER) & ev["i"].isNotNull(), ev["i"].cast("string"))
+                    .when(ev["t"] == G.T_NUMBER, ev["d"].cast("string"))
+                    .when(ev["t"] == G.T_BOOL, F.when(ev["b"], "true").otherwise("false"))
+                )
+            )
+
+        texts = F.transform(
+            G.to_variant_array(a), lambda e: F.coalesce(conv_txt(e), F.lit("null"))
+        )
+        out = F.concat(F.lit("["), F.array_join(texts, ","), F.lit("]"))
+        return G.gv_array_json(F.when(a["t"] == G.T_ARRAY, out))
+
+    # ---- minimal geometric kit (gtype_geometric.c; point/box) ----
+    if name in ("topoint", "tobox"):
+        from postgraph_spark.functions import geometric as GEO
+
+        return (GEO.cast_point if name == "topoint" else GEO.cast_box)(ctx.gv(0))
+    if name == "distance" and ctx.nargs == 2:
+        from postgraph_spark.functions import geometric as GEO
+
+        return GEO.geo_distance(ctx.gv(0), ctx.gv(1))
+    if name == "center" and ctx.nargs == 1:
+        from postgraph_spark.functions import geometric as GEO
+
+        return GEO.geo_center(ctx.gv(0))
+    if name in ("height", "width") and ctx.nargs == 1:
+        from postgraph_spark.functions import geometric as GEO
+
+        fn = GEO.geo_height if name == "height" else GEO.geo_width
+        return fn(ctx.gv(0))
+    if name == "bound_box" and ctx.nargs == 2:
+        from postgraph_spark.functions import geometric as GEO
+
+        return GEO.geo_bound_box(ctx.gv(0), ctx.gv(1))
+    if name == "box_contains" and ctx.nargs == 2:
+        from postgraph_spark.functions import geometric as GEO
+
+        return GEO.geo_box_contains(ctx.gv(0), ctx.gv(1))
     if name in ("intrange", "numrange", "tsrange", "tstzrange", "daterange") and ctx.nargs >= 2:
         # range constructors (gtype_range.c): (lo, hi[, flags-text])
         from postgraph_spark.functions import casts as C

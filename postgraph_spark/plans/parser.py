@@ -685,6 +685,8 @@ class Parser:
         "tsrange": "tsrange", "tstzrange": "tstzrange",
         "daterange": "daterange", "graphid": "graphid",
         "vector": "vector",
+        # minimal geometric kit (functions/geometric.py)
+        "point": "point", "box": "box",
     }
 
     def parse_type_name(self) -> str:

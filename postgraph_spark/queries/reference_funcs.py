@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from postgraph_spark.functions import geometric as GEO
+from postgraph_spark.functions import gtype as G
 from postgraph_spark.functions import network as NET
 from postgraph_spark.functions import ranges as R
 from postgraph_spark.functions import vector as V
@@ -439,4 +441,48 @@ def cypher_kit_funcs(spark, sf_dir):
         F.col("lo")["i"].alias("lo"),
         F.col("hi")["i"].alias("hi"),
         F.col("isempty_neg")["b"].alias("isempty_neg"),
+    )
+
+
+@register(
+    "geometric_ops",
+    """
+    WITH p AS (
+      SELECT o_orderkey,
+             round(o_totalprice % 100, 2) AS px,
+             CAST(o_orderkey % 97 AS DOUBLE) AS py
+      FROM orders)
+    SELECT o_orderkey,
+           round(sqrt((px - 50) * (px - 50) + (py - 48) * (py - 48)), 6) AS dist,
+           px >= 25 AND px <= 75 AND py >= 25 AND py <= 75 AS in_box,
+           round((least(px, 10.0) + 90.0) / 2, 6) AS cx
+    FROM p
+    """,
+)
+def geometric_ops(spark, sf_dir):
+    """Minimal geometric kit over synthetic coordinates (gtype_geometric.c
+    subset, functions/geometric.py): each order maps to a point, tested
+    for distance to a fixed anchor, containment in a fixed box, and the
+    x-center of its bounding box with a fixed box — all JVM regexp +
+    arithmetic on the canonical point/box texts (no UDF; scan + project,
+    zero shuffles)."""
+    o = t(spark, sf_dir, "orders")
+    px = F.round(F.col("o_totalprice") % 100, 2)
+    py = (F.col("o_orderkey") % 97).cast("double")
+    pt = G.gv_str(
+        F.concat(F.lit("("), px.cast("string"), F.lit(","), py.cast("string"), F.lit(")"))
+    )
+    anchor = G.gv_str(F.lit("(50,48)"))
+    box = G.gv_str(F.lit("(75,75),(25,25)"))
+    # bounding box of the point's box-with-(10,0)..(90,96) corner pair
+    pbox = GEO.geo_bound_box(
+        G.gv_str(F.concat(F.lit("("), F.least(px, F.lit(10.0)).cast("string"), F.lit(",0),("),
+                          F.least(px, F.lit(10.0)).cast("string"), F.lit(",0)"))),
+        G.gv_str(F.lit("(90,96),(90,96)")),
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(GEO.geo_distance(pt, anchor)["d"], 6).alias("dist"),
+        GEO.geo_box_contains(box, pt)["b"].alias("in_box"),
+        F.round(GEO.geo_center(pbox)["s"].substr(F.lit(2), F.instr(GEO.geo_center(pbox)["s"], ",") - 2).cast("double"), 6).alias("cx"),
     )

@@ -95,3 +95,28 @@ def test_lower_upper_range_texts_still_ranges(eng):
     assert eng.fetch_values("RETURN lower('[1,5)')") == [1]
     assert eng.fetch_values("RETURN upper(toIntRange('[0, 1]'))") == [2]
     assert eng.fetch_values("RETURN lower(toNumRange('[0.5, 2)'))") == [0.5]
+
+
+# ------------------- nested container orderability (depth 2 + objects)
+
+def test_nested_array_numeric_equality(eng):
+    assert eng.fetch_values("RETURN [[1]] = [[1.0]]") == [True]
+    assert eng.fetch_values("RETURN [[1, 2], 3] = [[1.0, 2.0], 3.0]") == [True]
+    assert eng.fetch_values("RETURN [[1]] = [[2]]") == [False]
+    assert eng.fetch_values("RETURN [[1]] = [[1, 1]]") == [False]
+
+
+def test_object_numeric_equality(eng):
+    assert eng.fetch_values("RETURN {a: 1} = {a: 1.0}") == [True]
+    assert eng.fetch_values("RETURN {a: 1, b: 'x'} = {b: 'x', a: 1.0}") == [True]
+    assert eng.fetch_values("RETURN {a: 1} = {a: 2}") == [False]
+    assert eng.fetch_values("RETURN {a: 1} = {b: 1}") == [False]
+    # objects nested inside arrays
+    assert eng.fetch_values("RETURN [{a: 1}] = [{a: 1.0}]") == [True]
+
+
+def test_distinct_collapses_nested_mixed_numeric(eng):
+    rows = eng.fetch_values("UNWIND [[[1]], [[1.0]], [[2]]] AS x RETURN DISTINCT x")
+    assert len(rows) == 2
+    rows = eng.fetch_values("UNWIND [{a: 1}, {a: 1.0}, {a: 2}] AS x RETURN DISTINCT x")
+    assert len(rows) == 2
