@@ -331,3 +331,199 @@ def range_contains_elem(r: Column, x: Column) -> Column:
     res = F.when(s == "empty", F.lit(False)).otherwise(above & below)
     ok = s.isNotNull() & (x["t"] == G.T_NUMBER)
     return G.gv_bool(F.when(ok, res))
+
+
+# ------------------------------------------------------------- multiranges
+#
+# to{int,num,ts,tstz,date}multirange (gtype_typecasting.c; PG
+# multirange_in): '{member, member, ...}' — members canonicalize by the
+# same rules as the single-range casts above, then sort and MERGE
+# overlapping/adjacent members (multirange canonical form). Rendered
+# bound style follows this engine's ISO range forms (documented
+# DateStyle divergence, same as the r5 range casts). Parsing is scalar
+# text work -> pure Python + an Arrow-batched UDF for column inputs;
+# literal arguments fold at compile time (functions_map).
+
+import re as _re
+
+
+def _py_split_members(s: str) -> list[str] | None:
+    s = s.strip()
+    if not (s.startswith("{") and s.endswith("}")):
+        return None
+    body = s[1:-1].strip()
+    if not body:
+        return []
+    members, cur, quoted = [], "", False
+    for ch in body:
+        if quoted:
+            cur += ch
+            quoted = ch != '"'
+            continue
+        if ch == '"':
+            cur += ch
+            quoted = True
+        elif ch == "," and (not cur or cur.lstrip()[-1:] in (")", "]")):
+            members.append(cur.strip())
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        members.append(cur.strip())
+    return members
+
+
+def _py_range_parts(txt: str):
+    t = txt.strip()
+    if len(t) < 3 or t[0] not in "[(" or t[-1] not in "])":
+        return None
+    lo_inc, hi_inc = t[0] == "[", t[-1] == "]"
+    body = t[1:-1]
+    q = False
+    for i, ch in enumerate(body):
+        if ch == '"':
+            q = not q
+        elif ch == "," and not q:
+            lo, hi = body[:i], body[i + 1 :]
+            break
+    else:
+        return None
+
+    def clean(b: str) -> str:
+        b = b.strip()
+        if b.startswith('"') and b.endswith('"') and len(b) >= 2:
+            b = b[1:-1]
+        return b.strip().strip("'").strip()
+
+    return clean(lo), clean(hi), lo_inc, hi_inc
+
+
+def _py_parse_member(kind: str, txt: str):
+    """range text -> (lo, hi, lo_inc, hi_inc) with None = unbounded;
+    'empty' -> None-member; unparseable -> ValueError. Discrete kinds
+    (int, date) canonicalize to [lo, hi+1) half-open form."""
+    if txt.strip().lower() == "empty":
+        return "empty"
+    p = _py_range_parts(txt)
+    if p is None:
+        raise ValueError(txt)
+    lo_s, hi_s, lo_inc, hi_inc = p
+
+    def bound(b: str):
+        if b == "":
+            return None
+        if kind == "int":
+            return int(b)
+        if kind == "num":
+            return float(b)
+        if kind == "date":
+            d = TMP.py_parse_date_days(b)
+        else:  # ts / tstz
+            d = TMP.py_parse_ts_us(b, apply_tz=(kind == "tstz"))
+        if d is None:
+            raise ValueError(b)
+        return d
+
+    lo, hi = bound(lo_s), bound(hi_s)
+    if kind in ("int", "date"):  # discrete: canonicalize to [lo, hi)
+        if lo is not None and not lo_inc:
+            lo, lo_inc = lo + 1, True
+        if hi is not None and hi_inc:
+            hi, hi_inc = hi + 1, False
+        if lo is not None and hi is not None and lo >= hi:
+            return "empty"
+    else:
+        if lo is not None and hi is not None and (
+            lo > hi or (lo == hi and not (lo_inc and hi_inc))
+        ):
+            return "empty"
+    return (lo, hi, lo_inc, hi_inc)
+
+
+def _py_render_member(kind: str, m) -> str:
+    lo, hi, lo_inc, hi_inc = m
+
+    def btxt(v):
+        if v is None:
+            return ""
+        if kind == "int":
+            return str(v)
+        if kind == "num":
+            iv = int(v)
+            return str(iv) if float(iv) == v else repr(v)
+        if kind == "date":
+            return '"%s"' % G.decode(
+                {"t": G.T_DATE, "i": v, "b": None, "d": None, "s": None, "j": None}
+            )
+        return '"%s"' % G.decode(
+            {"t": G.T_TIMESTAMP, "i": v, "b": None, "d": None, "s": None, "j": None}
+        )
+
+    return ("[" if lo_inc else "(") + btxt(lo) + "," + btxt(hi) + ("]" if hi_inc else ")")
+
+
+def multirange_in_py(kind: str, s: str) -> str | None:
+    """'{...}' multirange text -> canonical form (sorted, merged), or
+    None on malformed input (errors -> gtype null convention)."""
+    try:
+        raw = _py_split_members(s)
+        if raw is None:
+            return None
+        members = [_py_parse_member(kind, t) for t in raw]
+    except (ValueError, TypeError):
+        return None
+    members = [m for m in members if m != "empty"]
+    NEG = float("-inf")
+
+    def lo_key(m):
+        lo = m[0] if m[0] is not None else NEG
+        return (lo, not m[2])
+
+    members.sort(key=lo_key)
+    merged: list = []
+    for m in members:
+        if not merged:
+            merged.append(list(m))
+            continue
+        a = merged[-1]
+        a_hi, a_hi_inc = a[1], a[3]
+        b_lo, b_lo_inc = m[0], m[2]
+        if a_hi is None:
+            overlap = True
+        elif b_lo is None:
+            overlap = True
+        elif kind in ("int", "date"):
+            overlap = b_lo <= a_hi  # [_, h) + [h, _) are adjacent -> merge
+        else:
+            overlap = b_lo < a_hi or (b_lo == a_hi and (b_lo_inc or a_hi_inc))
+        if overlap:
+            if a_hi is not None and (
+                m[1] is None or m[1] > a_hi or (m[1] == a_hi and m[3] and not a_hi_inc)
+            ):
+                a[1], a[3] = m[1], m[3]
+        else:
+            merged.append(list(m))
+    return "{" + ",".join(_py_render_member(kind, tuple(m)) for m in merged) + "}"
+
+
+_MULTIRANGE_UDFS: dict[str, object] = {}
+
+
+def _multirange_udf(kind: str):
+    if kind in _MULTIRANGE_UDFS:
+        return _MULTIRANGE_UDFS[kind]
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    def _fn(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: multirange_in_py(kind, v) if v is not None else None)
+
+    _fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = pandas_udf(T.StringType())(_fn)
+    _MULTIRANGE_UDFS[kind] = udf
+    return udf
+
+
+def cast_multirange(kind: str, gv: Column) -> Column:
+    return G.gv_str(_multirange_udf(kind)(_str_in(gv)))

@@ -530,27 +530,33 @@ def _nested_canon_txt(e: Column) -> Column:
     )
 
 
-def _elem_sort_key(e: Column) -> Column:
+def _elem_sort_key(e: Column, deep: bool = True) -> Column:
     """Array-element (variant) -> scalar orderability key. Numbers key
     on their double image so [1] and [1.0] compare equal element-wise
-    (compare_gtype_containers_orderability, gtype_util.c:233-360);
-    nested containers canonicalize one further level through e4
-    (_nested_canon_txt); depth >= 3 falls back to JSON text."""
+    (compare_gtype_containers_orderability, gtype_util.c:233-360).
+    deep=True (equality surfaces: cmp_eq, canon_key_text) additionally
+    canonicalizes nested containers one level through e4
+    (_nested_canon_txt, [[1]] = [[1.0]]); deep=False (the hot SORT
+    path) keeps nested containers as JSON text."""
     ev = from_variant(e)
     return F.struct(
         ev.t.alias("e0"),
         ev.d.alias("e1"),
         ev.s.alias("e2"),
         ev.b.cast("int").alias("e3"),
-        _nested_canon_txt(e).alias("e4"),
+        (_nested_canon_txt(e) if deep else ev.j).alias("e4"),
     )
 
 
-def _array_keys(gv: Column) -> Column:
+def _array_keys(gv: Column, deep: bool = True) -> Column:
     """gval array -> array of element orderability keys (null for
     non-arrays). Spark orders arrays element-wise left-to-right —
-    exactly the reference's container orderability walk."""
-    return F.when(gv.t == T_ARRAY, F.transform(to_variant_array(gv), _elem_sort_key))
+    exactly the reference's container orderability walk. deep as in
+    _elem_sort_key."""
+    return F.when(
+        gv.t == T_ARRAY,
+        F.transform(to_variant_array(gv), lambda e: _elem_sort_key(e, deep=deep)),
+    )
 
 
 def sort_key(gv: Column) -> Column:
@@ -565,17 +571,19 @@ def sort_key(gv: Column) -> Column:
     divergence). The k4 transform is pruned away when the static type
     set excludes arrays."""
     may_arr = T_ARRAY in gv_types(gv)
-    k4 = _array_keys(gv) if may_arr else F.lit(None).cast(_ELEM_KEY_T)
-    k5 = F.when(gv.t != T_ARRAY, gv.j)
-    if T_OBJECT in gv_types(gv):
-        k5 = F.when(gv.t == T_OBJECT, _obj_canon_txt(gv.j)).otherwise(k5)
+    k4 = _array_keys(gv, deep=False) if may_arr else F.lit(None).cast(_ELEM_KEY_T)
+    # NOTE: objects in SORT keys stay JSON-text ({a:1} vs {a:1.0} order
+    # by text) — equality surfaces (cmp_eq, canon_key_text: DISTINCT,
+    # joins, = ) canonicalize them, but the sort path is hot (every
+    # ORDER BY / window partition key) and the object walk would tax it
+    # for a rare ordering case
     return F.struct(
         F.when(gv.t == T_DATE, F.lit(T_TIMESTAMP)).otherwise(gv.t).alias("k0"),
         gv.d.alias("k1"),
         gv.s.alias("k2"),
         gv.b.cast("int").alias("k3"),
         k4.alias("k4"),
-        k5.alias("k5"),
+        F.when(gv.t != T_ARRAY, gv.j).alias("k5"),
     )
 
 

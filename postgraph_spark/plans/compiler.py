@@ -55,6 +55,10 @@ _CAST_FN = {
     "vector": "tovector",
     # minimal geometric kit (functions/geometric.py)
     "point": "topoint", "box": "tobox",
+    # multiranges
+    "intmultirange": "tointmultirange", "nummultirange": "tonummultirange",
+    "tsmultirange": "totsmultirange", "tstzmultirange": "totstzmultirange",
+    "datemultirange": "todatemultirange",
 }
 
 VKIND_VERTEX = "vertex"

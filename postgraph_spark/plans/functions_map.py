@@ -568,6 +568,19 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
         from postgraph_spark.functions import casts as C
 
         return getattr(C, _EXT_CASTS[name])(ctx.gv(0))
+    _MULTIRANGES = {
+        "tointmultirange": "int", "tonummultirange": "num",
+        "totsmultirange": "ts", "totstzmultirange": "tstz",
+        "todatemultirange": "date",
+    }
+    if name in _MULTIRANGES and ctx.nargs == 1:
+        from postgraph_spark.functions import casts as C
+
+        kind = _MULTIRANGES[name]
+        v = ctx.lit(0)
+        if isinstance(v, str):  # literal folds at compile time
+            return G.gv_str(F.lit(C.multirange_in_py(kind, v)))
+        return C.cast_multirange(kind, ctx.gv(0))
 
     # ---- array casts (gtype_to_*_array; openCypher to*List names) ----
     if name in ("tointegerlist", "tofloatlist", "tostringlist", "tobooleanlist"):

@@ -687,6 +687,11 @@ class Parser:
         "vector": "vector",
         # minimal geometric kit (functions/geometric.py)
         "point": "point", "box": "box",
+        # multiranges (casts.py multirange_in_py)
+        "intmultirange": "intmultirange", "int4multirange": "intmultirange",
+        "int8multirange": "intmultirange", "nummultirange": "nummultirange",
+        "tsmultirange": "tsmultirange", "tstzmultirange": "tstzmultirange",
+        "datemultirange": "datemultirange",
     }
 
     def parse_type_name(self) -> str:

@@ -394,16 +394,21 @@ def cypher_extended_casts(spark, sf_dir):
       (i % 10 <= 5) AS contained,
       CAST(i % 10 AS BIGINT) AS lo,
       CAST(i % 10 + 6 AS BIGINT) AS hi,
-      (i % 10) <= 1 AS isempty_neg
+      (i % 10) <= 1 AS isempty_neg,
+      (i % 3 = 0) AS ts_hit,
+      '''w'' & ''x' || CAST(i % 5 AS VARCHAR) || '''' AS tsq,
+      round(sqrt(CAST((i % 10) * (i % 10) + 16 AS DOUBLE)), 4) AS pdist,
+      (i % 10) >= 2 AND (i % 10) <= 8 AS in_box
     FROM range(500) t(i)
     """,
 )
 def cypher_kit_funcs(spark, sf_dir):
-    """Network, vector-distance and range kits resolved BY NAME from
-    Cypher text (gtype_network.c 13 fns; vector.c 11 fns; gtype_range.c
-    ctors/accessors): host/masklen/family/network/broadcast/set_masklen,
-    l2_distance/inner_product/dims, intrange/range_contains/lower/upper/
-    isempty."""
+    """Network, vector-distance, range, TSEARCH and GEOMETRIC kits
+    resolved BY NAME from Cypher text (gtype_network.c 13 fns; vector.c
+    11 fns; gtype_range.c ctors/accessors; gtype_tsearch.c `@@`/`&`
+    and totsvector/totsquery; geometric point/box/distance/contains):
+    every kit exercised through the full parse -> compile path the way
+    a reference user would call it."""
     from postgraph_spark.engine import CypherEngine
 
     eng = CypherEngine(spark)
@@ -424,7 +429,11 @@ def cypher_kit_funcs(spark, sf_dir):
         "  range_contains(rng, 5) AS contained, "
         "  lower(rng) AS lo, "
         "  upper(rng) AS hi, "
-        "  isempty(toIntRange('(0,' + toString(i % 10) + ')')) AS isempty_neg"
+        "  isempty(toIntRange('(0,' + toString(i % 10) + ')')) AS isempty_neg, "
+        "  totsvector('w x' + toString(i % 3)) @@ totsquery('x0 | w & x9') AS ts_hit, "
+        "  totsquery('w') & totsquery('x' + toString(i % 5)) AS tsq, "
+        "  round(distance(toPoint([toFloat(i % 10), 0.0]), toPoint('(0,4)')), 4) AS pdist, "
+        "  box_contains(toBox('(2,-1),(8,1)'), toPoint([toFloat(i % 10), 0.0])) AS in_box"
     )
     return out.select(
         F.col("i")["i"].alias("i"),
@@ -441,6 +450,10 @@ def cypher_kit_funcs(spark, sf_dir):
         F.col("lo")["i"].alias("lo"),
         F.col("hi")["i"].alias("hi"),
         F.col("isempty_neg")["b"].alias("isempty_neg"),
+        F.col("ts_hit")["b"].alias("ts_hit"),
+        F.col("tsq")["s"].alias("tsq"),
+        F.col("pdist")["d"].alias("pdist"),
+        F.col("in_box")["b"].alias("in_box"),
     )
 
 

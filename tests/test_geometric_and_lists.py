@@ -74,3 +74,26 @@ def test_to_boolean_list(eng):
     assert one(eng, "RETURN toBooleanList([true, 'false', 'TRUE', 1, 'z'])") == [
         True, False, True, None, None
     ]
+
+
+# ------------------------------------------------------------ multiranges
+
+def test_multirange_casts(eng):
+    """to*multirange (gtype_typecasting.c; old/regress/range.sql:94,168,
+    496): members canonicalize by the single-range rules, then sort and
+    merge (PG multirange canonical form; ISO bound style as in the r5
+    range casts)."""
+    assert one(eng, "RETURN toIntMultirange('{[0, 1]}')") == "{[0,2)}"
+    assert one(eng, "RETURN toNumMultirange('{(0, 1.5)}')") == "{(0,1.5)}"
+    assert one(eng, "RETURN toDateMultirange('{[2000-01-01, 2001-01-01)}')") == \
+        '{["2000-01-01","2001-01-01")}'
+    assert one(eng, "RETURN toTsMultirange('{[2000-01-01 12:00:00, 2000-01-01 16:00:00]}')") == \
+        '{["2000-01-01 12:00:00","2000-01-01 16:00:00"]}'
+    # sort + merge overlapping/adjacent members
+    assert one(eng, "RETURN toIntMultirange('{[7,8), [0,2), [1,5)}')") == "{[0,5),[7,8)}"
+    assert one(eng, "RETURN toNumMultirange('{(0,1], (1,2)}')") == "{(0,2)}"
+    assert one(eng, "RETURN toNumMultirange('{(0,1), (1,2)}')") == "{(0,1),(1,2)}"
+    assert one(eng, "RETURN toIntMultirange('{}')") == "{}"
+    assert one(eng, "RETURN toIntMultirange('{(0,1)}')") == "{}"  # empty member
+    assert one(eng, "RETURN toIntMultirange('junk')") is None
+    assert one(eng, "RETURN '{[0, 1]}'::intmultirange") == "{[0,2)}"
