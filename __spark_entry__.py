@@ -38,7 +38,7 @@ _PRIORITY = [
     "agg_stats", "regr_family",
     "percentile_quantiles", "unwind_word_count", "null_handling",
     # graph pattern operators (hand-planned)
-    "graph_match_2hop", "graph_vle_paths",
+    "graph_match_2hop", "graph_vle_paths", "graph_reach_pairs",
     # the FULL Cypher engine path
     "cypher_match_agg", "cypher_match_where", "cypher_optional_match",
     "cypher_union_labels", "cypher_unwind_collect", "cypher_exists_pattern",
@@ -46,7 +46,7 @@ _PRIORITY = [
     "cypher_named_paths", "cypher_window_topn", "cypher_group_having",
     "cypher_quantified", "cypher_grouping_sets", "cypher_setop_all",
     # multimodal + streaming
-    "multimodal_meta", "multimodal_frame_sample", "multimodal_resize",
+    "multimodal_meta", "multimodal_frame_sample",
     "stream_windowed_counts", "stream_sessionize",
     # function kits
     "vector_distance_funcs", "json_containment_ops",
@@ -65,7 +65,7 @@ _PRIORITY = [
     # (cypher_match_where), quantified rewrite (cypher_quantified),
     # base typecasts (cypher_extended_casts)
     "semi_join_exists", "left_outer_join", "graph_match_1hop",
-    "quantified_all_rewrite", "typecasting_funcs",
+    "quantified_all_rewrite", "typecasting_funcs", "multimodal_resize",
 ]
 
 

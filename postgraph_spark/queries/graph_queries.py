@@ -500,3 +500,47 @@ def cypher_group_having(spark, sf_dir):
         F.col("rev")["d"].alias("rev"),
         F.col("n_big")["i"].alias("n_big"),
     )
+
+
+@register(
+    "graph_reach_pairs",
+    """
+    WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey < 500),
+    o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey),
+    p AS (SELECT o_custkey, count(DISTINCT l_partkey) AS n_parts
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY o_custkey)
+    SELECT c.c_custkey AS custkey,
+           CAST(1 + coalesce(o.n_orders, 0) + coalesce(p.n_parts, 0) AS BIGINT) AS n_reach,
+           CAST(CASE WHEN coalesce(p.n_parts, 0) > 0 THEN 2 ELSE 1 END AS BIGINT) AS deepest
+    FROM c LEFT JOIN o ON o.o_custkey = c.c_custkey
+           LEFT JOIN p ON p.o_custkey = c.c_custkey
+    """,
+)
+def graph_reach_pairs(spark, sf_dir):
+    """Unbounded `-[*]->` reachability from customers via the BFS
+    visited-set mode (operators/vle.py _vle_reachability, round-6): each
+    (start, end) pair is found once at its minimum hop count, state is
+    bounded by pair count, and the loop stops at the graph diameter —
+    never a hop cap, never path enumeration. Reachable set per customer
+    = its nation (hop 1) + its orders (hop 1) + the distinct parts of
+    those orders (hop 2). At 100 TB this is |hops| rounds of equi-join +
+    distinct + anti-join — the standard distributed BFS plan."""
+    from postgraph_spark.graph import graphid_entry_id
+    from postgraph_spark.operators.vle import vle
+
+    g = tpch_graph(spark, sf_dir)
+    starts = (
+        g.vertices_with_label("customer")
+        .filter(graphid_entry_id(F.col("id")) < 500)
+        .select("id")
+    )
+    pairs = vle(g, lo=1, hi=None, reachability=True, start_ids=starts)
+    return (
+        pairs.groupBy("start_id")
+        .agg(F.count(F.lit(1)).alias("n_reach"), F.max("hops").cast("long").alias("deepest"))
+        .select(
+            graphid_entry_id(F.col("start_id")).alias("custkey"),
+            F.col("n_reach"),
+            F.col("deepest"),
+        )
+    )
