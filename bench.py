@@ -64,6 +64,10 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("postgraph_spark_bench")
 
+    # one trivial action so the FIRST row doesn't absorb JVM/session
+    # bring-up (executor threads, first codegen, noop sink registration)
+    spark.range(1).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     build: dict[str, float] = {}
     for name in HEADLINE:

@@ -565,6 +565,23 @@ def ts_match_py(tsv_text: str, node) -> bool:
             return out if keys else None
         if n[0] == "phrase":
             _, l_n, r_n, dist = n
+            l_neg, r_neg = l_n[0] == "not", r_n[0] == "not"
+            if l_neg and r_neg:
+                raise ValueError("phrase with both operands negated")
+            if l_neg:  # !a <-> b: b at p where a is NOT at p-dist
+                lp = positions(l_n[1]) or set()
+                rp = positions(r_n)
+                if rp is None:
+                    return None
+                hits = {p for p in rp if (p - dist) >= 1 and (p - dist) not in lp}
+                return hits or None
+            if r_neg:  # a <-> !b: a at q where b is NOT at q+dist
+                lp = positions(l_n)
+                rp = positions(r_n[1]) or set()
+                if lp is None:
+                    return None
+                hits = {q + dist for q in lp if (q + dist) not in rp}
+                return hits or None
             lp, rp = positions(l_n), positions(r_n)
             if lp is None or rp is None:
                 return None
@@ -913,6 +930,30 @@ def compile_match(entry_map: Column, node) -> Column:
             return val_positions(n)
         if n[0] == "phrase":
             _, l_n, r_n, dist = n
+            l_neg, r_neg = l_n[0] == "not", r_n[0] == "not"
+            if l_neg and r_neg:
+                raise ValueError("phrase with both operands negated")
+            empty = F.array().cast("array<int>")
+            if l_neg:  # !a <-> b
+                lp = F.coalesce(positions(l_n[1]), empty)
+                rp = positions(r_n)
+                return F.when(
+                    rp.isNotNull(),
+                    F.filter(
+                        rp,
+                        lambda p: (p - dist >= 1) & ~F.array_contains(lp, p - dist),
+                    ),
+                )
+            if r_neg:  # a <-> !b
+                lp = positions(l_n)
+                rp = F.coalesce(positions(r_n[1]), empty)
+                return F.when(
+                    lp.isNotNull(),
+                    F.transform(
+                        F.filter(lp, lambda q: ~F.array_contains(rp, q + dist)),
+                        lambda q: q + dist,
+                    ),
+                )
             lp, rp = positions(l_n), positions(r_n)
             return F.when(
                 lp.isNotNull() & rp.isNotNull(),

@@ -174,6 +174,16 @@ def test_match_phrase_positions(eng):
     assert one(eng, f"RETURN {doc} @@ phraseto_tsquery('fat cat')") is True
 
 
+def test_match_phrase_negated(eng):
+    """Negated phrase operands (TS_phrase_execute's NOT special case):
+    `!a <-> b` matches b wherever a is NOT immediately before."""
+    doc = "totsvector('fat:1 cat:2 rat:3')"
+    assert one(eng, f"RETURN {doc} @@ totsquery('!dog <-> cat')") is True
+    assert one(eng, f"RETURN {doc} @@ totsquery('!fat <-> cat')") is False
+    assert one(eng, f"RETURN {doc} @@ totsquery('fat <-> !rat')") is True
+    assert one(eng, f"RETURN {doc} @@ totsquery('cat <-> !rat')") is False
+
+
 def test_match_prefix(eng):
     doc = "totsvector('catalog fattening')"
     assert one(eng, f"RETURN {doc} @@ totsquery('cat:*')") is True
