@@ -204,13 +204,30 @@ class Graph:
         )
         return os.path.join(base, kind)
 
+    @staticmethod
+    def _table_writer(df: DataFrame, schema):
+        """Writer with the btree-index analogs applied (ag_label btree
+        indexes on id, label_commands.c): rows CLUSTERED by graphid
+        within each label partition (tight row-group min/max id stats →
+        a point/range lookup on id prunes row groups, the columnar
+        B-tree) plus a parquet BLOOM FILTER on id for point probes that
+        fall inside a row group's range. Both are scan-side free: no
+        extra files, no shuffle (sortWithinPartitions is partition-local).
+        """
+        return (
+            df.select(*schema.fieldNames())
+            .sortWithinPartitions("id")
+            .write.option("parquet.bloom.filter.enabled#id", "true")
+            .option("parquet.bloom.filter.expected.ndv#id", "10000000")
+        )
+
     def write(self, path: str, mode: str = "overwrite") -> None:
         """Persist partitioned by label → labeled scans prune partitions."""
         os.makedirs(path, exist_ok=True)
-        self.vertices.select(*VERTEX_SCHEMA.fieldNames()).write.mode(mode).partitionBy(
+        self._table_writer(self.vertices, VERTEX_SCHEMA).mode(mode).partitionBy(
             "label"
         ).parquet(os.path.join(path, "vertices"))
-        self.edges.select(*EDGE_SCHEMA.fieldNames()).write.mode(mode).partitionBy(
+        self._table_writer(self.edges, EDGE_SCHEMA).mode(mode).partitionBy(
             "label"
         ).parquet(os.path.join(path, "edges"))
         with open(os.path.join(path, "catalog.json"), "w") as f:
@@ -259,7 +276,7 @@ class Graph:
             ("vertices", self.vertices, VERTEX_SCHEMA),
             ("edges", self.edges, EDGE_SCHEMA),
         ):
-            tbl.select(*schema.fieldNames()).write.mode("overwrite").partitionBy(
+            self._table_writer(tbl, schema).mode("overwrite").partitionBy(
                 "label"
             ).parquet(os.path.join(new_dir, kind))
             # an empty table writes no directory at all — materialize it
@@ -292,7 +309,7 @@ class Graph:
             return
         self._write_catalog()
         schema = VERTEX_SCHEMA if kind == "vertices" else EDGE_SCHEMA
-        new_rows.select(*schema.fieldNames()).write.mode("append").partitionBy(
+        self._table_writer(new_rows, schema).mode("append").partitionBy(
             "label"
         ).parquet(self._table_dir(kind))
 
@@ -315,8 +332,8 @@ class Graph:
             return
         remaining = tbl.filter(F.col("label").isin(labels))
         (
-            remaining.select(*schema.fieldNames())
-            .write.mode("overwrite")
+            self._table_writer(remaining, schema)
+            .mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("label")
             .parquet(sub)

@@ -70,3 +70,37 @@ def stream_sessionize(spark, sf_dir):
         "n_events",
         "session_value",
     )
+
+
+@register(
+    "stream_interval_join",
+    """
+    WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id,
+           round(p.value, 6) AS purchase_value
+    FROM c JOIN p ON p.user_id = c.user_id
+               AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
+)
+def stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join (attribution shape): every click
+    paired with same-user purchases inside the next 10 minutes. The
+    streaming form (streaming/ops.py interval_join) bounds its buffered
+    state by watermark + join horizon; this is the identical batch
+    program pinned to the oracle, and tests/test_streaming.py pins
+    stream == batch."""
+    e = t(spark, sf_dir, "events")
+    out = S.interval_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+    return out.select(
+        F.col("l_id").alias("click_id"),
+        F.col("r_id").alias("purchase_id"),
+        F.col("l_key").alias("user_id"),
+        F.round("r_value", 6).alias("purchase_value"),
+    )

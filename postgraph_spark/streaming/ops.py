@@ -91,6 +91,41 @@ def sliding_user_activity(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    horizon: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream INTERVAL join: pair each left event with the right
+    events of the same key whose timestamp falls in
+    (left.ts, left.ts + horizon]. Both sides carry a watermark and the
+    join condition bounds the event-time range, so Structured Streaming
+    can expire buffered rows once the watermark passes the horizon —
+    bounded state, the canonical attribution-join shape (click ->
+    purchase within N minutes). Works identically on batch DataFrames
+    (the watermark is a no-op there)."""
+    l = left.withWatermark("ts", watermark).select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_id"),
+        F.col("value").alias("l_value"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+        F.col("value").alias("r_value"),
+    )
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}")),
+    )
+
+
 def stream_dedup(events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes") -> DataFrame:
     """Exact streaming dedup on key columns within the watermark horizon.
 

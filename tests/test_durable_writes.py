@@ -133,3 +133,43 @@ def test_session_graphs_stay_in_memory(spark, tmp_path):
     eng.execute("CREATE (a:x {v: 1})")
     assert eng.graph.durable_path is None
     assert eng.fetch_values("MATCH (a:x) RETURN a.v") == [1]
+
+
+def test_durable_tables_are_id_clustered_with_bloom(spark, root):
+    """Index analogs (ag_label btree on id): durable tables are written
+    id-SORTED within each partition — tight, non-overlapping row-group
+    min/max stats make point/range id lookups prunable (the columnar
+    btree). The id bloom filter rides along via the writer options
+    (Graph._table_writer); pyarrow's metadata API doesn't expose its
+    offset, so this test pins the clustering invariant."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(root, exist_ok=True)
+    eng = CypherEngine(spark, GraphCatalog(spark, root=root))
+    eng.execute("CREATE GRAPH idx")
+    eng.execute("USE GRAPH idx")
+    eng.execute("UNWIND range(1, 5000) AS i CREATE (:v {i: i})")
+
+    vdir = _table_dir(os.path.join(root, "idx"), "vertices")
+    files = sorted(glob.glob(os.path.join(vdir, "label=*", "*.parquet")))
+    assert files
+    for f in files:
+        pf = pq.ParquetFile(f)
+        prev_max = None
+        for rg in range(pf.metadata.num_row_groups):
+            col = next(
+                pf.metadata.row_group(rg).column(i)
+                for i in range(pf.metadata.row_group(rg).num_columns)
+                if pf.metadata.row_group(rg).column(i).path_in_schema == "id"
+            )
+            st = col.statistics
+            assert st.min <= st.max
+            if prev_max is not None:
+                assert st.min >= prev_max, "row groups must be id-ordered"
+            prev_max = st.max
+        # within-file ordering: ids ascending (clustered)
+        ids = pq.read_table(f, columns=["id"])["id"].to_pylist()
+        assert ids == sorted(ids)

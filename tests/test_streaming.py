@@ -90,3 +90,21 @@ def test_running_user_stats_stateful(spark, event_dir):
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
     )
     assert rows_sorted(final) == rows_sorted(batch)
+
+
+def test_interval_join_stream_equals_batch(spark, event_dir):
+    """Stream-stream interval join (watermark-bounded buffer): the
+    streaming result equals the identical batch join."""
+    stream = S.read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    clicks = stream.filter(F.col("event_type") == "click")
+    buys = stream.filter(F.col("event_type") == "purchase")
+    S.run_to_memory(S.interval_join(clicks, buys), "ij_out", output_mode="append")
+    got = rows_sorted(spark.table("ij_out"))
+    batch = load_table(spark, "events", SF_DIR)
+    want = rows_sorted(
+        S.interval_join(
+            batch.filter(F.col("event_type") == "click"),
+            batch.filter(F.col("event_type") == "purchase"),
+        )
+    )
+    assert got == want and len(want) > 0
