@@ -222,7 +222,14 @@ class Graph:
         )
 
     def write(self, path: str, mode: str = "overwrite") -> None:
-        """Persist partitioned by label → labeled scans prune partitions."""
+        """Export a flat-layout copy (tables directly under `path`),
+        partitioned by label → labeled scans prune partitions. NOT the
+        durable-commit path — that is persist()/persist_append with the
+        snap-N pointer scheme; exporting onto the live durable path
+        would write a snapshot-less catalog.json beside snapshot tables
+        and orphan them, so it is refused."""
+        if self.durable_path and os.path.abspath(path) == os.path.abspath(self.durable_path):
+            raise ValueError("use persist() for the durable path, write() only exports")
         os.makedirs(path, exist_ok=True)
         self._table_writer(self.vertices, VERTEX_SCHEMA).mode(mode).partitionBy(
             "label"
