@@ -46,7 +46,7 @@ _PRIORITY = [
     "cypher_named_paths", "cypher_window_topn", "cypher_group_having",
     "cypher_quantified", "cypher_grouping_sets", "cypher_setop_all",
     # multimodal + streaming
-    "multimodal_meta", "multimodal_frame_sample",
+    "multimodal_meta",
     "stream_windowed_counts", "stream_sessionize",
     # function kits
     "vector_distance_funcs", "json_containment_ops",
@@ -55,6 +55,7 @@ _PRIORITY = [
     "cypher_kit_funcs",
     # LLM-pipeline operators — all 13 inside the driver's 50-row prefix
     "dedup_exact_groups", "minhash_signatures", "dedup_minhash_lsh_pairs",
+    "dedup_clusters",
     "dedup_jaccard_pairs", "simhash_fingerprints", "text_stats",
     "lang_id_heuristic", "sim_topk_cosine", "sim_topk_ivf",
     "embed_neardup_pairs", "embed_neardup_lsh", "rolling_hash_fingerprint",
@@ -66,6 +67,7 @@ _PRIORITY = [
     # base typecasts (cypher_extended_casts)
     "semi_join_exists", "left_outer_join", "graph_match_1hop",
     "quantified_all_rewrite", "typecasting_funcs", "multimodal_resize",
+    "multimodal_frame_sample",
 ]
 
 

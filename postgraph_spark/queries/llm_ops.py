@@ -102,6 +102,46 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
 
 
 @register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLES},
+    hs AS (SELECT doc_id, g.h AS h,
+                  substr(md5(CAST(g.h AS VARCHAR) || shingle), 1, 8) AS hv
+           FROM sh CROSS JOIN generate_series(0, 7) AS g(h)),
+    sig AS (SELECT doc_id, h, min(hv) AS minhash FROM hs GROUP BY doc_id, h),
+    bands AS (SELECT doc_id, h // 2 AS band,
+                     md5(array_to_string(list_sort(list(CAST(h AS VARCHAR) || ':' || minhash)), '|')) AS bucket
+              FROM sig GROUP BY doc_id, h // 2),
+    pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+              WHERE x.doc_id < y.doc_id),
+    edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+    reach AS (
+        SELECT u AS v, u AS r FROM edges
+        UNION
+        SELECT e.v, r.r FROM reach r JOIN edges e ON e.u = r.v
+    ),
+    comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+    szs AS (SELECT cluster_id, count(*) AS csize FROM comp GROUP BY cluster_id)
+    SELECT c.doc_id, c.cluster_id, s.csize, c.doc_id = c.cluster_id AS is_keep
+    FROM comp c JOIN szs s USING (cluster_id)
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: MinHash-LSH candidate pairs -> distributed
+    connected components (min-label propagation + pointer jumping,
+    operators/cc.py) -> one row per member with the canonical keep id
+    and cluster size. The oracle computes the identical components with
+    a recursive transitive-closure CTE over the same md5 pair list."""
+    from postgraph_spark.operators import cc as CC
+
+    pairs = DD.lsh_candidate_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, bands=4, k=3
+    )
+    return CC.dup_clusters(pairs, "a", "b")
+
+
+@register(
     "dedup_jaccard_pairs",
     f"""
     WITH {_SHINGLES},
