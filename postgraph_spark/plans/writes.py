@@ -85,6 +85,39 @@ def _json_merge(props: Column, delta_json: Column) -> Column:
     return F.to_json(appended)
 
 
+def with_rowid(df: DataFrame) -> tuple[DataFrame, int]:
+    """0..n-1 row ids WITHOUT a global single-partition window: one
+    count-per-partition job computes offsets, then ids are
+    per-partition `offset + local row_number` — a CREATE or bulk load
+    fed by a huge scan keeps all partitions working. Returns
+    (df, n_rows); the count job replaces the df.count() the id
+    sequences needed anyway (label_commands.c:563-583 sequence
+    reservation). Shared by WriteRunner (CREATE/MERGE) and the bulk
+    loader (sources/loader.py)."""
+    if "__rn" in df.columns:
+        df = df.drop("__rn")
+    df = df.withColumn("__pid", F.spark_partition_id())
+    counts = {r["__pid"]: r["count"] for r in df.groupBy("__pid").count().collect()}
+    off, acc = {}, 0
+    for pid in sorted(counts):
+        off[pid] = acc
+        acc += counts[pid]
+    if off:
+        mapping = F.create_map(*[F.lit(x) for kv in sorted(off.items()) for x in kv])
+        base = mapping[F.col("__pid")]
+        # if the plan re-executes with different partitioning (AQE
+        # coalescing, nondeterministic upstream), a pid missing from
+        # the map must FAIL the statement, not commit null ids:
+        # assert_true returns NULL when the check passes, raises when
+        # it does not, so the coalesce is a pass-through guard
+        base = F.coalesce(F.assert_true(base.isNotNull()).cast("long"), base)
+    else:  # zero input rows: type-stable placeholder, no rows to number
+        base = F.lit(0)
+    w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
+    df = df.withColumn("__rn", base + F.row_number().over(w) - 1).drop("__pid")
+    return df, acc
+
+
 def is_write_clause(c) -> bool:
     return isinstance(c, (A.CreateClause, A.SetClause, A.DeleteClause, A.MergeClause))
 
@@ -132,36 +165,9 @@ class WriteRunner:
         return self.graph.alloc_entry_ids(label, n)
 
     def _with_rowid(self, df: DataFrame | None) -> tuple[DataFrame, int]:
-        """0..n-1 row ids WITHOUT a global single-partition window: one
-        count-per-partition job computes offsets, then ids are
-        per-partition `offset + local row_number` — a CREATE fed by a
-        huge MATCH keeps all partitions working. Returns (df, n_rows);
-        the count job replaces the df.count() the id sequences needed
-        anyway (label_commands.c:563-583 sequence reservation)."""
         if df is None:
             df = self.spark.range(1).select(F.lit(1).alias("__one"))
-        if "__rn" in df.columns:
-            df = df.drop("__rn")
-        df = df.withColumn("__pid", F.spark_partition_id())
-        counts = {r["__pid"]: r["count"] for r in df.groupBy("__pid").count().collect()}
-        off, acc = {}, 0
-        for pid in sorted(counts):
-            off[pid] = acc
-            acc += counts[pid]
-        if off:
-            mapping = F.create_map(*[F.lit(x) for kv in sorted(off.items()) for x in kv])
-            base = mapping[F.col("__pid")]
-            # if the plan re-executes with different partitioning (AQE
-            # coalescing, nondeterministic upstream), a pid missing from
-            # the map must FAIL the statement, not commit null ids:
-            # assert_true returns NULL when the check passes, raises when
-            # it does not, so the coalesce is a pass-through guard
-            base = F.coalesce(F.assert_true(base.isNotNull()).cast("long"), base)
-        else:  # zero input rows: type-stable placeholder, no rows to number
-            base = F.lit(0)
-        w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
-        df = df.withColumn("__rn", base + F.row_number().over(w) - 1).drop("__pid")
-        return df, acc
+        return with_rowid(df)
 
     def _props_json_col(self, props: A.MapLit | None, df, scope) -> Column:
         if props is None or not props.items:
