@@ -51,8 +51,8 @@ _PRIORITY = [
     # function kits
     "vector_distance_funcs", "json_containment_ops",
     "tsearch_match", "range_ops",
-    "network_funcs", "date_bin_events", "cypher_extended_casts",
-    "cypher_kit_funcs",
+    "network_funcs", "cypher_extended_casts",
+    "cypher_kit_funcs", "geometric_kit_full",
     # LLM-pipeline operators — all 13 inside the driver's 50-row prefix
     "dedup_exact_groups", "minhash_signatures", "dedup_minhash_lsh_pairs",
     "dedup_clusters",
@@ -67,7 +67,7 @@ _PRIORITY = [
     # base typecasts (cypher_extended_casts)
     "semi_join_exists", "left_outer_join", "graph_match_1hop",
     "quantified_all_rewrite", "typecasting_funcs", "multimodal_resize",
-    "multimodal_frame_sample",
+    "multimodal_frame_sample", "date_bin_events",
 ]
 
 

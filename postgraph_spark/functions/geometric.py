@@ -35,48 +35,122 @@ _PT = rf"\(\s*({_NUM})\s*,\s*({_NUM})\s*\)"
 
 
 def _num_txt(d: Column) -> Column:
-    """double -> PG float8-ish display (integral values without '.0')."""
-    as_long = d.cast("long")
-    return F.when(
-        as_long.cast("double") == d, as_long.cast("string")
-    ).otherwise(d.cast("string"))
+    """double -> PG float8-ish display (integral values without '.0').
+    The input is `_bind`-bound: every text builder references its args
+    3-4x, and those factors COMPOUND through the layered builders
+    (point -> box -> branch select), blowing the logical plan up
+    multiplicatively without the binds (a center() call over a cast
+    input analyzed to a 42 MB plan before this treatment)."""
+    return _bind(
+        lambda r: F.when(
+            r["d"].cast("long").cast("double") == r["d"],
+            r["d"].cast("long").cast("string"),
+        ).otherwise(r["d"].cast("string")),
+        d=d,
+    )
+
+
+def _rex_d(s: Column, pat: str, i: int) -> Column:
+    """regexp group i of s as a nullable double ('' -> null), with the
+    extract bound once (the ''-guard would otherwise copy s twice)."""
+    return _bind(
+        lambda r: F.when(r["n"] != "", r["n"]).try_cast("double"),
+        n=F.regexp_extract(s, pat, i),
+    )
 
 
 def _pt_xy(s: Column) -> tuple[Column, Column]:
     """point text (with or without parens) -> (x, y) doubles (null when
     malformed — errors become gtype nulls, the engine's convention)."""
     pat = rf"^\s*\(?\s*({_NUM})\s*,\s*({_NUM})\s*\)?\s*$"
-    x = F.regexp_extract(s, pat, 1)
-    y = F.regexp_extract(s, pat, 2)
-    return (
-        F.when(x != "", x).try_cast("double"),
-        F.when(y != "", y).try_cast("double"),
-    )
+    return _rex_d(s, pat, 1), _rex_d(s, pat, 2)
 
 
 def _point_txt(x: Column, y: Column) -> Column:
-    ok = x.isNotNull() & y.isNotNull()
-    return F.when(ok, F.concat(F.lit("("), _num_txt(x), F.lit(","), _num_txt(y), F.lit(")")))
+    return _bind(
+        lambda r: F.when(
+            r["x"].isNotNull() & r["y"].isNotNull(),
+            F.concat(
+                F.lit("("), _num_txt(r["x"]), F.lit(","), _num_txt(r["y"]), F.lit(")")
+            ),
+        ),
+        x=x,
+        y=y,
+    )
 
 
 def _box_corners(s: Column) -> tuple[Column, Column, Column, Column]:
     """box text -> (hx, hy, lx, ly): two corner points in any order /
     paren style; canonicalized to upper-right, lower-left (box_in)."""
     pat = rf"^\s*\(?\s*{_PT}\s*,\s*{_PT}\s*\)?\s*$"
-    nums = [F.regexp_extract(s, pat, i) for i in (1, 2, 3, 4)]
-    x1, y1, x2, y2 = [F.when(n != "", n).try_cast("double") for n in nums]
+    x1, y1, x2, y2 = [_rex_d(s, pat, i) for i in (1, 2, 3, 4)]
     return (
         F.greatest(x1, x2), F.greatest(y1, y2), F.least(x1, x2), F.least(y1, y2)
     )
 
 
 def _box_txt(hx: Column, hy: Column, lx: Column, ly: Column) -> Column:
-    ok = hx.isNotNull() & hy.isNotNull() & lx.isNotNull() & ly.isNotNull()
-    return F.when(ok, F.concat(_point_txt(hx, hy), F.lit(","), _point_txt(lx, ly)))
+    return _bind(
+        lambda r: F.when(
+            r["hx"].isNotNull() & r["hy"].isNotNull()
+            & r["lx"].isNotNull() & r["ly"].isNotNull(),
+            F.concat(
+                _point_txt(r["hx"], r["hy"]), F.lit(","), _point_txt(r["lx"], r["ly"])
+            ),
+        ),
+        hx=hx, hy=hy, lx=lx, ly=ly,
+    )
 
 
 def _str_in(gv: Column) -> Column:
     return F.when(gv["t"] == G.T_STRING, gv["s"])
+
+
+def _bind(f, **cols) -> Column:
+    """Let-binding for single-Column builders: pack the named values
+    into a one-element array of struct and evaluate ``f`` on the lambda
+    variable, so N references to a bound value cost N lambda-var nodes
+    instead of N copies of its whole Catalyst tree. Without this the
+    multi-branch geometric functions build EXPONENTIAL trees (each
+    candidate/branch re-references parsed endpoints which re-reference
+    the input text tree) — binding keeps construction and analysis
+    linear while staying 100% JVM expressions (same device as the
+    compiler's ``_maybe_let``, but usable without a DataFrame)."""
+    s = F.struct(*[c.alias(k) for k, c in cols.items()])
+    return F.element_at(F.transform(F.array(s), f), 1)
+
+
+def _argmin_pt(cands: list[tuple[Column, Column, Column]]) -> tuple[Column, Column]:
+    """(x, y, d) candidates -> (x, y) of the first strict minimum by d
+    (ties keep the earlier candidate, matching the reference's
+    candidate-order tie behavior; null-d candidates never win). The
+    candidates enter ONE array literal and a linear fold picks the
+    best — tree size O(sum of candidate trees), not O(2^n)."""
+    arr = F.array(
+        *[
+            c
+            if isinstance(c, Column)
+            else F.struct(
+                c[0].cast("double").alias("x"),
+                c[1].cast("double").alias("y"),
+                c[2].cast("double").alias("d"),
+            )
+            for c in cands
+        ]
+    )
+    init = F.struct(
+        F.lit(None).cast("double").alias("x"),
+        F.lit(None).cast("double").alias("y"),
+        F.lit(float("inf")).cast("double").alias("d"),
+    )
+    best = F.aggregate(
+        arr, init, lambda acc, e: F.when(e["d"] < acc["d"], e).otherwise(acc)
+    )
+    # render through a bind so the fold tree appears ONCE in the plan
+    # (GetStructField twice would unfold it twice); null x marks no win
+    return _bind(
+        lambda r: F.struct(r["b"]["x"].alias("x"), r["b"]["y"].alias("y")), b=best
+    )
 
 
 # ------------------------------------------------------------------ casts
@@ -186,16 +260,20 @@ def _pts_list(s: Column) -> Column:
 def _seg_ends(s: Column) -> tuple[Column, Column, Column, Column]:
     """lseg text ('[(..),(..)]' or bare corner pair) -> x1,y1,x2,y2."""
     pat = rf"^\s*\[?\s*{_PT}\s*,\s*{_PT}\s*\]?\s*$"
-    nums = [F.regexp_extract(s, pat, i) for i in (1, 2, 3, 4)]
-    x1, y1, x2, y2 = [F.when(n != "", n).try_cast("double") for n in nums]
-    return x1, y1, x2, y2
+    return tuple(_rex_d(s, pat, i) for i in (1, 2, 3, 4))
 
 
 def _seg_txt(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
-    ok = x1.isNotNull() & y1.isNotNull() & x2.isNotNull() & y2.isNotNull()
-    return F.when(
-        ok,
-        F.concat(F.lit("["), _point_txt(x1, y1), F.lit(","), _point_txt(x2, y2), F.lit("]")),
+    return _bind(
+        lambda r: F.when(
+            r["x1"].isNotNull() & r["y1"].isNotNull()
+            & r["x2"].isNotNull() & r["y2"].isNotNull(),
+            F.concat(
+                F.lit("["), _point_txt(r["x1"], r["y1"]), F.lit(","),
+                _point_txt(r["x2"], r["y2"]), F.lit("]"),
+            ),
+        ),
+        x1=x1, y1=y1, x2=x2, y2=y2,
     )
 
 
@@ -204,45 +282,58 @@ def _line_abc(s: Column) -> tuple[Column, Column, Column]:
     two-point form; two points follow PG line_construct: vertical
     {-1,0,x}, otherwise slope form {m,-1,b}."""
     pat = rf"^\s*\{{\s*({_NUM})\s*,\s*({_NUM})\s*,\s*({_NUM})\s*\}}\s*$"
-    nums = [F.regexp_extract(s, pat, i) for i in (1, 2, 3)]
-    a0, b0, c0 = [F.when(n != "", n).try_cast("double") for n in nums]
+    a0, b0, c0 = [_rex_d(s, pat, i) for i in (1, 2, 3)]
     x1, y1, x2, y2 = _seg_ends(s)
-    vert = x2 == x1
-    m = (y2 - y1) / (x2 - x1)
-    a1 = F.when(vert, F.lit(-1.0)).otherwise(m)
-    b1 = F.when(vert, F.lit(0.0)).otherwise(F.lit(-1.0))
-    c1 = F.when(vert, x1).otherwise(y1 - m * x1)
-    ok_pts = x1.isNotNull() & y2.isNotNull()
+
+    def two_pt(r, which):
+        x1, y1, x2, y2 = r["x1"], r["y1"], r["x2"], r["y2"]
+        vert = x2 == x1
+        m = (y2 - y1) / (x2 - x1)
+        ok_pts = x1.isNotNull() & y2.isNotNull()
+        val = {
+            "a": F.when(vert, F.lit(-1.0)).otherwise(m),
+            "b": F.when(vert, F.lit(0.0)).otherwise(F.lit(-1.0)),
+            "c": F.when(vert, x1).otherwise(y1 - m * x1),
+        }[which]
+        return F.when(ok_pts, val)
+
     return (
-        F.coalesce(a0, F.when(ok_pts, a1)),
-        F.coalesce(b0, F.when(ok_pts, b1)),
-        F.coalesce(c0, F.when(ok_pts, c1)),
+        F.coalesce(a0, _bind(lambda r: two_pt(r, "a"), x1=x1, y1=y1, x2=x2, y2=y2)),
+        F.coalesce(b0, _bind(lambda r: two_pt(r, "b"), x1=x1, y1=y1, x2=x2, y2=y2)),
+        F.coalesce(c0, _bind(lambda r: two_pt(r, "c"), x1=x1, y1=y1, x2=x2, y2=y2)),
     )
 
 
 def _line_txt(a: Column, b: Column, c: Column) -> Column:
-    ok = a.isNotNull() & b.isNotNull() & c.isNotNull()
-    return F.when(
-        ok,
-        F.concat(
-            F.lit("{"), _num_txt(a), F.lit(","), _num_txt(b), F.lit(","),
-            _num_txt(c), F.lit("}"),
+    return _bind(
+        lambda r: F.when(
+            r["a"].isNotNull() & r["b"].isNotNull() & r["c"].isNotNull(),
+            F.concat(
+                F.lit("{"), _num_txt(r["a"]), F.lit(","), _num_txt(r["b"]),
+                F.lit(","), _num_txt(r["c"]), F.lit("}"),
+            ),
         ),
+        a=a, b=b, c=c,
     )
 
 
 def _circle_cr(s: Column) -> tuple[Column, Column, Column]:
     """circle text '<(x,y),r>' / '((x,y),r)' / '(x,y),r' -> (cx,cy,r)."""
     pat = rf"^\s*[<(]?\s*{_PT}\s*,\s*({_NUM})\s*[>)]?\s*$"
-    nums = [F.regexp_extract(s, pat, i) for i in (1, 2, 3)]
-    cx, cy, r = [F.when(n != "", n).try_cast("double") for n in nums]
-    return cx, cy, F.when(r >= 0, r)
+    cx, cy, r = [_rex_d(s, pat, i) for i in (1, 2, 3)]
+    return cx, cy, _bind(lambda t: F.when(t["r"] >= 0, t["r"]), r=r)
 
 
 def _circle_txt(cx: Column, cy: Column, r: Column) -> Column:
-    ok = cx.isNotNull() & cy.isNotNull() & r.isNotNull()
-    return F.when(
-        ok, F.concat(F.lit("<"), _point_txt(cx, cy), F.lit(","), _num_txt(r), F.lit(">"))
+    return _bind(
+        lambda t: F.when(
+            t["cx"].isNotNull() & t["cy"].isNotNull() & t["r"].isNotNull(),
+            F.concat(
+                F.lit("<"), _point_txt(t["cx"], t["cy"]), F.lit(","),
+                _num_txt(t["r"]), F.lit(">"),
+            ),
+        ),
+        cx=cx, cy=cy, r=r,
     )
 
 
@@ -340,91 +431,123 @@ def _box_edges(hx, hy, lx, ly) -> list[tuple[Column, Column, Column, Column]]:
 
 def geo_intersection_point(a: Column, b: Column) -> Column:
     """intersection_point `#` (gtype_intersection_point): lseg # lseg ->
-    point, line # line -> point, box # box -> intersection box."""
-    sa, sb = _str_in(a), _str_in(b)
-    shp_a, shp_b = _shape(sa), _shape(sb)
+    point, line # line -> point, box # box -> intersection box.
 
-    # lseg # lseg
-    ax1, ay1, ax2, ay2 = _seg_ends(sa)
-    bx1, by1, bx2, by2 = _seg_ends(sb)
-    ix, iy = _seg_interpt(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)
-    seg_case = _point_txt(ix, iy)
+    The input texts and every parsed scalar are `_bind`-bound once —
+    the three branches reference them dozens of times and unbound
+    trees go exponential at Column-construction time."""
 
-    # line # line: solve A1x+B1y+C1=0 / A2x+B2y+C2=0
-    a1, b1, c1 = _line_abc(sa)
-    a2, b2, c2 = _line_abc(sb)
-    lden = a1 * b2 - a2 * b1
-    lx_ = F.when(lden != 0, (b1 * c2 - b2 * c1) / lden)
-    ly_ = F.when(lden != 0, (a2 * c1 - a1 * c2) / lden)
-    line_case = _point_txt(lx_, ly_)
+    def with_parsed(r):
+        sa, sb = r["sa"], r["sb"]
+        ax1, ay1, ax2, ay2 = _seg_ends(sa)
+        bx1, by1, bx2, by2 = _seg_ends(sb)
+        a1, b1, c1 = _line_abc(sa)
+        a2, b2, c2 = _line_abc(sb)
+        ahx, ahy, alx, aly = _box_corners(sa)
+        bhx, bhy, blx, bly = _box_corners(sb)
+        return _bind(
+            body,
+            shp_a=_shape(sa), shp_b=_shape(sb),
+            ax1=ax1, ay1=ay1, ax2=ax2, ay2=ay2,
+            bx1=bx1, by1=by1, bx2=bx2, by2=by2,
+            a1=a1, b1=b1, c1=c1, a2=a2, b2=b2, c2=c2,
+            ahx=ahx, ahy=ahy, alx=alx, aly=aly,
+            bhx=bhx, bhy=bhy, blx=blx, bly=bly,
+        )
 
-    # box # box: overlap rectangle
-    ahx, ahy, alx, aly = _box_corners(sa)
-    bhx, bhy, blx, bly = _box_corners(sb)
-    nhx, nhy = F.least(ahx, bhx), F.least(ahy, bhy)
-    nlx, nly = F.greatest(alx, blx), F.greatest(aly, bly)
-    box_case = F.when((nhx >= nlx) & (nhy >= nly), _box_txt(nhx, nhy, nlx, nly))
+    def body(r):
+        # lseg # lseg
+        ix, iy = _seg_interpt(
+            r["ax1"], r["ay1"], r["ax2"], r["ay2"],
+            r["bx1"], r["by1"], r["bx2"], r["by2"],
+        )
+        seg_case = _point_txt(ix, iy)
 
-    return G.gv_str(
-        F.when((shp_a == "[") & (shp_b == "["), seg_case)
-        .when((shp_a == "{") & (shp_b == "{"), line_case)
-        .when(ahx.isNotNull() & bhx.isNotNull(), box_case)
-    )
+        # line # line: solve A1x+B1y+C1=0 / A2x+B2y+C2=0
+        a1, b1, c1 = r["a1"], r["b1"], r["c1"]
+        a2, b2, c2 = r["a2"], r["b2"], r["c2"]
+        lden = a1 * b2 - a2 * b1
+        lx_ = F.when(lden != 0, (b1 * c2 - b2 * c1) / lden)
+        ly_ = F.when(lden != 0, (a2 * c1 - a1 * c2) / lden)
+        line_case = _point_txt(lx_, ly_)
+
+        # box # box: overlap rectangle
+        nhx, nhy = F.least(r["ahx"], r["bhx"]), F.least(r["ahy"], r["bhy"])
+        nlx, nly = F.greatest(r["alx"], r["blx"]), F.greatest(r["aly"], r["bly"])
+        box_case = F.when((nhx >= nlx) & (nhy >= nly), _box_txt(nhx, nhy, nlx, nly))
+
+        return (
+            F.when((r["shp_a"] == "[") & (r["shp_b"] == "["), seg_case)
+            .when((r["shp_a"] == "{") & (r["shp_b"] == "{"), line_case)
+            .when(r["ahx"].isNotNull() & r["bhx"].isNotNull(), box_case)
+        )
+
+    return G.gv_str(_bind(with_parsed, sa=_str_in(a), sb=_str_in(b)))
 
 
-def _closest_pt_cases(sa: Column, sb: Column) -> Column:
-    """closest_point dispatch body: the point ON b nearest to a, per
-    the reference's six close_* branches."""
-    shp_a, shp_b = _shape(sa), _shape(sb)
-    pax, pay = _pt_xy(sa)
+def _closest_pt_cases(r) -> Column:
+    """closest_point dispatch body over `_bind`-bound parsed scalars:
+    the point ON b nearest to a, per the reference's six close_*
+    branches. Candidate minimization folds over ONE array
+    (`_argmin_pt`) — the former chained-`when` loops doubled the tree
+    per candidate (2^16 nodes for lseg##box) and hung construction."""
+    pax, pay = r["pax"], r["pay"]
+    bx1, by1, bx2, by2 = r["bx1"], r["by1"], r["bx2"], r["by2"]
+    ax1, ay1, ax2, ay2 = r["ax1"], r["ay1"], r["ax2"], r["ay2"]
+    bhx, bhy, blx, bly = r["bhx"], r["bhy"], r["blx"], r["bly"]
     is_pt_a = pax.isNotNull()
 
     # --- point ## lseg (close_ps)
-    bx1, by1, bx2, by2 = _seg_ends(sb)
     ps_x, ps_y = _closest_on_seg(pax, pay, bx1, by1, bx2, by2)
 
     # --- point ## line (close_pl): perpendicular foot
-    la, lb, lc = _line_abc(sb)
+    la, lb, lc = r["la"], r["lb"], r["lc"]
     nden = la * la + lb * lb
     k = (la * pax + lb * pay + lc) / nden
     pl_x, pl_y = pax - la * k, pay - lb * k
 
     # --- point ## box (close_pb): clamp into the box
-    bhx, bhy, blx, bly = _box_corners(sb)
     pb_x = F.greatest(blx, F.least(bhx, pax))
     pb_y = F.greatest(bly, F.least(bhy, pay))
 
-    # --- lseg ## lseg (close_lseg): candidates on b = projections of
-    # a's endpoints, b's endpoints, and the proper intersection; pick
-    # the first strictly-minimal by distance to a (candidate order
-    # breaks ties the way the regress expects).
-    ax1, ay1, ax2, ay2 = _seg_ends(sa)
+    # --- lseg ## lseg (close_lseg): candidates on b = the proper
+    # intersection (distance 0, listed first so it wins), projections
+    # of a's endpoints, and b's endpoints; first strict minimum by
+    # distance to a (candidate order breaks ties the way the regress
+    # expects).
+    def cand(qx, qy):
+        # bind the candidate point so its (possibly deep) coordinate
+        # trees appear once even though the distance term reads each
+        # several times
+        return _bind(
+            lambda c: F.struct(
+                c["x"].cast("double").alias("x"),
+                c["y"].cast("double").alias("y"),
+                _dist_pt_seg(c["x"], c["y"], ax1, ay1, ax2, ay2)
+                .cast("double")
+                .alias("d"),
+            ),
+            x=qx,
+            y=qy,
+        )
+
     ix, iy = _seg_interpt(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)
     c1 = _closest_on_seg(ax1, ay1, bx1, by1, bx2, by2)
     c2 = _closest_on_seg(ax2, ay2, bx1, by1, bx2, by2)
-    cands = [c1, c2, (bx1, by1), (bx2, by2)]
-    best_x, best_y, best_d = None, None, None
-    for qx, qy in cands:
-        d = _dist_pt_seg(qx, qy, ax1, ay1, ax2, ay2)
-        if best_d is None:
-            best_x, best_y, best_d = qx, qy, d
-        else:
-            better = d < best_d
-            best_x = F.when(better, qx).otherwise(best_x)
-            best_y = F.when(better, qy).otherwise(best_y)
-            best_d = F.when(better, d).otherwise(best_d)
-    ll_x = F.coalesce(ix, best_x)
-    ll_y = F.coalesce(iy, best_y)
+    ll_cands = [(ix, iy, F.when(ix.isNotNull(), F.lit(-1.0)))] + [
+        cand(qx, qy)
+        for qx, qy in (c1, c2, (bx1, by1), (bx2, by2))
+    ]
+    ll_xy = _argmin_pt(ll_cands)
 
     # --- line ## lseg (close_ls): distance to a line is linear along
     # the segment -> an endpoint, or the crossing point.
-    a_l, b_l, c_l = _line_abc(sa)
-    nden_a = F.sqrt(a_l * a_l + b_l * b_l)
-    db1 = F.abs(a_l * bx1 + b_l * by1 + c_l) / nden_a
-    db2 = F.abs(a_l * bx2 + b_l * by2 + c_l) / nden_a
+    nden_a = F.sqrt(la * la + lb * lb)
+    db1 = F.abs(la * bx1 + lb * by1 + lc) / nden_a
+    db2 = F.abs(la * bx2 + lb * by2 + lc) / nden_a
     # crossing: sign change of the line form along the segment
-    s1 = a_l * bx1 + b_l * by1 + c_l
-    s2 = a_l * bx2 + b_l * by2 + c_l
+    s1 = la * bx1 + lb * by1 + lc
+    s2 = la * bx2 + lb * by2 + lc
     tc = s1 / (s1 - s2)
     crosses = (s1 * s2 <= 0) & (s1 != s2)
     cx_ = F.when(crosses, bx1 + tc * (bx2 - bx1))
@@ -433,75 +556,104 @@ def _closest_pt_cases(sa: Column, sb: Column) -> Column:
     ls_y = F.coalesce(cy_, F.when(db1 <= db2, by1).otherwise(by2))
 
     # --- lseg ## box (close_sb): min over b's four edges of the
-    # closest point on that edge to segment a (same candidate scheme).
-    sb_best = None
+    # closest point on that edge to segment a (same candidate scheme,
+    # one 16-candidate fold).
+    sb_cands = []
     for ex1, ey1, ex2, ey2 in _box_edges(bhx, bhy, blx, bly):
         eix, eiy = _seg_interpt(ax1, ay1, ax2, ay2, ex1, ey1, ex2, ey2)
         e1 = _closest_on_seg(ax1, ay1, ex1, ey1, ex2, ey2)
         e2 = _closest_on_seg(ax2, ay2, ex1, ey1, ex2, ey2)
         for qx, qy in ((F.coalesce(eix, e1[0]), F.coalesce(eiy, e1[1])),
                        e2, (ex1, ey1), (ex2, ey2)):
-            d = _dist_pt_seg(qx, qy, ax1, ay1, ax2, ay2)
-            if sb_best is None:
-                sb_best = (qx, qy, d)
-            else:
-                better = d < sb_best[2]
-                sb_best = (
-                    F.when(better, qx).otherwise(sb_best[0]),
-                    F.when(better, qy).otherwise(sb_best[1]),
-                    F.when(better, d).otherwise(sb_best[2]),
-                )
-    sb_x, sb_y, _ = sb_best
+            sb_cands.append(cand(qx, qy))
+    sb_xy = _argmin_pt(sb_cands)
 
+    shp_a, shp_b = r["shp_a"], r["shp_b"]
     is_seg_a = shp_a == "["
     is_line_a = shp_a == "{"
     is_seg_b = shp_b == "["
     is_line_b = shp_b == "{"
     is_box_b = bhx.isNotNull() & ~is_seg_b & ~is_line_b
 
-    return (
-        F.when(is_pt_a & is_seg_b, _point_txt(ps_x, ps_y))
-        .when(is_pt_a & is_line_b, _point_txt(pl_x, pl_y))
-        .when(is_pt_a & is_box_b, _point_txt(pb_x, pb_y))
-        .when(is_seg_a & is_seg_b, _point_txt(ll_x, ll_y))
-        .when(is_line_a & is_seg_b, _point_txt(ls_x, ls_y))
-        .when(is_seg_a & is_box_b, _point_txt(sb_x, sb_y))
+    # select the branch coordinates as ONE struct, then render the text
+    # from lambda-var fields — `_point_txt` references each coordinate
+    # 4x, which would unfold the big argmin/aggregate trees 8x into the
+    # logical plan if applied per branch
+    def xy(x, y):
+        return F.struct(x.cast("double").alias("x"), y.cast("double").alias("y"))
+
+    sel = (
+        F.when(is_pt_a & is_seg_b, xy(ps_x, ps_y))
+        .when(is_pt_a & is_line_b, xy(pl_x, pl_y))
+        .when(is_pt_a & is_box_b, xy(pb_x, pb_y))
+        .when(is_seg_a & is_seg_b, ll_xy)
+        .when(is_line_a & is_seg_b, xy(ls_x, ls_y))
+        .when(is_seg_a & is_box_b, sb_xy)
     )
+    return _bind(lambda r2: _point_txt(r2["p"]["x"], r2["p"]["y"]), p=sel)
 
 
 def geo_closest_point(a: Column, b: Column) -> Column:
     """closest_point `##` (gtype_closest_point): the point on b nearest
     to a — point##{lseg,line,box}, lseg##{lseg,box}, line##lseg."""
-    return G.gv_str(_closest_pt_cases(_str_in(a), _str_in(b)))
+
+    def with_parsed(t):
+        sa, sb = t["sa"], t["sb"]
+        pax, pay = _pt_xy(sa)
+        ax1, ay1, ax2, ay2 = _seg_ends(sa)
+        bx1, by1, bx2, by2 = _seg_ends(sb)
+        bhx, bhy, blx, bly = _box_corners(sb)
+        # the two line-involving branches are disjoint: point##line
+        # reads the line from b, line##lseg reads it from a — bind the
+        # abc of whichever operand IS the line
+        is_line_a = _shape(sa) == "{"
+        aa, ab_, ac = _line_abc(sa)
+        ba, bb, bc = _line_abc(sb)
+        return _bind(
+            lambda r: _closest_pt_cases(r),
+            shp_a=_shape(sa), shp_b=_shape(sb),
+            pax=pax, pay=pay,
+            ax1=ax1, ay1=ay1, ax2=ax2, ay2=ay2,
+            bx1=bx1, by1=by1, bx2=bx2, by2=by2,
+            bhx=bhx, bhy=bhy, blx=blx, bly=bly,
+            la=F.when(is_line_a, aa).otherwise(ba),
+            lb=F.when(is_line_a, ab_).otherwise(bb),
+            lc=F.when(is_line_a, ac).otherwise(bc),
+        )
+
+    return G.gv_str(_bind(with_parsed, sa=_str_in(a), sb=_str_in(b)))
 
 
 def geo_length(a: Column) -> Column:
     """`@-@` (the reference's 1-arg gtype_distance): lseg_length, or
     path_length = sum of segment lengths (+ the closing segment for a
     closed path)."""
-    s = _str_in(a)
-    x1, y1, x2, y2 = _seg_ends(s)
-    seg_len = F.sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
 
-    pts = _pts_list(s)
-    n = F.size(pts)
-    closed = _shape(s) == "("
-    ring = F.when(closed & (n > 1), F.concat(pts, F.slice(pts, 1, 1))).otherwise(pts)
-    hops = F.zip_with(
-        ring,
-        F.slice(ring, 2, F.greatest(F.size(ring) - 1, F.lit(0))),
-        lambda p, q: F.sqrt(
-            (q["x"] - p["x"]) * (q["x"] - p["x"])
-            + (q["y"] - p["y"]) * (q["y"] - p["y"])
-        ),
-    )
-    path_len = F.aggregate(
-        F.filter(hops, lambda d: d.isNotNull()), F.lit(0.0), lambda acc, d: acc + d
-    )
-    return G.gv_float(
-        F.when(x1.isNotNull() & (F.size(pts) == 2) & (_shape(s) == "["), seg_len)
-        .when(n >= 1, path_len)
-    )
+    def body(t):
+        s = t["s"]
+        x1, y1, x2, y2 = _seg_ends(s)
+        seg_len = F.sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+
+        pts = _pts_list(s)
+        n = F.size(pts)
+        closed = _shape(s) == "("
+        ring = F.when(closed & (n > 1), F.concat(pts, F.slice(pts, 1, 1))).otherwise(pts)
+        hops = F.zip_with(
+            ring,
+            F.slice(ring, 2, F.greatest(F.size(ring) - 1, F.lit(0))),
+            lambda p, q: F.sqrt(
+                (q["x"] - p["x"]) * (q["x"] - p["x"])
+                + (q["y"] - p["y"]) * (q["y"] - p["y"])
+            ),
+        )
+        path_len = F.aggregate(
+            F.filter(hops, lambda d: d.isNotNull()), F.lit(0.0), lambda acc, d: acc + d
+        )
+        return F.when(
+            x1.isNotNull() & (F.size(pts) == 2) & (_shape(s) == "["), seg_len
+        ).when(n >= 1, path_len)
+
+    return G.gv_float(_bind(body, s=_str_in(a)))
 
 
 def geo_vertical(a: Column) -> Column:
@@ -555,31 +707,43 @@ def geo_parallel(a: Column, b: Column) -> Column:
 def geo_center_full(a: Column) -> Column:
     """center `@@` over the full surface: box center, lseg midpoint,
     circle center, polygon vertex average (poly_center), point
-    identity."""
-    s = _str_in(a)
-    shp = _shape(s)
+    identity. Input text and the per-branch coordinates are bound; the
+    text render happens once on the selected branch struct."""
 
-    cx, cy, r = _circle_cr(s)
-    x1, y1, x2, y2 = _seg_ends(s)
-    seg_c = _point_txt((x1 + x2) / 2, (y1 + y2) / 2)
+    def body(t):
+        s = t["s"]
+        shp = _shape(s)
 
-    pts = _pts_list(s)
-    n = F.size(pts)
-    sx = F.aggregate(pts, F.lit(0.0), lambda acc, p: acc + p["x"])
-    sy = F.aggregate(pts, F.lit(0.0), lambda acc, p: acc + p["y"])
-    poly_c = F.when(n >= 1, _point_txt(sx / n, sy / n))
+        cx, cy, _r = _circle_cr(s)
+        x1, y1, x2, y2 = _seg_ends(s)
 
-    hx, hy, lx, ly = _box_corners(s)
-    box_c = _point_txt((hx + lx) / 2, (hy + ly) / 2)
-    px, py = _pt_xy(s)
+        pts = _pts_list(s)
+        n = F.size(pts)
+        sx = F.aggregate(pts, F.lit(0.0), lambda acc, p: acc + p["x"])
+        sy = F.aggregate(pts, F.lit(0.0), lambda acc, p: acc + p["y"])
 
-    return G.gv_str(
-        F.when(shp == "<", _point_txt(cx, cy))
-        .when(shp == "[", seg_c)
-        .when(_is_nested(s), poly_c)
-        .when(box_c.isNotNull(), box_c)
-        .when(px.isNotNull(), _point_txt(px, py))
-    )
+        hx, hy, lx, ly = _box_corners(s)
+        px, py = _pt_xy(s)
+
+        def xy(x, y):
+            return F.struct(x.cast("double").alias("x"), y.cast("double").alias("y"))
+
+        sel = (
+            F.when(shp == "<", xy(cx, cy))
+            .when(shp == "[", xy((x1 + x2) / 2, (y1 + y2) / 2))
+            .when(
+                _is_nested(s),
+                F.when(n >= 1, xy(sx / n, sy / n)),
+            )
+            .when(
+                hx.isNotNull() & hy.isNotNull() & lx.isNotNull() & ly.isNotNull(),
+                xy((hx + lx) / 2, (hy + ly) / 2),
+            )
+            .when(px.isNotNull() & py.isNotNull(), xy(px, py))
+        )
+        return _bind(lambda r2: _point_txt(r2["p"]["x"], r2["p"]["y"]), p=sel)
+
+    return G.gv_str(_bind(body, s=_str_in(a)))
 
 
 def _poly_contains_xy(pts: Column, px: Column, py: Column) -> Column:
@@ -621,7 +785,12 @@ def geo_contains(a: Column, b: Column) -> Column:
     """Containment `@>` family by canonical-text shape: box@>point,
     box@>box, circle@>point, circle@>circle, polygon@>point,
     path@>point (point on a segment of the path)."""
-    sa, sb = _str_in(a), _str_in(b)
+    return G.gv_bool(
+        _bind(lambda t: _contains_body(t["sa"], t["sb"]), sa=_str_in(a), sb=_str_in(b))
+    )
+
+
+def _contains_body(sa: Column, sb: Column) -> Column:
     shp_a = _shape(sa)
     px, py = _pt_xy(sb)
 
@@ -668,7 +837,7 @@ def geo_contains(a: Column, b: Column) -> Column:
     is_box_a = (
         ahx.isNotNull() & (shp_a == "(") & ~_is_nested(sa) & (F.size(pts) == 2)
     )
-    return G.gv_bool(
+    return (
         F.when(shp_a == "<", circle_case)
         .when(shp_a == "[", path_case)
         .when(is_box_a, box_case)
@@ -684,21 +853,25 @@ def geo_contained(a: Column, b: Column) -> Column:
 def geo_overlap(a: Column, b: Column) -> Column:
     """Overlap `&&`: box&&box (interval overlap both axes),
     circle&&circle (center distance <= r1+r2)."""
-    sa, sb = _str_in(a), _str_in(b)
-    acx, acy, ar = _circle_cr(sa)
-    bcx, bcy, br = _circle_cr(sb)
-    dcc = F.sqrt((bcx - acx) * (bcx - acx) + (bcy - acy) * (bcy - acy))
-    circle_case = F.when(ar.isNotNull() & br.isNotNull(), dcc <= ar + br)
 
-    ahx, ahy, alx, aly = _box_corners(sa)
-    bhx, bhy, blx, bly = _box_corners(sb)
-    box_case = F.when(
-        ahx.isNotNull() & bhx.isNotNull(),
-        (alx <= bhx) & (blx <= ahx) & (aly <= bhy) & (bly <= ahy),
-    )
-    return G.gv_bool(
-        F.when((_shape(sa) == "<") & (_shape(sb) == "<"), circle_case).otherwise(box_case)
-    )
+    def body(t):
+        sa, sb = t["sa"], t["sb"]
+        acx, acy, ar = _circle_cr(sa)
+        bcx, bcy, br = _circle_cr(sb)
+        dcc = F.sqrt((bcx - acx) * (bcx - acx) + (bcy - acy) * (bcy - acy))
+        circle_case = F.when(ar.isNotNull() & br.isNotNull(), dcc <= ar + br)
+
+        ahx, ahy, alx, aly = _box_corners(sa)
+        bhx, bhy, blx, bly = _box_corners(sb)
+        box_case = F.when(
+            ahx.isNotNull() & bhx.isNotNull(),
+            (alx <= bhx) & (blx <= ahx) & (aly <= bhy) & (bly <= ahy),
+        )
+        return F.when(
+            (_shape(sa) == "<") & (_shape(sb) == "<"), circle_case
+        ).otherwise(box_case)
+
+    return G.gv_bool(_bind(body, sa=_str_in(a), sb=_str_in(b)))
 
 
 def geo_same(a: Column, b: Column) -> Column:
@@ -711,24 +884,39 @@ def geo_same(a: Column, b: Column) -> Column:
 
 def geo_area(a: Column) -> Column:
     """area(): box (w*h), circle (pi r^2), polygon (shoelace)."""
-    s = _str_in(a)
-    hx, hy, lx, ly = _box_corners(s)
-    box_area = (hx - lx) * (hy - ly)
-    cx, cy, r = _circle_cr(s)
-    circle_area = r * r * F.lit(3.141592653589793)
-    pts = _pts_list(s)
-    ring = F.concat(pts, F.slice(pts, 1, 1))
-    cross = F.zip_with(
-        ring,
-        F.slice(ring, 2, F.greatest(F.size(ring) - 1, F.lit(0))),
-        lambda p, q: p["x"] * q["y"] - q["x"] * p["y"],
-    )
-    poly_area = F.abs(F.aggregate(cross, F.lit(0.0), lambda acc, v: acc + v)) / 2
-    return G.gv_float(
-        F.when(_shape(s) == "<", circle_area)
-        .when(_is_nested(s), poly_area)
-        .when(hx.isNotNull() & (F.size(pts) == 2), box_area)
-    )
+
+    def body(t):
+        s = t["s"]
+        hx, hy, lx, ly = _box_corners(s)
+        box_area = (hx - lx) * (hy - ly)
+        cx, cy, r = _circle_cr(s)
+        circle_area = r * r * F.lit(3.141592653589793)
+        pts = _pts_list(s)
+        ring = F.concat(pts, F.slice(pts, 1, 1))
+        cross = F.zip_with(
+            ring,
+            F.slice(ring, 2, F.greatest(F.size(ring) - 1, F.lit(0))),
+            lambda p, q: p["x"] * q["y"] - q["x"] * p["y"],
+        )
+        # zip_with pads the shorter side with null — drop the pad before
+        # folding or the whole sum goes null
+        poly_area = (
+            F.abs(
+                F.aggregate(
+                    F.filter(cross, lambda v: v.isNotNull()),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            )
+            / 2
+        )
+        return (
+            F.when(_shape(s) == "<", circle_area)
+            .when(_is_nested(s), poly_area)
+            .when(hx.isNotNull() & (F.size(pts) == 2), box_area)
+        )
+
+    return G.gv_float(_bind(body, s=_str_in(a)))
 
 
 def geo_npoints(a: Column) -> Column:

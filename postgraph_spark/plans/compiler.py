@@ -53,8 +53,10 @@ _CAST_FN = {
     "tsrange": "totsrange", "tstzrange": "totstzrange",
     "daterange": "todaterange", "graphid": "tographid",
     "vector": "tovector",
-    # minimal geometric kit (functions/geometric.py)
-    "point": "topoint", "box": "tobox",
+    # geometric kit (functions/geometric.py)
+    "point": "topoint", "box": "tobox", "lseg": "tolseg",
+    "line": "toline", "circle": "tocircle", "path": "topath",
+    "polygon": "topolygon",
     # multiranges
     "intmultirange": "tointmultirange", "nummultirange": "tonummultirange",
     "tsmultirange": "totsmultirange", "tstzmultirange": "totstzmultirange",

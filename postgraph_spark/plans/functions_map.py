@@ -628,32 +628,43 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
         out = F.concat(F.lit("["), F.array_join(texts, ","), F.lit("]"))
         return G.gv_array_json(F.when(a["t"] == G.T_ARRAY, out))
 
-    # ---- minimal geometric kit (gtype_geometric.c; point/box) ----
-    if name in ("topoint", "tobox"):
+    # ---- geometric kit (gtype_geometric.c; full 11-fn surface +
+    # construction casts + the operator predicates exposed by name —
+    # sql/postgraph-geometric.sql.in) ----
+    _GEO_CASTS = {
+        "topoint": "cast_point", "tobox": "cast_box", "tolseg": "cast_lseg",
+        "toline": "cast_line", "tocircle": "cast_circle",
+        "topath": "cast_path", "topolygon": "cast_polygon",
+    }
+    _GEO_1 = {
+        # gtype_distance(gtype) is the 1-arg `@-@` length (lseg/path)
+        "distance": "geo_length", "center": "geo_center_full",
+        "height": "geo_height", "width": "geo_width",
+        "vertical": "geo_vertical", "horizontal": "geo_horizontal",
+        "area": "geo_area", "npoints": "geo_npoints",
+        "radius": "geo_radius", "diagonal": "geo_diagonal",
+    }
+    _GEO_2 = {
+        "distance": "geo_distance", "bound_box": "geo_bound_box",
+        "intersection_point": "geo_intersection_point",
+        "closest_point": "geo_closest_point",
+        "perp": "geo_perp", "parallel": "geo_parallel",
+        "box_contains": "geo_box_contains",
+        "geo_contains": "geo_contains", "geo_contained": "geo_contained",
+        "geo_overlap": "geo_overlap", "geo_same": "geo_same",
+    }
+    if name in _GEO_CASTS and ctx.nargs == 1:
         from postgraph_spark.functions import geometric as GEO
 
-        return (GEO.cast_point if name == "topoint" else GEO.cast_box)(ctx.gv(0))
-    if name == "distance" and ctx.nargs == 2:
+        return getattr(GEO, _GEO_CASTS[name])(ctx.gv(0))
+    if name in _GEO_2 and ctx.nargs == 2:
         from postgraph_spark.functions import geometric as GEO
 
-        return GEO.geo_distance(ctx.gv(0), ctx.gv(1))
-    if name == "center" and ctx.nargs == 1:
+        return getattr(GEO, _GEO_2[name])(ctx.gv(0), ctx.gv(1))
+    if name in _GEO_1 and ctx.nargs == 1:
         from postgraph_spark.functions import geometric as GEO
 
-        return GEO.geo_center(ctx.gv(0))
-    if name in ("height", "width") and ctx.nargs == 1:
-        from postgraph_spark.functions import geometric as GEO
-
-        fn = GEO.geo_height if name == "height" else GEO.geo_width
-        return fn(ctx.gv(0))
-    if name == "bound_box" and ctx.nargs == 2:
-        from postgraph_spark.functions import geometric as GEO
-
-        return GEO.geo_bound_box(ctx.gv(0), ctx.gv(1))
-    if name == "box_contains" and ctx.nargs == 2:
-        from postgraph_spark.functions import geometric as GEO
-
-        return GEO.geo_box_contains(ctx.gv(0), ctx.gv(1))
+        return getattr(GEO, _GEO_1[name])(ctx.gv(0))
     if name in ("intrange", "numrange", "tsrange", "tstzrange", "daterange") and ctx.nargs >= 2:
         # range constructors (gtype_range.c): (lo, hi[, flags-text])
         from postgraph_spark.functions import casts as C

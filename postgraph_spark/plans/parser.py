@@ -685,8 +685,9 @@ class Parser:
         "tsrange": "tsrange", "tstzrange": "tstzrange",
         "daterange": "daterange", "graphid": "graphid",
         "vector": "vector",
-        # minimal geometric kit (functions/geometric.py)
-        "point": "point", "box": "box",
+        # geometric kit (functions/geometric.py)
+        "point": "point", "box": "box", "lseg": "lseg", "line": "line",
+        "circle": "circle", "path": "path", "polygon": "polygon",
         # multiranges (casts.py multirange_in_py)
         "intmultirange": "intmultirange", "int4multirange": "intmultirange",
         "int8multirange": "intmultirange", "nummultirange": "nummultirange",

@@ -499,3 +499,67 @@ def geometric_ops(spark, sf_dir):
         GEO.geo_box_contains(box, pt)["b"].alias("in_box"),
         F.round(GEO.geo_center(pbox)["s"].substr(F.lit(2), F.instr(GEO.geo_center(pbox)["s"], ",") - 2).cast("double"), 6).alias("cx"),
     )
+
+
+@register(
+    "geometric_kit_full",
+    """
+    SELECT i,
+      round(sqrt(CAST((i%10+1)*(i%10+1) + (i%7+1)*(i%7+1) AS DOUBLE)), 6) AS seg_len,
+      round(pi() * (i%5+1) * (i%5+1), 6) AS circ_area,
+      CAST((i%4+1)*(i%4+1) AS DOUBLE) AS poly_area,
+      (i%10) <= (i%5+1) AS c_has,
+      '(' || CAST(i%10 AS VARCHAR) || ',5)' AS cp,
+      '(' || CAST(i%6 AS VARCHAR) || ',' || CAST(i%6 AS VARCHAR) || ')' AS ip,
+      (i%3) = (i%2) AS horiz,
+      CAST(4 AS BIGINT) AS np,
+      '(' || (CASE WHEN (i%4+1)%2=0 THEN CAST((i%4+1)//2 AS VARCHAR)
+                   ELSE CAST((i%4+1)/2.0 AS VARCHAR) END)
+          || ',' ||
+             (CASE WHEN (i%4+1)%2=0 THEN CAST((i%4+1)//2 AS VARCHAR)
+                   ELSE CAST((i%4+1)/2.0 AS VARCHAR) END) || ')' AS pc
+    FROM range(200) t(i)
+    """,
+)
+def geometric_kit_full(spark, sf_dir):
+    """FULL geometric kit resolved by name from Cypher text
+    (gtype_geometric.c 11-fn surface + construction casts,
+    functions/geometric.py): lseg/path length (`@-@`), circle and
+    polygon area, circle containment, closest_point (`##`),
+    line-line intersection_point (`#`), horizontal (`?-`), npoints,
+    polygon center (`@@`) — all JVM regexp/array expressions over the
+    canonical shape texts (scan + project, zero shuffles, no UDF)."""
+    from postgraph_spark.engine import CypherEngine
+
+    eng = CypherEngine(spark)
+    out = eng.execute(
+        "UNWIND range(0, 199) AS i "
+        "WITH i, "
+        "  toLseg('[(0,0),(' + toString(i % 10 + 1) + ',' + toString(i % 7 + 1) + ')]') AS seg, "
+        "  toCircle('<(0,0),' + toString(i % 5 + 1) + '>') AS circ, "
+        "  toPolygon('((0,0),(' + toString(i % 4 + 1) + ',0),(' + toString(i % 4 + 1) + ',' "
+        "            + toString(i % 4 + 1) + '),(0,' + toString(i % 4 + 1) + '))') AS poly "
+        "RETURN i, "
+        "  round(distance(seg), 6) AS seg_len, "
+        "  round(area(circ), 6) AS circ_area, "
+        "  area(poly) AS poly_area, "
+        "  geo_contains(circ, toPoint('(' + toString(i % 10) + ',0)')) AS c_has, "
+        "  closest_point(toPoint('(' + toString(i % 10) + ',0)'), toLseg('[(0,5),(10,5)]')) AS cp, "
+        "  intersection_point(toLine('{1,-1,0}'), "
+        "                     toLine('{1,1,-' + toString(2 * (i % 6)) + '}')) AS ip, "
+        "  horizontal(toLseg('[(0,' + toString(i % 3) + '),(5,' + toString(i % 2) + ')]')) AS horiz, "
+        "  npoints(poly) AS np, "
+        "  center(poly) AS pc"
+    )
+    return out.select(
+        F.col("i")["i"].alias("i"),
+        F.col("seg_len")["d"].alias("seg_len"),
+        F.col("circ_area")["d"].alias("circ_area"),
+        F.col("poly_area")["d"].alias("poly_area"),
+        F.col("c_has")["b"].alias("c_has"),
+        F.col("cp")["s"].alias("cp"),
+        F.col("ip")["s"].alias("ip"),
+        F.col("horiz")["b"].alias("horiz"),
+        F.col("np")["i"].alias("np"),
+        F.col("pc")["s"].alias("pc"),
+    )
