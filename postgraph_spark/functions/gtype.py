@@ -25,6 +25,7 @@ gtype_util.c:1546-1560).
 from __future__ import annotations
 
 import json
+import re
 from typing import Any
 
 from pyspark.sql import Column
@@ -1284,6 +1285,77 @@ def op_tilde_match(a: Column, b: Column, ci: bool = False, negate: bool = False)
     pat = F.concat(F.lit("(?i)"), b.s) if ci else b.s
     r = F.regexp_like(a.s, pat)
     return _str3vl(a, b, ~r if negate else r)
+
+
+def _similar_to_regex(p: str) -> str:
+    """SQL SIMILAR TO pattern -> Java regex (the reference routes
+    SIMILAR through PG's similar_to_escape, cypher_gram.y:13804-13823):
+    % -> .*, _ -> ., backslash escapes the next char to a literal;
+    the SQL-regex metachars ()|[]{}*+? pass through; . ^ $ are literal."""
+    out = []
+    i = 0
+    while i < len(p):
+        c = p[i]
+        if c == "\\" and i + 1 < len(p):
+            out.append(re.escape(p[i + 1]))
+            i += 2
+            continue
+        if c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        elif c in ".^$\\":
+            out.append("\\" + c)
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def op_similar(
+    a: Column, b: Column, negate: bool = False, pattern_text: str | None = None
+) -> Column:
+    """[NOT] SIMILAR TO. Literal patterns convert to a Java regex at
+    compile time (`pattern_text`); column patterns convert with a JVM
+    regexp_replace chain (`\\%`/`\\_` stay literal; an escaped backslash
+    immediately before % is the one undocumented edge). Full-string
+    anchored match, string-operand 3VL like the LIKE family."""
+    if pattern_text is not None:
+        r = F.regexp_like(a.s, F.lit("^(?:" + _similar_to_regex(pattern_text) + ")$"))
+        return _str3vl(a, b, ~r if negate else r)
+    p = F.regexp_replace(b.s, r"([.^$])", r"\\$1")  # literalize . ^ $
+    p = F.regexp_replace(p, r"(?<!\\)%", ".*")  # unescaped %
+    p = F.regexp_replace(p, r"(?<!\\)_", ".")  # unescaped _
+    p = F.regexp_replace(p, r"\\([%_])", "$1")  # escaped stay literal
+    r = F.regexp_like(a.s, F.concat(F.lit("^(?:"), p, F.lit(")$")))
+    return _str3vl(a, b, ~r if negate else r)
+
+
+def op_bool_test(a: Column, which: str, negated: bool = False) -> Column:
+    """IS [NOT] TRUE/FALSE/UNKNOWN (BooleanTest, g.y:13887-13931):
+    never-null boolean. PG rejects non-boolean operands at parse time;
+    under gtype's dynamic typing a non-boolean value simply tests as
+    unknown (documented divergence)."""
+    b = a.b  # SQL-null for gtype null AND for non-boolean values
+    if which == "true":
+        r = b.eqNullSafe(F.lit(True))
+    elif which == "false":
+        r = b.eqNullSafe(F.lit(False))
+    else:  # unknown
+        r = b.isNull()
+    return gv_bool(~r if negated else r)
+
+
+def op_distinct_from(a: Column, b: Column, negated: bool = False) -> Column:
+    """IS [NOT] DISTINCT FROM (g.y:13935-13941): gtype equality with
+    null treated as a comparable value — never returns null."""
+    an, bn = a.t == T_NULL, b.t == T_NULL
+    r = (
+        F.when(an & bn, F.lit(False))
+        .when(an | bn, F.lit(True))
+        .otherwise(~cmp_eq(a, b))
+    )
+    return gv_bool(~r if negated else r)
 
 
 # ------------------------------------------------------- bitwise operators

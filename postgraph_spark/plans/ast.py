@@ -70,6 +70,26 @@ class IsNull:
 
 
 @dataclass
+class BoolTest:
+    """IS [NOT] TRUE | FALSE | UNKNOWN (cypher_gram.y:13887-13931
+    BooleanTest): never-null boolean result."""
+
+    operand: Any
+    which: str  # 'true' | 'false' | 'unknown'
+    negated: bool = False
+
+
+@dataclass
+class DistinctFrom:
+    """IS [NOT] DISTINCT FROM (cypher_gram.y:13935-13941): null-safe
+    comparison — never returns null."""
+
+    left: Any
+    right: Any
+    negated: bool = False
+
+
+@dataclass
 class WindowSpec:
     """OVER (...) / WINDOW name AS (...) definition
     (cypher_gram.y:17407-17520)."""
@@ -216,6 +236,8 @@ class ReturnClause:
     order_by: list = field(default_factory=list)
     skip: Any | None = None
     limit: Any | None = None
+    #: RETURN * [, items] — expand every in-scope binding (g.y:5177)
+    star: bool = False
 
 
 @dataclass

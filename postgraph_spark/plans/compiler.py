@@ -433,6 +433,13 @@ class Compiler:
             if isinstance(e, A.IsNull):
                 o, df = walk(e.operand, df)
                 return A.IsNull(o, e.negated), df
+            if isinstance(e, A.BoolTest):
+                o, df = walk(e.operand, df)
+                return A.BoolTest(o, e.which, e.negated), df
+            if isinstance(e, A.DistinctFrom):
+                l, df = walk(e.left, df)
+                r, df = walk(e.right, df)
+                return A.DistinctFrom(l, r, e.negated), df
             if isinstance(e, A.Cast):
                 o, df = walk(e.operand, df)
                 return A.Cast(o, e.type_name), df
@@ -837,6 +844,10 @@ class Compiler:
             return self._contains_agg(e.operand)
         if isinstance(e, A.IsNull):
             return self._contains_agg(e.operand)
+        if isinstance(e, A.BoolTest):
+            return self._contains_agg(e.operand)
+        if isinstance(e, A.DistinctFrom):
+            return self._contains_agg(e.left) or self._contains_agg(e.right)
         if isinstance(e, A.Cast):
             return self._contains_agg(e.operand)
         if isinstance(e, (A.Prop, A.Index)):
@@ -871,6 +882,14 @@ class Compiler:
             return A.UnaryOp(e.op, self._extract_aggs(e.operand, found))
         if isinstance(e, A.IsNull):
             return A.IsNull(self._extract_aggs(e.operand, found), e.negated)
+        if isinstance(e, A.BoolTest):
+            return A.BoolTest(self._extract_aggs(e.operand, found), e.which, e.negated)
+        if isinstance(e, A.DistinctFrom):
+            return A.DistinctFrom(
+                self._extract_aggs(e.left, found),
+                self._extract_aggs(e.right, found),
+                e.negated,
+            )
         if isinstance(e, A.Cast):
             return A.Cast(self._extract_aggs(e.operand, found), e.type_name)
         return e
@@ -905,7 +924,8 @@ class Compiler:
                 if self._lets is not None:
                     self._lets = []  # discard lets of the failed attempt
                 deferred_where = clause.where
-        if is_with and clause.star:
+        if getattr(clause, "star", False):
+            # WITH * / RETURN * expand every in-scope binding;
             # reserved __-prefixed bindings (EXISTS markers) are internal
             items = [
                 A.ReturnItem(A.Var(v), v) for v in scope.kinds if not v.startswith("__")
@@ -1091,6 +1111,12 @@ class Compiler:
                 return A.UnaryOp(e.op, replace_keys(e.operand))
             if isinstance(e, A.IsNull):
                 return A.IsNull(replace_keys(e.operand), e.negated)
+            if isinstance(e, A.BoolTest):
+                return A.BoolTest(replace_keys(e.operand), e.which, e.negated)
+            if isinstance(e, A.DistinctFrom):
+                return A.DistinctFrom(
+                    replace_keys(e.left), replace_keys(e.right), e.negated
+                )
             if isinstance(e, A.Cast):
                 return A.Cast(replace_keys(e.operand), e.type_name)
             if isinstance(e, A.FuncCall):
@@ -1405,6 +1431,13 @@ class Compiler:
         if isinstance(e, A.IsNull):
             operand = self.compile_expr(e.operand, df, scope)
             return G.op_is_not_null(operand) if e.negated else G.op_is_null(operand)
+        if isinstance(e, A.BoolTest):
+            operand = self.compile_expr(e.operand, df, scope)
+            return G.op_bool_test(operand, e.which, e.negated)
+        if isinstance(e, A.DistinctFrom):
+            left = self._maybe_let(self.compile_expr(e.left, df, scope), e.left, df)
+            right = self._maybe_let(self.compile_expr(e.right, df, scope), e.right, df)
+            return G.op_distinct_from(left, right, e.negated)
         if isinstance(e, A.CaseExpr):
             return self._compile_case(e, df, scope)
         if isinstance(e, A.Cast):
@@ -1447,6 +1480,10 @@ class Compiler:
         "ILIKE": lambda a, b: G.op_like(a, b, ci=True),
         "NOT_LIKE": lambda a, b: G.op_like(a, b, negate=True),
         "NOT_ILIKE": lambda a, b: G.op_like(a, b, ci=True, negate=True),
+        # SIMILAR TO (g.y:13804-13823; literal patterns fast-path in
+        # _compile_binop)
+        "SIMILAR": G.op_similar,
+        "NOT_SIMILAR": lambda a, b: G.op_similar(a, b, negate=True),
         # PG regex operators (gtype_string.c:193-227)
         "~": G.op_tilde_match,
         "~*": lambda a, b: G.op_tilde_match(a, b, ci=True),
@@ -1478,6 +1515,18 @@ class Compiler:
         fn = self._BINOPS.get(e.op)
         if fn is None:
             raise CompileError(f"unknown operator {e.op}")
+        if (
+            e.op in ("SIMILAR", "NOT_SIMILAR")
+            and isinstance(e.right, A.Lit)
+            and isinstance(e.right.value, str)
+        ):
+            # literal pattern: convert SQL regex to Java regex in Python
+            left = self._maybe_let(self.compile_expr(e.left, df, scope), e.left, df)
+            right = self.compile_expr(e.right, df, scope)
+            return G.op_similar(
+                left, right, negate=(e.op == "NOT_SIMILAR"),
+                pattern_text=e.right.value,
+            )
         # entity equality compares ids (vertex_btree_cmp compares id only)
         if e.op in ("=", "<>") and isinstance(e.left, A.Var) and isinstance(e.right, A.Var):
             lk = scope.kinds.get(e.left.name)

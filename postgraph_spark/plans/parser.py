@@ -333,15 +333,13 @@ class Parser:
 
     def parse_return(self) -> A.ReturnClause:
         distinct, star, items = self._return_items()
-        if star:
-            raise ParseError("RETURN * is not supported; name the items")
         order_by = self.parse_order_by() if self.at_kw("order") else []
         skip = limit = None
         if self.try_kw("skip"):
             skip = self.parse_expr()
         if self.try_kw("limit"):
             limit = self.parse_expr()
-        return A.ReturnClause(items, distinct, order_by, skip, limit)
+        return A.ReturnClause(items, distinct, order_by, skip, limit, star=star)
 
     def parse_set(self) -> A.SetClause:
         items = []
@@ -565,6 +563,74 @@ class Parser:
                 op = "NOT_" + self.advance().value.upper()
                 chain.append(A.BinOp(op, left, self.parse_bitor()))
                 break
+            elif self.at_name("similar") or (
+                self.at_kw("not")
+                and self.peek().kind == "name"
+                and self.peek().value.lower() == "similar"
+            ):
+                # [NOT] SIMILAR TO (g.y:13804-13823 via similar_to_escape)
+                neg = self.try_kw("not")
+                self.advance()  # similar
+                if not self.try_name("to"):
+                    raise ParseError(f"expected TO after SIMILAR at {self.cur.pos}")
+                chain.append(
+                    A.BinOp("NOT_SIMILAR" if neg else "SIMILAR", left, self.parse_bitor())
+                )
+                break
+            elif self.at_name("between") or (
+                self.at_kw("not")
+                and self.peek().kind == "name"
+                and self.peek().value.lower() == "between"
+            ):
+                # [NOT] BETWEEN [ASYMMETRIC|SYMMETRIC] b AND c — desugared
+                # to comparison conjunctions exactly as the reference
+                # grammar does (g.y:13943-13989)
+                neg = self.try_kw("not")
+                self.advance()  # between
+                sym = False
+                if self.at_name("symmetric"):
+                    sym = True
+                    self.advance()
+                elif self.at_name("asymmetric"):
+                    self.advance()
+                lo = self.parse_bitor()
+                self.eat_kw("and")
+                hi = self.parse_bitor()
+                rng = A.BinOp("AND", A.BinOp(">=", left, lo), A.BinOp("<=", left, hi))
+                if sym:
+                    rev = A.BinOp("AND", A.BinOp(">=", left, hi), A.BinOp("<=", left, lo))
+                    rng = A.BinOp("OR", rng, rev)
+                chain.append(A.UnaryOp("NOT", rng) if neg else rng)
+                break
+            elif (
+                self.at_kw("not")
+                and self.peek().kind == "kw"
+                and self.peek().value == "in"
+            ):
+                # NOT IN (list | subquery): the subquery form is the
+                # reference's <> ALL sublink (g.y:14006-14014)
+                self.advance()
+                self.advance()
+                if self.at_op("(") and self.peek().kind == "kw" and self.peek().value in (
+                    "match", "unwind", "with", "return", "optional",
+                ):
+                    self.eat_op("(")
+                    sub = self.parse_setop()
+                    self.eat_op(")")
+                    chain.append(A.SubqueryCmp("<>", "all", left, sub))
+                    break
+                chain.append(A.UnaryOp("NOT", A.BinOp("IN", left, self.parse_bitor())))
+                break
+            elif self.at_name("isnull") and self.peek().value != "(":
+                # a_expr ISNULL (g.y:13871)
+                self.advance()
+                chain.append(A.IsNull(left, False))
+                break
+            elif self.at_name("notnull") and self.peek().value != "(":
+                # a_expr NOTNULL (g.y:13879)
+                self.advance()
+                chain.append(A.IsNull(left, True))
+                break
             elif self.cur.kind == "op" and self.cur.value in self._CMP_OPS:
                 op = self.advance().value
                 chain.append(A.BinOp(op, left, self.parse_bitor()))
@@ -586,8 +652,21 @@ class Parser:
             elif self.at_kw("is"):
                 self.advance()
                 negated = self.try_kw("not")
-                self.eat_kw("null")
-                chain.append(A.IsNull(left, negated))
+                if self.at_kw("true", "false"):
+                    chain.append(A.BoolTest(left, self.advance().value, negated))
+                elif self.at_name("unknown"):
+                    self.advance()
+                    chain.append(A.BoolTest(left, "unknown", negated))
+                elif self.at_kw("distinct"):
+                    self.advance()
+                    if not self.try_name("from"):
+                        raise ParseError(
+                            f"expected FROM after IS [NOT] DISTINCT at {self.cur.pos}"
+                        )
+                    chain.append(A.DistinctFrom(left, self.parse_bitor(), negated))
+                else:
+                    self.eat_kw("null")
+                    chain.append(A.IsNull(left, negated))
                 break
             else:
                 break

@@ -464,8 +464,11 @@ class WriteRunner:
             elif isinstance(e, A.BinOp):
                 free_vars(e.left, out)
                 free_vars(e.right, out)
-            elif isinstance(e, (A.UnaryOp, A.IsNull)):
+            elif isinstance(e, (A.UnaryOp, A.IsNull, A.BoolTest)):
                 free_vars(e.operand, out)
+            elif isinstance(e, A.DistinctFrom):
+                free_vars(e.left, out)
+                free_vars(e.right, out)
             elif isinstance(e, A.Cast):
                 free_vars(e.operand, out)
             elif isinstance(e, A.FuncCall):

@@ -502,6 +502,59 @@ def geometric_ops(spark, sf_dir):
 
 
 @register(
+    "pg_expr_forms",
+    """
+    SELECT i,
+      i % 100 BETWEEN 25 AND 75 AS in_rng,
+      i % 100 BETWEEN 25 AND 75 AS sym_rng,
+      (i % 10) NOT BETWEEN 3 AND 8 AS out_rng,
+      (i % 10) IS DISTINCT FROM (i % 7) AS dfrom,
+      COALESCE((i % 10) > 5, FALSE) AS gt5,
+      (CASE WHEN i % 10 = 0 THEN NULL ELSE (i % 10) > 3 END) IS NULL AS unk,
+      regexp_matches('s' || CAST(i % 7 AS VARCHAR), '^(?:s(1|2|3))$') AS sim,
+      (i % 10) NOT IN (2, 4, 6) AS nin
+    FROM range(500) t(i)
+    """,
+)
+def pg_expr_forms(spark, sf_dir):
+    """PG expression-grammar forms from Cypher text (cypher_gram.y
+    a_expr: BETWEEN [A]SYMMETRIC g.y:13943-13989, IS [NOT] DISTINCT
+    FROM g.y:13935, BooleanTest g.y:13887, [NOT] SIMILAR TO g.y:13804,
+    NOT IN g.y:14006) — all desugared at parse/compile time to JVM
+    comparison conjunctions and regexps (scan + project, zero
+    shuffles). The DuckDB oracle expresses SIMILAR as an anchored
+    regexp (DuckDB's own SIMILAR TO is plain POSIX, a different
+    dialect) and IS TRUE as COALESCE (not in DuckDB's grammar)."""
+    from postgraph_spark.engine import CypherEngine
+
+    eng = CypherEngine(spark)
+    out = eng.execute(
+        "UNWIND range(0, 499) AS i "
+        "WITH i, i % 10 AS m "
+        "RETURN i, "
+        "  i % 100 BETWEEN 25 AND 75 AS in_rng, "
+        "  i % 100 BETWEEN SYMMETRIC 75 AND 25 AS sym_rng, "
+        "  m NOT BETWEEN 3 AND 8 AS out_rng, "
+        "  m IS DISTINCT FROM i % 7 AS dfrom, "
+        "  (m > 5) IS TRUE AS gt5, "
+        "  (CASE WHEN m = 0 THEN null ELSE m > 3 END) IS UNKNOWN AS unk, "
+        "  's' + toString(i % 7) SIMILAR TO 's(1|2|3)' AS sim, "
+        "  m NOT IN [2, 4, 6] AS nin"
+    )
+    return out.select(
+        F.col("i")["i"].alias("i"),
+        F.col("in_rng")["b"].alias("in_rng"),
+        F.col("sym_rng")["b"].alias("sym_rng"),
+        F.col("out_rng")["b"].alias("out_rng"),
+        F.col("dfrom")["b"].alias("dfrom"),
+        F.col("gt5")["b"].alias("gt5"),
+        F.col("unk")["b"].alias("unk"),
+        F.col("sim")["b"].alias("sim"),
+        F.col("nin")["b"].alias("nin"),
+    )
+
+
+@register(
     "geometric_kit_full",
     """
     SELECT i,
