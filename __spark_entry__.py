@@ -44,7 +44,7 @@ _PRIORITY = [
     "cypher_union_labels", "cypher_unwind_collect", "cypher_exists_pattern",
     "cypher_with_orderby_limit", "cypher_temporal_funcs",
     "cypher_named_paths", "cypher_window_topn", "cypher_group_having",
-    "cypher_quantified", "cypher_grouping_sets", "cypher_setop_all",
+    "cypher_quantified", "cypher_grouping_sets",
     # multimodal + streaming
     "multimodal_meta",
     "stream_windowed_counts", "stream_sessionize",
@@ -59,15 +59,16 @@ _PRIORITY = [
     "dedup_jaccard_pairs", "simhash_fingerprints", "text_stats",
     "lang_id_heuristic", "sim_topk_cosine", "sim_topk_ivf",
     "embed_neardup_pairs", "embed_neardup_lsh", "rolling_hash_fingerprint",
-    "token_count_bpe",
+    "token_count_bpe", "decontam_overlap",
     # shapes re-exercised by the Cypher rows above — demoted past the
     # 50-row prefix (still oracle-checked locally): semi/anti and outer
     # joins (cypher_exists_pattern / cypher_optional_match), engine 1hop
     # (cypher_match_where), quantified rewrite (cypher_quantified),
     # base typecasts (cypher_extended_casts)
     # (q5's multi-join shape = entry()'s flagship query, smoke-checked
-    # by the driver every round anyway)
-    "q5_region_revenue",
+    # by the driver every round anyway; setop-ALL compile path is
+    # driven by cypher_union_labels and golden-tested locally)
+    "q5_region_revenue", "cypher_setop_all",
     "semi_join_exists", "left_outer_join", "graph_match_1hop",
     "quantified_all_rewrite", "typecasting_funcs", "multimodal_resize",
     "multimodal_frame_sample", "date_bin_events",

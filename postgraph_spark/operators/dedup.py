@@ -200,6 +200,57 @@ def jaccard_pairs(
     )
 
 
+def contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_hits: int = 5,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Test-set decontamination: flag corpus documents sharing >=
+    min_hits distinct k-gram shingles with a benchmark/eval set — the
+    n-gram-overlap contamination check a training pipeline runs before
+    training (as publicly described in the GPT-3/PaLM/Llama reports;
+    production 13-gram variants differ only in k).
+
+    Returns (id, n_grams, n_hit, contaminated) for every corpus doc
+    with at least one k-gram.
+
+    Scale: eval suites are small by nature, so the benchmark's distinct
+    shingles BROADCAST and the corpus-side shingle table never shuffles
+    for the join — the only shuffle is the per-doc groupBy. Pass
+    broadcast_bench=False for an unusually large blocklist (AQE picks
+    the join side). At 100 TB hash the shingle to int64 (xxhash64)
+    before the join to shrink broadcast + agg rows; the text form here
+    keeps oracle parity and the plan shape is identical.
+    """
+    dg = doc_shingles(docs, id_col, text_col, k)
+    bg = (
+        doc_shingles(bench, id_col, text_col, k)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    if broadcast_bench:
+        bg = F.broadcast(bg)
+    return (
+        dg.join(bg, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            "n_hit",
+            (F.col("n_hit") >= F.lit(min_hits)).alias("contaminated"),
+        )
+    )
+
+
 _HEX = "0123456789abcdef"
 
 

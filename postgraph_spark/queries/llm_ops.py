@@ -142,6 +142,35 @@ def dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "decontam_overlap",
+    f"""
+    WITH {_SHINGLES},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+    SELECT d.doc_id, count(*) AS n_grams, count(b.shingle) AS n_hit,
+           count(b.shingle) >= 5 AS contaminated
+    FROM sh d LEFT JOIN bench b USING (shingle)
+    WHERE d.doc_id % 97 <> 0
+    GROUP BY d.doc_id
+    """,
+)
+def decontam_overlap(spark, sf_dir):
+    """Test-set decontamination: corpus docs vs the doc_id % 97 == 0
+    slice standing in for a benchmark/eval set — distinct 3-gram
+    overlap counts with a >= 5-hit contamination flag
+    (operators/dedup.py contamination: broadcast bench shingles, one
+    groupBy shuffle)."""
+    docs = t(spark, sf_dir, "documents")
+    return DD.contamination(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        "doc_id",
+        "text",
+        k=3,
+        min_hits=5,
+    )
+
+
+@register(
     "dedup_jaccard_pairs",
     f"""
     WITH {_SHINGLES},
