@@ -142,6 +142,29 @@ def dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "sample_stratified",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+          < CASE WHEN lang = 'en' THEN '80000000' ELSE '19999999' END
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (operators/sampling.py): keep
+    50% of 'en' docs and 10% of every other language, selected by the
+    md5 of the doc id — reproducible across engines (the oracle is the
+    LITERAL same predicate in DuckDB), pure scan filter, zero
+    shuffle."""
+    from postgraph_spark.operators import sampling as SAMP
+
+    docs = t(spark, sf_dir, "documents")
+    return SAMP.stratified_sample(
+        docs, "lang", {"en": 0.5}, ["doc_id"], default=0.1
+    ).select("doc_id", "lang")
+
+
+@register(
     "decontam_overlap",
     f"""
     WITH {_SHINGLES},
