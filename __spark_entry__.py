@@ -36,7 +36,7 @@ _PRIORITY = [
     # relational core (distinct operator families)
     "q1_pricing_summary", "q3_top_orders",
     "agg_stats", "regr_family",
-    "percentile_quantiles", "unwind_word_count", "null_handling",
+    "percentile_quantiles", "null_handling",
     # graph pattern operators (hand-planned)
     "graph_match_2hop", "graph_vle_paths", "graph_reach_pairs",
     # the FULL Cypher engine path
@@ -59,7 +59,7 @@ _PRIORITY = [
     "dedup_jaccard_pairs", "simhash_fingerprints", "text_stats",
     "lang_id_heuristic", "sim_topk_cosine", "sim_topk_ivf",
     "embed_neardup_pairs", "embed_neardup_lsh", "rolling_hash_fingerprint",
-    "token_count_bpe", "decontam_overlap",
+    "token_count_bpe", "decontam_overlap", "sample_stratified",
     # shapes re-exercised by the Cypher rows above — demoted past the
     # 50-row prefix (still oracle-checked locally): semi/anti and outer
     # joins (cypher_exists_pattern / cypher_optional_match), engine 1hop
@@ -67,8 +67,9 @@ _PRIORITY = [
     # base typecasts (cypher_extended_casts)
     # (q5's multi-join shape = entry()'s flagship query, smoke-checked
     # by the driver every round anyway; setop-ALL compile path is
-    # driven by cypher_union_labels and golden-tested locally)
-    "q5_region_revenue", "cypher_setop_all",
+    # driven by cypher_union_labels and golden-tested locally; UNWIND
+    # is driver-checked via cypher_unwind_collect)
+    "q5_region_revenue", "cypher_setop_all", "unwind_word_count",
     "semi_join_exists", "left_outer_join", "graph_match_1hop",
     "quantified_all_rewrite", "typecasting_funcs", "multimodal_resize",
     "multimodal_frame_sample", "date_bin_events",
