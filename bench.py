@@ -28,7 +28,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from postgraph_spark.queries import QUERIES  # noqa: E402
 from postgraph_spark.session import get_spark  # noqa: E402
 
+# Family order matters for session hygiene: the graph/Cypher rows cache
+# the tpch graph (wanted — they share it), so they run LAST; the
+# shuffle-heavy LLM rows run before any cache exists, otherwise cached
+# graph partitions squeeze execution memory and the dedup aggregations
+# spill (round-5/6 diagnosis of the ±30-50% drift on unchanged code).
 HEADLINE = [
+    # relational
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_revenue",
@@ -38,7 +44,7 @@ HEADLINE = [
     "rollup_orders",
     "unwind_word_count",
     "time_bucket_events",
-    "graph_match_2hop",
+    # LLM-pipeline (cache-free session state)
     "dedup_minhash_lsh_pairs",
     "dedup_jaccard_pairs",
     "simhash_fingerprints",
@@ -48,9 +54,12 @@ HEADLINE = [
     "rolling_hash_fingerprint",
     "token_count_bpe",
     "multimodal_meta",
-    "graph_vle_paths",
+    # function kits
     "vector_distance_funcs",
     "tsearch_match",
+    # graph + Cypher (build and share the graph cache)
+    "graph_match_2hop",
+    "graph_vle_paths",
     "cypher_with_orderby_limit",
     "cypher_temporal_funcs",
     "cypher_named_paths",
@@ -80,7 +89,15 @@ def main() -> None:
         mid2 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         e2 = time.perf_counter() - mid2
-        build[name] = round(mid - start, 3)
+        # build measured twice as well: driver-side compile + Catalyst
+        # analysis is as exposed to session GC / host noise as the first
+        # execution was (observed 0.5 -> 4.5 s swings on identical
+        # queries), and a one-shot number let that noise back into the
+        # total the min-of-two exec policy had just removed
+        mid3 = time.perf_counter()
+        fn(spark, sf_dir)
+        b2 = time.perf_counter() - mid3
+        build[name] = round(min(mid - start, b2), 3)
         timings[name] = round(build[name] + min(e1, e2), 3)
 
     total = round(sum(timings.values()), 3)

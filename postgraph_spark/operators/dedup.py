@@ -171,18 +171,21 @@ def jaccard_pairs(
     )
     sz = F.size("arr")
     plen = (sz - F.ceil(sz * threshold) + 1).cast("int")
-    pre = arrs.select(
-        F.col("id"), F.col("arr"), F.explode(F.slice("arr", 1, plen)).alias("pshingle")
-    )
+    # NARROW prefix index: (id, prefix-shingle) only. Carrying the full
+    # array through the exploded prefix would ship O(|doc|^2) bytes per
+    # document into the self-join shuffle (each prefix row would drag
+    # the whole array); instead candidates dedup as bare (a, b) pairs
+    # and the arrays re-attach afterwards with two narrow equi-joins on
+    # id — the arrays move once per doc, not once per prefix element.
+    pre = arrs.select(F.col("id"), F.explode(F.slice("arr", 1, plen)).alias("pshingle"))
     cands = (
-        pre.select(F.col("id").alias("a"), F.col("arr").alias("arr_a"), "pshingle")
-        .join(
-            pre.select(F.col("id").alias("b"), F.col("arr").alias("arr_b"), "pshingle"),
-            "pshingle",
-        )
+        pre.select(F.col("id").alias("a"), "pshingle")
+        .join(pre.select(F.col("id").alias("b"), "pshingle"), "pshingle")
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "arr_a", "arr_b")
+        .select("a", "b")
         .distinct()
+        .join(arrs.select(F.col("id").alias("a"), F.col("arr").alias("arr_a")), "a")
+        .join(arrs.select(F.col("id").alias("b"), F.col("arr").alias("arr_b")), "b")
     )
     inter = F.size(F.array_intersect("arr_a", "arr_b"))
     return (
