@@ -69,6 +69,11 @@ class Parser:
     # -------------------------------------------------------------- query
 
     def parse(self):
+        # optional statement prefix: the reference's SQL grammar enters
+        # cypher mode via a leading CYPHER keyword (regress lists.sql
+        # `CYPHER WITH ... RETURN ...`); a no-op here
+        if self.at_name("cypher"):
+            self.advance()
         q = self.parse_setop()
         if self.at_op(";"):
             self.advance()
@@ -159,6 +164,14 @@ class Parser:
                 desc = False
             elif self.try_kw("desc", "descending"):
                 desc = True
+            elif self.at_name("using"):
+                # ORDER BY x USING < | > (g.y sortby_dir USING qual_all_Op;
+                # regress/sql/order_by.sql:49): < = ascending, > = descending
+                self.advance()
+                op = self.advance().value
+                if op not in ("<", "<=", ">", ">="):
+                    raise ParseError(f"unsupported USING operator {op!r}")
+                desc = op in (">", ">=")
             nulls_first = None
             if self.try_kw("nulls"):
                 if self.try_kw("first"):

@@ -113,3 +113,14 @@ def test_not_in_subquery(engine):
         "WHERE x NOT IN (UNWIND [2, 3] AS y RETURN y) RETURN x"
     )
     assert vals == [1]
+
+
+def test_order_by_using_and_cypher_prefix(engine):
+    # ORDER BY ... USING < / > (regress/sql/order_by.sql:49) and the
+    # leading CYPHER statement prefix (regress/sql/lists.sql)
+    vals = engine.fetch_values(
+        "CYPHER UNWIND [3, 1, 2] AS x RETURN x ORDER BY x USING <"
+    )
+    assert vals == [1, 2, 3]
+    vals = engine.fetch_values("UNWIND [3, 1, 2] AS x RETURN x ORDER BY x USING >")
+    assert vals == [3, 2, 1]
