@@ -89,6 +89,14 @@ def main() -> None:
         mid2 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         e2 = time.perf_counter() - mid2
+        execs = [e1, e2]
+        # host-noise bursts (observed 5-10x single-row spikes that MOVE
+        # between runs on identical code) can span both executions; when
+        # the two disagree badly, arbitrate with a third
+        if min(execs) > 0.2 and max(execs) / min(execs) > 1.5:
+            mid2b = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            execs.append(time.perf_counter() - mid2b)
         # build measured twice as well: driver-side compile + Catalyst
         # analysis is as exposed to session GC / host noise as the first
         # execution was (observed 0.5 -> 4.5 s swings on identical
@@ -98,7 +106,7 @@ def main() -> None:
         fn(spark, sf_dir)
         b2 = time.perf_counter() - mid3
         build[name] = round(min(mid - start, b2), 3)
-        timings[name] = round(build[name] + min(e1, e2), 3)
+        timings[name] = round(build[name] + min(execs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
