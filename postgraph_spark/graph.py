@@ -110,8 +110,25 @@ class Graph:
         return self.edges.filter(F.col("label") == label)
 
     def cache(self) -> "Graph":
-        self.vertices = self.vertices.cache()
-        self.edges = self.edges.cache()
+        """Materialize both tables in executor memory, SPREAD to cluster
+        parallelism first. A small-SF graph arrives as one input
+        partition per parquet file and a union keeps per-table
+        partitions, so without the spread every scan of a cached label
+        runs on ONE core (each label = one partition of the union) —
+        observed as a single-straggler stage under every Cypher bench
+        row. Decided from file metadata only (no plan-to-RDD probe, see
+        operators/dedup._spread); a production graph read from
+        thousands of files is already wide -> no-op."""
+        par = self.vertices.sparkSession.sparkContext.defaultParallelism
+        for attr in ("vertices", "edges"):
+            df = getattr(self, attr)
+            try:
+                nfiles = len(df.inputFiles())
+            except Exception:
+                nfiles = par
+            if 0 < nfiles < par:
+                df = df.repartition(par)
+            setattr(self, attr, df.cache())
         return self
 
     # -- construction helpers -------------------------------------------
