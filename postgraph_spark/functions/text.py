@@ -77,3 +77,40 @@ def bag_fingerprint(text: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token bag. Catches shuffled/reordered near-duplicates exactly."""
     return F.md5(F.array_join(F.sort_array(F.array_distinct(tokens(text))), " "))
+
+
+#: (pattern, replacement) in APPLICATION ORDER — email before the digit
+#: rules so the local part's digits don't half-match, IP before phone so
+#: dotted quads don't read as number runs. Patterns avoid lookarounds on
+#: purpose: they behave identically under Java regex (Spark) and RE2
+#: (DuckDB/production scrubbers), so a scrub decision is reproducible
+#: across engines.
+PII_RULES = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    (r"\b\d{9,}\b", "<NUM>"),
+]
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact common PII shapes (emails, IPv4, NANP-style phone numbers,
+    long digit runs) with typed placeholders — the pre-training scrub
+    pass. A pure JVM regexp_replace chain: stays inside whole-stage
+    codegen, no UDF, scan-predicate safe at 100 TB."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, rep in PII_RULES:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def pii_counts(text: Column | str) -> Column:
+    """Struct of per-category PII match counts (email/ip/phone/num) —
+    the audit metric next to the scrub."""
+    c = F.col(text) if isinstance(text, str) else text
+    fields = []
+    seen = c
+    for (pat, rep), name in zip(PII_RULES, ["email", "ip", "phone", "num"]):
+        fields.append(F.size(F.regexp_extract_all(seen, F.lit(pat), 0)).alias(name))
+        seen = F.regexp_replace(seen, pat, rep)  # sequential, like the scrub
+    return F.struct(*fields)

@@ -165,6 +165,42 @@ def sample_stratified(spark, sf_dir):
 
 
 @register(
+    "pii_scrub",
+    r"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' reach user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.7 tel 555-123-4567 acct 9999999' || CAST(doc_id % 1000 AS VARCHAR)
+             AS s
+      FROM documents)
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+        '\b\d{9,}\b', '<NUM>', 'g') AS scrubbed
+    FROM synth
+    """,
+)
+def pii_scrub(spark, sf_dir):
+    """PII redaction (functions/text.py scrub_pii): email/IPv4/phone/
+    digit-run placeholders over documents salted with synthetic PII
+    (the corpus text itself is word soup). Pure JVM regexp chain; the
+    oracle applies the LITERAL same patterns with DuckDB's 'g' flag —
+    the rules avoid lookarounds so Java regex and RE2 agree."""
+    docs = t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" reach user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel 555-123-4567 acct 9999999"),
+        (F.col("doc_id") % 1000).cast("string"),
+    )
+    return docs.select("doc_id", TX.scrub_pii(synth).alias("scrubbed"))
+
+
+@register(
     "decontam_overlap",
     f"""
     WITH {_SHINGLES},

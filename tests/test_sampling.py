@@ -59,3 +59,35 @@ def test_stratified_fractions(spark, docs):
 def test_bad_fraction_rejected(spark, docs):
     with pytest.raises(ValueError):
         deterministic_sample(docs, ["doc_id"], 1.5)
+
+
+def test_scrub_pii_and_counts(spark):
+    from postgraph_spark.functions.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            ("mail a@b.co and c.d@e.org now", "<EMAIL>", 2),
+            ("ip 10.0.0.1 ok", "<IP>", 0),
+            ("call 555-123-4567", "<PHONE>", 0),
+            ("card 4111111111111111 here", "<NUM>", 0),
+            ("clean text 123", None, 0),
+        ],
+        ["t", "expect", "n_email"],
+    )
+    from pyspark.sql import functions as F
+
+    rows = df.select(
+        "t", "expect", "n_email",
+        scrub_pii("t").alias("s"),
+        pii_counts("t").alias("c"),
+    ).collect()
+    for r in rows:
+        if r.expect:
+            assert r.expect in r.s, (r.t, r.s)
+        else:
+            assert r.s == r.t
+        assert r.c.email == r.n_email, (r.t, r.c)
+    # sequential counting: the IP's dotted quad must NOT also count as
+    # a phone or digit run
+    one = df.filter("t like 'ip %'").select(pii_counts("t").alias("c")).first().c
+    assert (one.ip, one.phone, one.num) == (1, 0, 0)
