@@ -165,6 +165,57 @@ def sample_stratified(spark, sf_dir):
 
 
 @register(
+    "repetition_stats",
+    f"""
+    WITH {_TOKS},
+    g2 AS (SELECT doc_id,
+                  unnest(CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+                         ELSE list_transform(generate_series(0, len(tk)-2),
+                                             j -> array_to_string(tk[j+1:j+2], ' ')) END) AS g
+           FROM toks),
+    cnt AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+    agg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS total_c,
+                   count(*) AS distinct_c
+            FROM cnt GROUP BY doc_id)
+    SELECT doc_id,
+           round(top_c / total_c, 6) AS top_bigram_frac,
+           round(1.0 - distinct_c / total_c, 6) AS dup_bigram_frac
+    FROM agg
+    """,
+)
+def repetition_stats(spark, sf_dir):
+    """Repetition quality filters (the publicly documented Gopher /
+    MassiveText heuristics): per document, the fraction of 2-grams
+    taken by the single most frequent 2-gram and the duplicate-2-gram
+    fraction — both used to drop boilerplate/looping documents before
+    training. Shape: explode 2-grams, one (doc, gram) count shuffle,
+    one per-doc agg; never quadratic in document length."""
+    docs = t(spark, sf_dir, "documents")
+    from postgraph_spark.operators.dedup import _spread
+
+    toks = TX.tokens(F.col("text"))
+    g2 = _spread(docs).select(
+        "doc_id", F.explode(TX.shingles(toks, 2)).alias("g")
+    )
+    cnt = g2.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_c"),
+            F.sum("c").alias("total_c"),
+            F.count(F.lit(1)).alias("distinct_c"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("top_c") / F.col("total_c"), 6).alias("top_bigram_frac"),
+            F.round(1.0 - F.col("distinct_c") / F.col("total_c"), 6).alias(
+                "dup_bigram_frac"
+            ),
+        )
+    )
+
+
+@register(
     "pii_scrub",
     r"""
     WITH synth AS (
