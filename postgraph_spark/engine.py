@@ -40,6 +40,9 @@ class CypherEngine:
     # ------------------------------------------------------------- execute
 
     def execute(self, text: str) -> DataFrame | None:
+        m = re.match(r"\s*EXPLAIN\s+(ANALYZE\s+)?(.*)", text, re.S | re.I)
+        if m:
+            return self.explain(m.group(2), analyze=bool(m.group(1)))
         ddl = _DDL_RE.match(text)
         if ddl:
             verb, _, name, cascade = ddl.groups()
@@ -65,6 +68,25 @@ class CypherEngine:
                     raise ValueError("no graph selected (USE GRAPH first)")
                 return WriteRunner(self.spark, self.graph).run(q)
         return Compiler(self.spark, self.graph).compile_query(q)
+
+    def explain(self, text: str, analyze: bool = False) -> DataFrame:
+        """EXPLAIN [ANALYZE] <query> — the PG statement surface mapped to
+        Spark's plan text: one row per plan line (like PG's QUERY PLAN
+        result shape). ANALYZE executes the plan first (a noop-sink run)
+        so the formatted output carries AQE's final shape; plain EXPLAIN
+        is compile-only."""
+        df = self.execute(text)
+        if df is None:
+            raise ValueError("EXPLAIN needs a reading query")
+        if analyze:
+            df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        lines = [(ln,) for ln in plan.rstrip().split("\n")]
+        return self.spark.createDataFrame(lines, "plan: string")
 
     def fetch(self, text: str) -> list[tuple]:
         """Execute and decode gval/entity columns to python values."""

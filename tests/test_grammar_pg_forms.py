@@ -124,3 +124,14 @@ def test_order_by_using_and_cypher_prefix(engine):
     assert vals == [1, 2, 3]
     vals = engine.fetch_values("UNWIND [3, 1, 2] AS x RETURN x ORDER BY x USING >")
     assert vals == [3, 2, 1]
+
+
+def test_explain_statement(engine):
+    # EXPLAIN [ANALYZE] <query> -> one row per plan line, like PG's
+    # QUERY PLAN result shape
+    df = engine.execute("EXPLAIN UNWIND [1, 2] AS x RETURN x + 1 AS y")
+    assert df.columns == ["plan"]
+    txt = "\n".join(r.plan for r in df.collect())
+    assert "Project" in txt
+    df2 = engine.execute("EXPLAIN ANALYZE UNWIND [1, 2] AS x RETURN x + 1 AS y")
+    assert df2.count() > 0
