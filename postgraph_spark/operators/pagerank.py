@@ -1,0 +1,104 @@
+"""Whole-graph analytics: PageRank and triangle counting as DataFrame
+iterations — the GraphX-style algorithms expressed Spark-first (joins +
+aggregations with per-round lineage cuts, the same pattern as
+operators/cc.py and the VLE checkpoint loop).
+
+Scale notes (100 TB):
+- Each PageRank round is two shuffles (contribution join on src, sum on
+  dst), both on vertex id; AQE handles hub skew. Dangling mass is a
+  1-row aggregate redistributed via a broadcast literal, not a
+  crossJoin of data.
+- Triangle counting orients edges low->high id first, so every triangle
+  is counted exactly once and the join fan-out of hub vertices is
+  bounded by forward-degree (the standard oriented-wedge optimization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    num_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the directed edge list; returns (v, rank) with
+    sum(rank) == 1 (dangling mass redistributed uniformly)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # (src, dst, deg) fixed for all rounds — checkpoint once
+    ed = e.join(outdeg, "src").localCheckpoint(eager=True)
+    ranks = verts.select("v", (F.lit(1.0) / n).alias("rank"))
+
+    for _ in range(num_iter):
+        contribs = (
+            ed.join(ranks.withColumnRenamed("v", "src"), "src")
+            .select(F.col("dst").alias("v"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("c"))
+        )
+        # dangling vertices (no out-edges) leak their rank: collect the
+        # leaked mass as ONE driver-side double and fold it into the
+        # uniform term
+        dangling = (
+            ranks.join(outdeg.withColumnRenamed("src", "v"), "v", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            verts.join(contribs, "v", "left")
+            .select(
+                "v",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFrame:
+    """Triangles per vertex in the UNDIRECTED graph given as a pair
+    list; returns (v, triangles). Edges are oriented low->high id so
+    each triangle (a<b<c) is enumerated exactly once from its lowest
+    vertex — the join fan-out on hubs is bounded by forward-degree."""
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("lo"), F.greatest("u", "v").alias("hi")
+        )
+        .distinct()
+    )
+    # wedge (a<b, a<c, b<c) closed by edge (b, c)
+    tri = (
+        und.alias("ab")
+        .join(und.alias("ac"), F.col("ab.lo") == F.col("ac.lo"))
+        .filter(F.col("ab.hi") < F.col("ac.hi"))
+        .join(
+            und.alias("bc"),
+            (F.col("bc.lo") == F.col("ab.hi")) & (F.col("bc.hi") == F.col("ac.hi")),
+        )
+        .select(
+            F.col("ab.lo").alias("x"), F.col("ab.hi").alias("y"), F.col("ac.hi").alias("z")
+        )
+    )
+    member = (
+        tri.select(F.col("x").alias("v"))
+        .union(tri.select(F.col("y").alias("v")))
+        .union(tri.select(F.col("z").alias("v")))
+    )
+    return member.groupBy("v").agg(F.count(F.lit(1)).alias("triangles"))

@@ -165,6 +165,45 @@ def sample_stratified(spark, sf_dir):
 
 
 @register(
+    "dup_triangles",
+    f"""
+    WITH {_SHINGLES},
+    hs AS (SELECT doc_id, g.h AS h,
+                  substr(md5(CAST(g.h AS VARCHAR) || shingle), 1, 8) AS hv
+           FROM sh CROSS JOIN generate_series(0, 7) AS g(h)),
+    sig AS (SELECT doc_id, h, min(hv) AS minhash FROM hs GROUP BY doc_id, h),
+    bands AS (SELECT doc_id, h // 2 AS band,
+                     md5(array_to_string(list_sort(list(CAST(h AS VARCHAR) || ':' || minhash)), '|')) AS bucket
+              FROM sig GROUP BY doc_id, h // 2),
+    pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+              WHERE x.doc_id < y.doc_id),
+    tri AS (SELECT ab.a AS x, ab.b AS y, ac.b AS z
+            FROM pairs ab
+            JOIN pairs ac ON ac.a = ab.a AND ab.b < ac.b
+            JOIN pairs bc ON bc.a = ab.b AND bc.b = ac.b)
+    SELECT v, CAST(count(*) AS BIGINT) AS triangles FROM (
+      SELECT x AS v FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+    GROUP BY v
+    """,
+)
+def dup_triangles(spark, sf_dir):
+    """Triangle counting (operators/pagerank.py triangle_count) over the
+    MinHash-LSH near-dup pair graph — the clique-density signal a
+    curation pipeline uses to tell template families (dense triangles)
+    from chance collisions (none). Oriented low->high so each triangle
+    counts once and hub fan-out is bounded by forward-degree."""
+    from postgraph_spark.operators import pagerank as PR
+
+    pairs = DD.lsh_candidate_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, bands=4, k=3
+    )
+    return PR.triangle_count(pairs, "a", "b")
+
+
+@register(
     "repetition_stats",
     f"""
     WITH {_TOKS},

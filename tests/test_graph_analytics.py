@@ -1,0 +1,40 @@
+"""Whole-graph analytics (operators/pagerank.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgraph_spark.operators.pagerank import pagerank, triangle_count
+
+
+def test_pagerank_star(spark):
+    # star: 1..4 all point at 0; 0 dangles. Hand-computable invariants:
+    # the hub outranks the leaves, leaves tie, total mass == 1.
+    e = spark.createDataFrame([(i, 0) for i in range(1, 5)], ["src", "dst"])
+    r = {row.v: row.rank for row in pagerank(e, num_iter=15).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-6
+    assert r[0] > r[1]
+    assert abs(r[1] - r[4]) < 1e-9
+
+
+def test_pagerank_cycle_uniform(spark):
+    # a directed cycle is perfectly symmetric: uniform ranks
+    e = spark.createDataFrame([(i, (i + 1) % 5) for i in range(5)], ["src", "dst"])
+    ranks = [row.rank for row in pagerank(e, num_iter=10).collect()]
+    assert all(abs(x - 0.2) < 1e-9 for x in ranks)
+
+
+def test_triangle_count_known(spark):
+    # K4 has 4 triangles, every vertex in 3; the pendant vertex 9 in none
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    e = spark.createDataFrame(k4 + [(3, 9)], ["a", "b"])
+    t = {row.v: row.triangles for row in triangle_count(e).collect()}
+    assert t == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_count_orientation_dedup(spark):
+    # duplicate + reversed edges must not inflate the count
+    e = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (0, 2), (2, 0), (0, 1)], ["a", "b"]
+    )
+    t = {row.v: row.triangles for row in triangle_count(e).collect()}
+    assert t == {0: 1, 1: 1, 2: 1}
