@@ -164,6 +164,21 @@ def sample_stratified(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+@register("pagerank_dupgraph")
+def pagerank_dupgraph(spark, sf_dir):
+    """PageRank over the near-dup pair graph (operators/pagerank.py) —
+    no SQL oracle (iterative numeric fixpoint); pinned instead by
+    star/cycle invariant tests in tests/test_graph_analytics.py."""
+    from postgraph_spark.operators import pagerank as PR
+
+    pairs = DD.lsh_candidate_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, bands=4, k=3
+    )
+    return PR.pagerank(pairs, "a", "b", num_iter=5).select(
+        "v", F.round("rank", 6).alias("rank")
+    )
+
+
 @register(
     "dup_triangles",
     f"""
