@@ -73,6 +73,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 5,
     bucket_col: str | None = None,
+    max_broadcast_queries: int = 100_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -80,7 +81,15 @@ def brute_force_topk(
     With bucket_col set, candidates are restricted to the query's bucket
     (IVF probe=1). Without it, a broadcast of the query set keeps the
     corpus scan shuffle-free until the final per-query top-k.
+
+    The broadcast is GUARDED: a query set beyond max_broadcast_queries
+    rows (one cheap limit-probe job, no full count) falls back to a
+    plain join so an unbounded query set cannot OOM the executors —
+    top-k probes are the design point, query==corpus self-joins the
+    exception.
     """
+    probe = queries.limit(max_broadcast_queries + 1).count()
+    small = probe <= max_broadcast_queries
     # norms are computed per ROW before the join (one O(d) fold per vector,
     # not one per candidate pair — a 3x cut in per-pair float work)
     q = queries.select(
@@ -95,11 +104,12 @@ def brute_force_topk(
         l2_norm(F.col(vec_col)).alias("nn"),
         *([F.col(bucket_col).alias("nb")] if bucket_col else []),
     )
+    qside = F.broadcast(q) if small else q
     cond = F.col("q") != F.col("n")
     if bucket_col:
-        joined = c.join(F.broadcast(q), (F.col("qb") == F.col("nb")) & cond)
+        joined = c.join(qside, (F.col("qb") == F.col("nb")) & cond)
     else:
-        joined = c.join(F.broadcast(q), cond)
+        joined = c.join(qside, cond)
     sims = joined.select(
         "q",
         "n",
