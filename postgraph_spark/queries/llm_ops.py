@@ -164,6 +164,70 @@ def sample_stratified(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+@register(
+    "asof_view_before_click",
+    """
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         views  AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+    SELECT c.event_id, c.user_id, round(v.value, 2) AS asof_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+)
+def asof_view_before_click(spark, sf_dir):
+    """AS-OF JOIN (operators/temporal_join.py): every click event gets
+    the latest view event's value at-or-before it for the same user.
+    Spark-first shape: union-tag + one ignorenulls-last window — ONE
+    shuffle on user_id, no join operator at all (a theta join would be
+    BroadcastNestedLoop). The oracle is DuckDB's NATIVE ASOF LEFT
+    JOIN."""
+    from postgraph_spark.operators.temporal_join import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join(clicks, views, on="user_id", value_cols=["value"])
+    return out.select(
+        "event_id", "user_id", F.round(F.col("asof_value"), 2).alias("asof_value")
+    )
+
+
+@register(
+    "interval_overlap_join",
+    """
+    WITH errs AS (SELECT user_id, ts AS lo, ts + INTERVAL 30 MINUTE AS hi,
+                         event_id AS err_id
+                  FROM events WHERE event_type = 'error'),
+         clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.event_id, CAST(count(*) AS BIGINT) AS n_windows
+    FROM clicks c JOIN errs e
+      ON e.user_id = c.user_id AND c.ts >= e.lo AND c.ts <= e.hi
+    GROUP BY c.event_id
+    """,
+)
+def interval_overlap_join(spark, sf_dir):
+    """Interval RANGE JOIN (operators/temporal_join.py): clicks joined
+    to the 30-minute windows opened by each error event for the same
+    user, counted per click. Bucketized equi-join (intervals explode to
+    their covered bucket grid) — shuffle O(rows x width/bucket), never
+    the quadratic nested loop the plain inequality join plans to."""
+    from postgraph_spark.operators.temporal_join import range_join_buckets
+
+    ev = t(spark, sf_dir, "events")
+    errs = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("hi"),
+        F.col("event_id").alias("err_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = range_join_buckets(clicks, errs, on="user_id", point_ts="ts",
+                                lo_col="lo", hi_col="hi", bucket_seconds=1800)
+    return joined.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_windows"))
+
+
 @register("pagerank_dupgraph")
 def pagerank_dupgraph(spark, sf_dir):
     """PageRank over the near-dup pair graph (operators/pagerank.py) —
