@@ -135,3 +135,29 @@ def test_explain_statement(engine):
     assert "Project" in txt
     df2 = engine.execute("EXPLAIN ANALYZE UNWIND [1, 2] AS x RETURN x + 1 AS y")
     assert df2.count() > 0
+
+
+def test_similar_column_pattern_agrees_with_literal(spark):
+    # the JVM regexp_replace conversion chain (column patterns) and the
+    # compile-time Python conversion (literal patterns) must make the
+    # same decisions
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from postgraph_spark.functions import gtype as G
+    from postgraph_spark.functions.gtype import _similar_to_regex
+
+    pats = ["H%o", "H_llo", "(abc|def)", "a.b", "a+", "%ell%", "x%",
+            "a(b|c)_d%", "[Hh]ello", "he{2}llo"]
+    strs = ["Hello", "hello", "axb", "a.b", "abc", "def", "abXdzz",
+            "heello", "", "aaa"]
+    rows = [(s, p) for s in strs for p in pats]
+    df = spark.createDataFrame(rows, ["s", "p"])
+    got = df.select(
+        "s", "p",
+        G.op_similar(G.gv_str(F.col("s")), G.gv_str(F.col("p")))["b"].alias("jvm"),
+    ).collect()
+    for r in got:
+        want = bool(_re.fullmatch(_similar_to_regex(r.p), r.s))
+        assert r.jvm == want, (r.s, r.p, r.jvm, want)
