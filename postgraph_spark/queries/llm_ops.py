@@ -165,6 +165,45 @@ def sample_stratified(spark, sf_dir):
 
 
 @register(
+    "boilerplate_ngrams",
+    f"WITH {_TOKS}"
+    + r""",
+    g5 AS (SELECT doc_id,
+                  unnest(CASE WHEN len(tk) < 5 THEN CAST([] AS VARCHAR[])
+                         ELSE list_transform(generate_series(0, len(tk)-5),
+                                             j -> array_to_string(tk[j+1:j+5], ' ')) END) AS g
+           FROM toks)
+    SELECT g AS shingle, CAST(count(*) AS BIGINT) AS occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM g5 GROUP BY g
+    ORDER BY occurrences DESC, shingle
+    LIMIT 20
+    """,
+)
+def boilerplate_ngrams(spark, sf_dir):
+    """Corpus-level boilerplate mining: the 20 most frequent 5-gram
+    shingles with their document frequency — the blocklist-building
+    step upstream of boilerplate stripping. One (shingle) count
+    shuffle + a 20-row ordered take; ties broken by shingle text so
+    the LIMIT boundary is deterministic across engines."""
+    docs = t(spark, sf_dir, "documents")
+    from postgraph_spark.operators.dedup import _spread
+
+    toks = TX.tokens(F.col("text"))
+    g5 = _spread(docs).select("doc_id", F.explode(TX.shingles(toks, 5)).alias("g"))
+    return (
+        g5.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("occurrences").desc(), F.col("g"))
+        .limit(20)
+        .select(F.col("g").alias("shingle"), "occurrences", "doc_freq")
+    )
+
+
+@register(
     "asof_view_before_click",
     """
     WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
