@@ -164,6 +164,42 @@ def gv_ref(c: Column | str, types: frozenset | None = None) -> Column:
     return col
 
 
+# ------------------------------------------------------- scalar lets
+#
+# Function kernels with internal reuse chains (age's borrow tower,
+# text datetime parsing) multiply their operand trees when built as one
+# Column expression: each reuse copies the whole subtree, and a chain of
+# k dependent intermediates grows the tree exponentially (round-6
+# verdict: age() over two attribute inputs compiled to a single ~98KB
+# projection expression, blowing past codegen method limits). The
+# compiler installs a binder here while compiling read-path clauses;
+# kernels wrap intermediates in let_scalar() so each becomes a hidden
+# projection column (flushed by Compiler._apply_lets) and every reuse is
+# a cheap attribute. Catalyst's CollapseProject then re-merges only the
+# used-once/cheap ones, so the optimized plan stays linear in kernel
+# size. With no binder installed (write path, standalone use) the value
+# passes through unchanged.
+
+_SCALAR_BINDER = None
+
+
+def set_scalar_binder(fn):
+    """Install (or clear, fn=None) the active scalar binder; returns the
+    previous one so callers can restore it."""
+    global _SCALAR_BINDER
+    prev = _SCALAR_BINDER
+    _SCALAR_BINDER = fn
+    return prev
+
+
+def let_scalar(col: Column) -> Column:
+    """Bind a non-gval intermediate as a hidden projection column when a
+    binder is active; identity otherwise."""
+    if _SCALAR_BINDER is None:
+        return col
+    return _SCALAR_BINDER(col)
+
+
 def _t_or_null(c: Column, t: int) -> Column:
     """type tag: T_NULL when the payload is SQL-null, else t."""
     return F.when(c.isNull(), F.lit(T_NULL)).otherwise(F.lit(t))

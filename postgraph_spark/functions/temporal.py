@@ -211,13 +211,16 @@ def parse_ts_us(s: Column, apply_tz: bool = False) -> Column:
     """Timestamp text -> µs since 1970 (SQL null on parse failure).
     Accepts ISO, 'M/D/YYYY [H:M:S[.f]][±TZ]' and 'Dow Mon D [H:M:S] YYYY'
     (the PG datestyles exercised by regress/sql/temporal.sql:30-42)."""
-    txt = F.trim(s)
+    # txt/core/core2 are each reused 2-5×: let-bound so a non-trivial
+    # source expression (e.g. a variant property read) isn't copied into
+    # every derived regex (see gtype.set_scalar_binder)
+    txt = G.let_scalar(F.trim(s))
     low = F.lower(txt)
-    core = _strip_tz(F.regexp_replace(txt, r"Z$", ""))  # ISO 'Z' = UTC
+    core = G.let_scalar(_strip_tz(F.regexp_replace(txt, r"Z$", "")))  # ISO 'Z' = UTC
     frac = _frac_us(core)
-    core2 = F.regexp_replace(core, r"\.\d+", "")
+    core2 = G.let_scalar(F.regexp_replace(core, r"\.\d+", ""))
     # 'Fri Jun 23 13:39:40 2023' — strip the weekday, parse 'MMM d H:m:s yyyy'
-    noday = F.regexp_replace(core2, r"^[A-Za-z]{3}\s+(?=[A-Za-z]{3}\s)", "")
+    noday = G.let_scalar(F.regexp_replace(core2, r"^[A-Za-z]{3}\s+(?=[A-Za-z]{3}\s)", ""))
     ts = F.coalesce(
         F.try_to_timestamp(core2),
         F.try_to_timestamp(core2, F.lit("M/d/yyyy H:m:s")),
@@ -713,33 +716,39 @@ def age2_gv(a: Column, b: Column) -> Column:
     such that ts2 + result steps the calendar to ts1. PG computes the
     non-negative difference (negating the operands' roles when dt1<dt2)
     and flips the sign at the end — so age(x,y) == -age(y,x) exactly."""
-    ua0, ub0 = _gv_ts_us(a), _gv_ts_us(b)
+    # every intermediate is let-bound (G.let_scalar): the borrow tower
+    # reuses each level 2-4×, and built as one Column tree the reuse
+    # copies whole subtrees — exponential growth, measured ~98KB for one
+    # projection expression (round-6 verdict item #1). As hidden columns
+    # each level is O(1) over attributes.
+    L = G.let_scalar
+    ua0, ub0 = L(_gv_ts_us(a)), L(_gv_ts_us(b))
     neg = ua0 < ub0
-    sign = F.when(neg, F.lit(-1)).otherwise(F.lit(1)).cast("long")
-    ua, ub = F.greatest(ua0, ub0), F.least(ua0, ub0)
-    ta, tb = F.timestamp_micros(ua), F.timestamp_micros(ub)
-    tod_diff0 = F.pmod(ua, F.lit(US_PER_DAY)) - F.pmod(ub, F.lit(US_PER_DAY))
-    day_borrow = F.when(tod_diff0 < 0, F.lit(1)).otherwise(F.lit(0))
-    tod_diff = tod_diff0 + day_borrow * US_PER_DAY
+    sign = L(F.when(neg, F.lit(-1)).otherwise(F.lit(1)).cast("long"))
+    ua, ub = L(F.greatest(ua0, ub0)), L(F.least(ua0, ub0))
+    ta, tb = L(F.timestamp_micros(ua)), L(F.timestamp_micros(ub))
+    tod_diff0 = L(F.pmod(ua, F.lit(US_PER_DAY)) - F.pmod(ub, F.lit(US_PER_DAY)))
+    day_borrow = L(F.when(tod_diff0 < 0, F.lit(1)).otherwise(F.lit(0)))
+    tod_diff = L(tod_diff0 + day_borrow * US_PER_DAY)
 
-    day_diff0 = F.dayofmonth(ta) - F.dayofmonth(tb) - day_borrow
+    day_diff0 = L(F.dayofmonth(ta) - F.dayofmonth(tb) - day_borrow)
     # borrow days-in-month of the earlier operand's month
     # (timestamp_age's day_tab lookup)
-    dim = F.dayofmonth(F.last_day(tb))
-    b1 = F.when(day_diff0 < 0, F.lit(1)).otherwise(F.lit(0))
-    day_diff1 = day_diff0 + b1 * dim
-    b2 = F.when(day_diff1 < 0, F.lit(1)).otherwise(F.lit(0))
-    day_diff = day_diff1 + b2 * dim
+    dim = L(F.dayofmonth(F.last_day(tb)))
+    b1 = L(F.when(day_diff0 < 0, F.lit(1)).otherwise(F.lit(0)))
+    day_diff1 = L(day_diff0 + b1 * dim)
+    b2 = L(F.when(day_diff1 < 0, F.lit(1)).otherwise(F.lit(0)))
+    day_diff = L(day_diff1 + b2 * dim)
     mon_borrow = b1 + b2
 
-    mon_diff0 = F.month(ta) - F.month(tb) - mon_borrow
-    yb1 = F.when(mon_diff0 < 0, F.lit(1)).otherwise(F.lit(0))
-    mon_diff1 = mon_diff0 + yb1 * 12
-    yb2 = F.when(mon_diff1 < 0, F.lit(1)).otherwise(F.lit(0))
-    mon_diff = mon_diff1 + yb2 * 12
-    year_diff = F.year(ta) - F.year(tb) - yb1 - yb2
+    mon_diff0 = L(F.month(ta) - F.month(tb) - mon_borrow)
+    yb1 = L(F.when(mon_diff0 < 0, F.lit(1)).otherwise(F.lit(0)))
+    mon_diff1 = L(mon_diff0 + yb1 * 12)
+    yb2 = L(F.when(mon_diff1 < 0, F.lit(1)).otherwise(F.lit(0)))
+    mon_diff = L(mon_diff1 + yb2 * 12)
+    year_diff = L(F.year(ta) - F.year(tb) - yb1 - yb2)
 
-    months = (year_diff.cast("long") * 12 + mon_diff).cast("long")
+    months = L((year_diff.cast("long") * 12 + mon_diff).cast("long"))
     ok = a.t.isin(G.T_TIMESTAMP, G.T_DATE) & b.t.isin(G.T_TIMESTAMP, G.T_DATE)
     return G.gv_interval(
         F.when(ok, months * sign), day_diff.cast("long") * sign, tod_diff.cast("long") * sign

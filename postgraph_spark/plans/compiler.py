@@ -159,6 +159,7 @@ class Compiler:
 
     def compile_clause(self, clause, df, scope):
         prev, self._lets = self._lets, []
+        prev_binder = G.set_scalar_binder(self._let_scalar)
         try:
             if isinstance(clause, A.MatchClause):
                 return self.compile_match(clause, df, scope)
@@ -169,6 +170,7 @@ class Compiler:
             raise CompileError(f"unsupported clause {type(clause).__name__} in read path")
         finally:
             self._lets = prev
+            G.set_scalar_binder(prev_binder)
 
     # -------------------------------------------------- let bindings
     #
@@ -190,6 +192,16 @@ class Compiler:
         # the ref keeps the bound value's statically-known type set so
         # downstream operator dispatch can still prune branches
         return G.gv_ref(name, types=G.gv_types(col))
+
+    def _let_scalar(self, col: Column) -> Column:
+        """Function-kernel-internal let (G.let_scalar binder): binds a
+        plain (non-gval) intermediate as a hidden column and returns the
+        attribute ref. See gtype.set_scalar_binder for why."""
+        if self._lets is None:
+            return col
+        name = f"__let{next(self._anon)}"
+        self._lets.append((name, col))
+        return F.col(name)
 
     def _maybe_let(self, col: Column, node, df) -> Column:
         """let-bind `col` (the compiled gval of AST `node`) when it is a
