@@ -72,14 +72,17 @@ class CypherEngine:
     def explain(self, text: str, analyze: bool = False) -> DataFrame:
         """EXPLAIN [ANALYZE] <query> — the PG statement surface mapped to
         Spark's plan text: one row per plan line (like PG's QUERY PLAN
-        result shape). ANALYZE executes the plan first (a noop-sink run)
-        so the formatted output carries AQE's final shape; plain EXPLAIN
-        is compile-only."""
+        result shape). ANALYZE runs the query's OWN QueryExecution to
+        completion (executedPlan().execute() is the AdaptiveSparkPlanExec
+        itself; the RDD count moves no rows to the driver) so the
+        formatted output carries AQE's final shape (isFinalPlan=true) —
+        a separate noop-write execution would leave this df's plan
+        un-executed (round-6 ADVICE). Plain EXPLAIN is compile-only."""
         df = self.execute(text)
         if df is None:
             raise ValueError("EXPLAIN needs a reading query")
         if analyze:
-            df.write.format("noop").mode("overwrite").save()
+            df._jdf.queryExecution().executedPlan().execute().count()
         plan = df._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"

@@ -1353,16 +1353,27 @@ def op_similar(
 ) -> Column:
     """[NOT] SIMILAR TO. Literal patterns convert to a Java regex at
     compile time (`pattern_text`); column patterns convert with a JVM
-    regexp_replace chain (`\\%`/`\\_` stay literal; an escaped backslash
-    immediately before % is the one undocumented edge). Full-string
+    regexp_replace chain that FIRST consumes backslash-escape pairs
+    left-to-right into a sentinel encoding (so `\\.` stays a literal dot
+    and `\\\\.` parses as escaped-backslash + wildcard dot, agreeing
+    with the literal path for every escaped metachar — round-6 ADVICE),
+    then rewrites the unescaped `%`/`_`/`.^$` forms, then restores the
+    escaped chars as regex-literalized. A pattern containing the \\x01
+    control char itself is the one undocumented edge. Full-string
     anchored match, string-operand 3VL like the LIKE family."""
     if pattern_text is not None:
         r = F.regexp_like(a.s, F.lit("^(?:" + _similar_to_regex(pattern_text) + ")$"))
         return _str3vl(a, b, ~r if negate else r)
-    p = F.regexp_replace(b.s, r"([.^$])", r"\\$1")  # literalize . ^ $
-    p = F.regexp_replace(p, r"(?<!\\)%", ".*")  # unescaped %
-    p = F.regexp_replace(p, r"(?<!\\)_", ".")  # unescaped _
-    p = F.regexp_replace(p, r"\\([%_])", "$1")  # escaped stay literal
+    S = "\x01"  # sentinel marking "next char was backslash-escaped"
+    p = F.regexp_replace(b.s, r"\\(.)", S + "$1")  # consume escape pairs
+    p = F.regexp_replace(p, f"(?<!{S})([.^$])", r"\\$1")  # literalize . ^ $
+    p = F.regexp_replace(p, f"(?<!{S})%", ".*")  # unescaped %
+    p = F.regexp_replace(p, f"(?<!{S})_", ".")  # unescaped _
+    # escaped alphanumerics emit bare (a backslashed letter is a Java
+    # regex class/error; PG errors on these patterns — both paths here
+    # treat them as the literal char); everything else regex-literalizes
+    p = F.regexp_replace(p, f"{S}([A-Za-z0-9])", "$1")
+    p = F.regexp_replace(p, f"{S}(.)", r"\\$1")
     r = F.regexp_like(a.s, F.concat(F.lit("^(?:"), p, F.lit(")$")))
     return _str3vl(a, b, ~r if negate else r)
 

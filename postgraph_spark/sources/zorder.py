@@ -29,9 +29,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: bits per column in the interleave; 16 bits x up to 4 cols fits the
-#: 63 usable bits of a signed long
+#: max bits per column in the interleave. The usable width of a signed
+#: long is 63 bits (bit 63 is the sign — setting it would order those
+#: rows BEFORE the curve origin under repartitionByRange), so the
+#: per-column width is min(BITS, 63 // n_cols): 16 for 2-3 columns,
+#: 15 for 4.
 BITS = 16
+
+
+def _bits_per_col(k: int) -> int:
+    return min(BITS, 63 // k)
 
 
 def _as_double(df: DataFrame, col: str) -> Column | None:
@@ -56,6 +63,7 @@ def zvalue(df: DataFrame, cols: list[str]) -> Column:
     hash-bucket (equality-only pruning)."""
     if not 2 <= len(cols) <= 4:
         raise ValueError("z-order needs 2-4 columns")
+    bits = _bits_per_col(len(cols))
     dbl = {c: _as_double(df, c) for c in cols}
     rng = [c for c in cols if dbl[c] is not None]
     bounds = {}
@@ -68,21 +76,21 @@ def zvalue(df: DataFrame, cols: list[str]) -> Column:
     norm = []
     for c in cols:
         if dbl[c] is None:
-            norm.append(F.pmod(F.xxhash64(F.col(c)), F.lit(1 << BITS)).cast("long"))
+            norm.append(F.pmod(F.xxhash64(F.col(c)), F.lit(1 << bits)).cast("long"))
             continue
         lo, hi = bounds[c]
         if lo is None or hi is None or hi <= lo:
             norm.append(F.lit(0).cast("long"))
             continue
         scaled = (dbl[c] - F.lit(float(lo))) / F.lit(float(hi - lo))
-        q = F.floor(scaled * F.lit(float((1 << BITS) - 1)))
+        q = F.floor(scaled * F.lit(float((1 << bits) - 1)))
         q = F.coalesce(q, F.lit(0))  # nulls cluster at the curve origin
         norm.append(
-            F.greatest(F.lit(0), F.least(q, F.lit((1 << BITS) - 1))).cast("long")
+            F.greatest(F.lit(0), F.least(q, F.lit((1 << bits) - 1))).cast("long")
         )
     k = len(norm)
     z = F.lit(0).cast("long")
-    for bit in range(BITS):
+    for bit in range(bits):
         for j, nc in enumerate(norm):
             # bit `bit` of column j lands at position bit*k + j
             z = z.bitwiseOR(

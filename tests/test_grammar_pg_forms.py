@@ -149,9 +149,15 @@ def test_similar_column_pattern_agrees_with_literal(spark):
     from postgraph_spark.functions.gtype import _similar_to_regex
 
     pats = ["H%o", "H_llo", "(abc|def)", "a.b", "a+", "%ell%", "x%",
-            "a(b|c)_d%", "[Hh]ello", "he{2}llo"]
+            "a(b|c)_d%", "[Hh]ello", "he{2}llo",
+            # escaped metachars: the sentinel pass must keep every \X a
+            # literal X and \\ a literal backslash (round-6 ADVICE —
+            # previously only \% and \_ agreed between the two paths)
+            r"a\.b", r"a\%b", r"a\_b", r"\(abc\)", r"a\\%", r"a\\.b",
+            r"a\+b", r"\[x\]"]
     strs = ["Hello", "hello", "axb", "a.b", "abc", "def", "abXdzz",
-            "heello", "", "aaa"]
+            "heello", "", "aaa", "a.b", "a%b", "a_b", "(abc)",
+            "a\\", "a\\zzz", "a\\xb", "a+b", "[x]"]
     rows = [(s, p) for s in strs for p in pats]
     df = spark.createDataFrame(rows, ["s", "p"])
     got = df.select(

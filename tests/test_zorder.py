@@ -71,3 +71,21 @@ def test_zorder_string_column(spark, tmp_path):
 def test_zvalue_rejects_bad_arity(spark, grid):
     with pytest.raises(ValueError):
         zvalue(grid, ["x"])
+
+
+def test_zvalue_four_columns_stays_positive(spark):
+    """4 cols x 16 bits would write bit 63 (the sign bit), splitting the
+    Morton curve: rows with the 4th column's top bit set sorted before
+    everything else (round-6 ADVICE). 4 columns must drop to 15 bits."""
+    df = spark.range(4096).select(
+        (F.col("id") % 16).alias("a"),
+        ((F.col("id") / 16) % 16).cast("long").alias("b"),
+        ((F.col("id") / 256) % 16).cast("long").alias("c"),
+        # near the max so the top normalized bit is exercised
+        (F.col("id") % 65536).alias("d"),
+    )
+    zs = df.select(zvalue(df, ["a", "b", "c", "d"]).alias("z")).agg(
+        F.min("z").alias("lo"), F.max("z").alias("hi")
+    ).first()
+    assert zs["lo"] >= 0, zs  # sign bit never set
+    assert zs["hi"] < (1 << 60), zs  # 4 cols x 15 bits
