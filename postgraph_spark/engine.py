@@ -25,6 +25,26 @@ _DDL_RE = re.compile(
     re.IGNORECASE,
 )
 
+# label DDL + constraints — the statement surface over the reference's
+# SQL functions (sql/postgraph.sql.in:131-171; label_commands.c:170,249,
+# 271-350,425-520,976-1040): create_vlabel/create_elabel/drop_label,
+# create_unique_properties_constraint, create_property_index
+_LABEL_RE = re.compile(
+    r"^\s*CREATE\s+(VLABEL|ELABEL)\s+([A-Za-z_][A-Za-z_0-9]*)\s*;?\s*$", re.IGNORECASE
+)
+_DROP_LABEL_RE = re.compile(
+    r"^\s*DROP\s+(?:V|E)?LABEL\s+([A-Za-z_][A-Za-z_0-9]*)(\s+FORCE)?\s*;?\s*$", re.IGNORECASE
+)
+_UNIQUE_PROPS_RE = re.compile(
+    r"^\s*CREATE\s+UNIQUE\s+PROPERTIES\s+CONSTRAINT\s+ON\s+([A-Za-z_][A-Za-z_0-9]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_PROP_INDEX_RE = re.compile(
+    r"^\s*CREATE\s+(UNIQUE\s+)?PROPERTY\s+INDEX\s+ON\s+([A-Za-z_][A-Za-z_0-9]*)\s*"
+    r"\(\s*([A-Za-z_][A-Za-z_0-9]*)\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 
 class CypherEngine:
     def __init__(self, spark: SparkSession, catalog: GraphCatalog | None = None):
@@ -43,6 +63,9 @@ class CypherEngine:
         m = re.match(r"\s*EXPLAIN\s+(ANALYZE\s+)?(.*)", text, re.S | re.I)
         if m:
             return self.explain(m.group(2), analyze=bool(m.group(1)))
+        ldl = self._label_ddl(text)
+        if ldl:
+            return None
         ddl = _DDL_RE.match(text)
         if ddl:
             verb, _, name, cascade = ddl.groups()
@@ -68,6 +91,41 @@ class CypherEngine:
                     raise ValueError("no graph selected (USE GRAPH first)")
                 return WriteRunner(self.spark, self.graph).run(q)
         return Compiler(self.spark, self.graph).compile_query(q)
+
+    def _label_ddl(self, text: str) -> bool:
+        """Dispatch label DDL / constraint statements; returns True when
+        the text was one. All require a current graph (the reference's
+        functions take the graph name as their first argument; here the
+        session's USE'd graph plays that role)."""
+        m = _LABEL_RE.match(text)
+        m2 = _DROP_LABEL_RE.match(text) if not m else None
+        m3 = _UNIQUE_PROPS_RE.match(text) if not (m or m2) else None
+        m4 = _PROP_INDEX_RE.match(text) if not (m or m2 or m3) else None
+        if not (m or m2 or m3 or m4):
+            return False
+        if self.graph is None:
+            raise ValueError("no graph selected (USE GRAPH first)")
+        if m:
+            kind = "vertex" if m.group(1).upper() == "VLABEL" else "edge"
+            self.graph.create_label(m.group(2), kind)
+        elif m2:
+            if m2.group(2):
+                # drop_label gates `force` and rejects it (label_commands.c:1027)
+                raise ValueError("force option is not supported yet")
+            self.graph.drop_label(m2.group(1))
+        elif m3:
+            self.graph.add_unique_constraint(m3.group(1), None)
+        else:
+            label, prop = m4.group(2), m4.group(3)
+            if m4.group(1):
+                self.graph.add_unique_constraint(label, prop)
+            else:
+                if label not in self.graph.label_ids:
+                    raise ValueError(f'label "{label}" does not exist')
+                # non-unique: metadata only — scan-side layout analogs
+                # (partition pruning, id cluster/bloom, Z-order) stand in
+                self.graph.property_indexes.append({"label": label, "property": prop})
+        return True
 
     def explain(self, text: str, analyze: bool = False) -> DataFrame:
         """EXPLAIN [ANALYZE] <query> — the PG statement surface mapped to
@@ -168,53 +226,61 @@ class CypherEngine:
                 pending_edges.append((rel.label or "_ag_label_edge", src, dst, lit_props(rel.props)))
                 prev = nxt
 
-        base_ids = self._append_vertices(g, vrows)
+        # build BOTH row sets, enforce constraints on BOTH, then commit —
+        # a violation anywhere aborts the whole statement with nothing
+        # written (PG statement atomicity; allocated sequence values are
+        # consumed either way, exactly like nextval under rollback)
+        base_ids, new_v = self._build_vertices(g, vrows)
 
         def resolve(ref):
             kind, v = ref
             return base_ids[v] if kind == "new" else v
 
         erows = [(lbl, resolve(s), resolve(d), props) for lbl, s, d, props in pending_edges]
-        self._append_edges(g, erows)
+        new_e = self._build_edges(g, erows)
+        if new_v is not None:
+            g.enforce_unique("vertices", new_v)
+        if new_e is not None:
+            g.enforce_unique("edges", new_e)
+        if new_v is not None:
+            self._commit_new(g, "vertices", new_v)
+        if new_e is not None:
+            self._commit_new(g, "edges", new_e)
 
-    def _append_vertices(self, g: Graph, rows: list[tuple[str, dict]]) -> list[int]:
+    def _build_vertices(self, g: Graph, rows: list[tuple[str, dict]]):
         from postgraph_spark.graph import VERTEX_SCHEMA, make_graphid
 
         ids = []
         data = []
         for label, props in rows:
-            lid, eid = g.alloc_entry_ids(label, 1)
+            lid, eid = g.alloc_entry_ids(label, 1, kind="vertex")
             gid = make_graphid(lid, eid)
             ids.append(gid)
             data.append((gid, label, json.dumps(props)))
-        if data:
-            new = self.spark.createDataFrame(data, VERTEX_SCHEMA)
-            if "pv" in g.vertices.columns:
-                new = new.withColumn("pv", F.try_parse_json("properties"))
-            g.vertices = g.vertices.unionByName(new)
-            if g.durable_path:
-                # pin the union (bounded lineage across repeated CREATEs),
-                # then append ONLY the new rows — O(rows), not the former
-                # O(table) full persist (round-5 verdict item #3)
-                g.vertices = g.vertices.localCheckpoint(eager=True)
-                g.persist_append("vertices", new)
-        return ids
+        return ids, (self.spark.createDataFrame(data, VERTEX_SCHEMA) if data else None)
 
-    def _append_edges(self, g: Graph, rows: list[tuple[str, int, int, dict]]) -> None:
+    def _build_edges(self, g: Graph, rows: list[tuple[str, int, int, dict]]):
         from postgraph_spark.graph import EDGE_SCHEMA, make_graphid
 
         data = []
         for label, src, dst, props in rows:
-            lid, eid = g.alloc_entry_ids(label, 1)
+            lid, eid = g.alloc_entry_ids(label, 1, kind="edge")
             data.append((make_graphid(lid, eid), src, dst, label, json.dumps(props)))
-        if data:
-            new = self.spark.createDataFrame(data, EDGE_SCHEMA)
-            if "pv" in g.edges.columns:
-                new = new.withColumn("pv", F.try_parse_json("properties"))
-            g.edges = g.edges.unionByName(new)
-            if g.durable_path:
-                g.edges = g.edges.localCheckpoint(eager=True)
-                g.persist_append("edges", new)
+        return self.spark.createDataFrame(data, EDGE_SCHEMA) if data else None
+
+    def _commit_new(self, g: Graph, kind: str, new: DataFrame) -> None:
+        tbl = g.vertices if kind == "vertices" else g.edges
+        if "pv" in tbl.columns:
+            new = new.withColumn("pv", F.try_parse_json("properties"))
+        tbl = tbl.unionByName(new)
+        if g.durable_path:
+            # pin the union (bounded lineage across repeated CREATEs),
+            # then append ONLY the new rows — O(rows), not the former
+            # O(table) full persist (round-5 verdict item #3)
+            tbl = tbl.localCheckpoint(eager=True)
+        setattr(g, kind, tbl)
+        if g.durable_path:
+            g.persist_append(kind, new)
 
 
 def _literal_value(e):

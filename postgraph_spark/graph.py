@@ -83,11 +83,26 @@ class Graph:
         vertices: DataFrame,
         edges: DataFrame,
         label_ids: dict[str, int] | None = None,
+        label_kinds: dict[str, str] | None = None,
+        constraints: list[dict] | None = None,
     ):
         self.name = name
         self.vertices = vertices
         self.edges = edges
         self.label_ids = dict(label_ids or {})
+        #: label -> "vertex" | "edge" (explicit DDL or first write interns
+        #: it; the analog of LABEL_TYPE_VERTEX/EDGE in ag_label)
+        self.label_kinds = dict(label_kinds or {})
+        #: unique constraints: {"label": str, "property": str | None}
+        #: (property None = UNIQUE on the whole properties document,
+        #: create_unique_properties_constraint; a name = unique property
+        #: index, create_property_index is_unique=true —
+        #: label_commands.c:271-350, 425-520)
+        self.constraints = list(constraints or [])
+        #: non-unique property indexes: metadata only — the scan-side
+        #: analogs (label-partition pruning, id clustering + bloom,
+        #: Z-order layout) do the work a btree would
+        self.property_indexes: list[dict] = []
         #: when set, every committed write persists here (the analog of
         #: the reference's heap-table durability; WriteRunner calls
         #: persist() after each commit)
@@ -206,7 +221,11 @@ class Graph:
 
         vertices = load("vertices", VERTEX_SCHEMA)
         edges = load("edges", EDGE_SCHEMA)
-        g = cls(name or os.path.basename(path), vertices, edges, meta.get("label_ids", {}))
+        g = cls(
+            name or os.path.basename(path), vertices, edges,
+            meta.get("label_ids", {}), meta.get("label_kinds", {}),
+            meta.get("constraints", []),
+        )
         g.durable_path = path
         g._snapshot = snapshot
         return g
@@ -266,6 +285,10 @@ class Graph:
         os.makedirs(self.durable_path, exist_ok=True)
         tmp = os.path.join(self.durable_path, ".catalog.json.tmp")
         meta = {"name": self.name, "label_ids": self.label_ids}
+        if self.label_kinds:
+            meta["label_kinds"] = self.label_kinds
+        if self.constraints:
+            meta["constraints"] = self.constraints
         if self._snapshot:
             meta["snapshot"] = self._snapshot
         with open(tmp, "w") as f:
@@ -375,12 +398,124 @@ class Graph:
                     shutil.rmtree(os.path.join(sub, entry), ignore_errors=True)
         self._write_catalog()
 
-    def alloc_entry_ids(self, label: str, n: int) -> tuple[int, int]:
+    # -- label DDL + constraints ----------------------------------------
+
+    def create_label(self, label: str, kind: str) -> None:
+        """create_vlabel / create_elabel (label_commands.c:170-265):
+        error if the label already exists; otherwise intern its id and
+        record its kind. (Cypher CREATE still auto-creates missing
+        labels, as the reference's write path does.)"""
+        if label in self.label_ids:
+            raise ValueError(f'label "{label}" already exists')
+        self.label_ids[label] = len(self.label_ids) + 1
+        self.label_kinds[label] = kind
+        self._write_catalog()
+
+    def drop_label(self, label: str) -> None:
+        """drop_label (label_commands.c:976-1040): error if the label
+        does not exist; removes the label's rows (the reference drops
+        the label's heap table — dangling edges are possible there too,
+        only `force` is gated and unsupported)."""
+        if label not in self.label_ids:
+            raise ValueError(f'label "{label}" does not exist')
+        kind = self.label_kinds.get(label)
+        tables = ("vertices", "edges") if kind is None else (
+            ("vertices",) if kind == "vertex" else ("edges",)
+        )
+        for attr in tables:
+            tbl = getattr(self, attr)
+            setattr(self, attr, tbl.filter(F.col("label") != label))
+            if self.durable_path:
+                setattr(self, attr, getattr(self, attr).localCheckpoint(eager=True))
+                self.persist_partitions(attr, [label])
+        del self.label_ids[label]
+        self.label_kinds.pop(label, None)
+        self.constraints = [c for c in self.constraints if c["label"] != label]
+        if hasattr(self, "_next_entry"):
+            self._next_entry.pop(label, None)
+        self._write_catalog()
+
+    def _unique_key_col(self, prop: str | None) -> F.Column:
+        """Equality key over a `properties` JSON column for unique
+        enforcement. Whole-document constraints key on the canonical
+        object text (sorted keys, numbers through their double image) so
+        {a:1,b:2} and {b:2,a:1.0} collide, matching gtype equality of
+        the properties value; a named property keys on its canonical
+        scalar text (null property -> SQL null, which unique ignores —
+        PG btree semantics)."""
+        from postgraph_spark.functions import gtype as G
+
+        if prop is None:
+            return G._obj_canon_txt(F.col("properties"))
+        v = F.try_variant_get(F.try_parse_json(F.col("properties")), f"$.{prop}", "variant")
+        return G.canon_key_text(G.from_variant(v))
+
+    def add_unique_constraint(self, label: str, prop: str | None = None) -> None:
+        """create_unique_properties_constraint (prop=None) /
+        create_property_index(..., is_unique=true) — ALTER TABLE ADD
+        CONSTRAINT builds the unique index over EXISTING rows first, so
+        pre-existing duplicates fail the DDL (label_commands.c:271-350).
+        """
+        if label not in self.label_ids:
+            raise ValueError(f'label "{label}" does not exist')
+        key = self._unique_key_col(prop)
+        for attr in ("vertices", "edges"):
+            tbl = getattr(self, attr).filter(F.col("label") == label)
+            dup = (
+                tbl.select(key.alias("__k"))
+                .filter(F.col("__k").isNotNull())
+                .groupBy("__k").count().filter(F.col("count") > 1)
+            )
+            if not dup.isEmpty():
+                what = f'property "{prop}"' if prop else "properties"
+                raise ValueError(
+                    f'cannot add unique constraint on {label}.{what}: existing duplicate values'
+                )
+        self.constraints.append({"label": label, "property": prop})
+        self._write_catalog()
+
+    def enforce_unique(self, kind: str, new_rows: DataFrame) -> None:
+        """Pre-commit unique check for a write batch (the distributed
+        analog of the btree uniqueness probe each reference insert
+        performs): for every constrained label present in the batch,
+        (1) no two batch rows share a key, (2) no batch key exists in
+        the stored label partition — one partial-agg job + one
+        semi-join per constrained label, both label-partition-pruned,
+        nothing beyond a yes/no reaches the driver."""
+        if not self.constraints:
+            return
+        batch_labels = {r["label"] for r in new_rows.select("label").distinct().collect()}
+        table = self.vertices if kind == "vertices" else self.edges
+        for c in self.constraints:
+            if c["label"] not in batch_labels:
+                continue
+            key = self._unique_key_col(c["property"])
+            newk = (
+                new_rows.filter(F.col("label") == c["label"])
+                .select(key.alias("__k"))
+                .filter(F.col("__k").isNotNull())
+            )
+            what = f'{c["label"]}.{c["property"]}' if c["property"] else f'{c["label"]}.properties'
+            if not newk.groupBy("__k").count().filter(F.col("count") > 1).isEmpty():
+                raise ValueError(f"duplicate key value violates unique constraint on {what}")
+            existing = table.filter(F.col("label") == c["label"]).select(key.alias("__k"))
+            if not existing.join(newk, "__k", "left_semi").isEmpty():
+                raise ValueError(f"duplicate key value violates unique constraint on {what}")
+
+    def alloc_entry_ids(self, label: str, n: int, kind: str | None = None) -> tuple[int, int]:
         """Reserve n per-label sequence values -> (label_id,
         first_entry_id). Mirrors the reference's label sequences
         (label_commands.c:563-583); the high-water mark is recovered
         from the stored tables on first use per label, so a REOPENED
-        durable graph never re-issues ids."""
+        durable graph never re-issues ids. A declared label kind
+        (create_vlabel/create_elabel) is enforced: writing an edge into
+        a vertex label is the shape mismatch the reference's per-kind
+        table schemas reject."""
+        if kind is not None:
+            declared = self.label_kinds.get(label)
+            if declared is not None and declared != kind:
+                raise ValueError(f'label "{label}" is a {declared} label, not {kind}')
+            self.label_kinds.setdefault(label, kind)
         lid = self.label_ids.setdefault(label, len(self.label_ids) + 1)
         if not hasattr(self, "_next_entry"):
             self._next_entry: dict[str, int] = {}

@@ -158,11 +158,12 @@ class WriteRunner:
         self._anon += 1
         return f"__{prefix}{self._anon}"
 
-    def _alloc_base(self, label: str, n: int) -> tuple[int, int]:
+    def _alloc_base(self, label: str, n: int, kind: str = "vertex") -> tuple[int, int]:
         """Reserve n entry ids for label -> (label_id, first_entry_id)
         (Graph.alloc_entry_ids: per-label sequence with durable
-        high-water-mark recovery)."""
-        return self.graph.alloc_entry_ids(label, n)
+        high-water-mark recovery; a DDL-declared label kind is
+        enforced)."""
+        return self.graph.alloc_entry_ids(label, n, kind)
 
     def _with_rowid(self, df: DataFrame | None) -> tuple[DataFrame, int]:
         if df is None:
@@ -186,6 +187,7 @@ class WriteRunner:
 
     def _commit_vertices(self, new_rows: DataFrame) -> None:
         g = self.graph
+        g.enforce_unique("vertices", new_rows)
         if "pv" in g.vertices.columns:
             new_rows = new_rows.withColumn("pv", F.try_parse_json("properties"))
         g.vertices = g.vertices.unionByName(new_rows).localCheckpoint(eager=True)
@@ -196,6 +198,7 @@ class WriteRunner:
 
     def _commit_edges(self, new_rows: DataFrame) -> None:
         g = self.graph
+        g.enforce_unique("edges", new_rows)
         if "pv" in g.edges.columns:
             new_rows = new_rows.withColumn("pv", F.try_parse_json("properties"))
         g.edges = g.edges.unionByName(new_rows).localCheckpoint(eager=True)
@@ -245,7 +248,7 @@ class WriteRunner:
                     raise CompileError("CREATE requires a directed relationship")
                 src, dst = (nxt, prev) if rel.direction == "in" else (prev, nxt)
                 label = rel.label or DEFAULT_ELABEL
-                lid, base = self._alloc_base(label, n_rows)
+                lid, base = self._alloc_base(label, n_rows, kind="edge")
                 gid = F.lit(lid << ENTRY_ID_BITS).cast("long") + F.lit(base) + F.col("__rn")
                 evar = rel.var or self._fresh("ce")
                 df = df.withColumn(
@@ -619,7 +622,7 @@ class WriteRunner:
                 if kind != "e":
                     continue
                 label = el.label or DEFAULT_ELABEL
-                lid, base = self._alloc_base(label, n_miss)
+                lid, base = self._alloc_base(label, n_miss, kind="edge")
                 gid = F.lit(lid << ENTRY_ID_BITS).cast("long") + F.lit(base) + F.col("__rn")
                 misses = misses.withColumn(f"__cid_{var}", gid)
                 src_i, dst_i = (idx - 1, idx + 1) if el.direction != "in" else (idx + 1, idx - 1)

@@ -1,0 +1,147 @@
+"""Label DDL + property constraints — the statement surface over the
+reference's create_vlabel/create_elabel/drop_label,
+create_unique_properties_constraint and create_property_index functions
+(sql/postgraph.sql.in:131-171; src/backend/commands/label_commands.c:
+170-265, 271-350, 425-520, 976-1040).
+"""
+
+import pytest
+
+from postgraph_spark.engine import CypherEngine
+from postgraph_spark.graph import Graph
+
+
+@pytest.fixture()
+def engine(spark):
+    e = CypherEngine(spark)
+    e.execute("CREATE GRAPH ddl")
+    e.execute("USE GRAPH ddl")
+    return e
+
+
+# ------------------------------------------------------------ label DDL
+
+
+def test_create_vlabel_and_duplicate_errors(engine):
+    engine.execute("CREATE VLABEL person")
+    assert engine.graph.label_kinds["person"] == "vertex"
+    # label_commands.c:156-160: 'label "x" already exists'
+    with pytest.raises(ValueError, match="already exists"):
+        engine.execute("CREATE VLABEL person")
+    # an elabel of the same name collides too (one label namespace)
+    with pytest.raises(ValueError, match="already exists"):
+        engine.execute("CREATE ELABEL person")
+
+
+def test_kind_enforced_on_write(engine):
+    engine.execute("CREATE VLABEL person")
+    engine.execute("CREATE ELABEL knows")
+    engine.execute("CREATE (:person {name: 'a'})")
+    # writing an edge under a vertex label is the shape mismatch the
+    # reference's per-kind table schemas reject
+    with pytest.raises(ValueError, match="vertex label"):
+        engine.execute("CREATE (:x)-[:person]->(:y)")
+    with pytest.raises(ValueError, match="edge label"):
+        engine.execute("CREATE (:knows)")
+
+
+def test_drop_label(engine):
+    engine.execute("CREATE (:person {name: 'a'})")
+    engine.execute("CREATE (:person {name: 'b'})")
+    engine.execute("CREATE (:city {name: 'x'})")
+    engine.execute("DROP LABEL person")
+    assert engine.fetch_values("MATCH (n) RETURN n.name") == ["x"]
+    # label_commands.c:1020-1025: 'label "x" does not exist'
+    with pytest.raises(ValueError, match="does not exist"):
+        engine.execute("DROP LABEL person")
+    # label_commands.c:1027-1031: force is gated and unsupported
+    engine.execute("CREATE VLABEL gone")
+    with pytest.raises(ValueError, match="force"):
+        engine.execute("DROP LABEL gone FORCE")
+
+
+def test_label_ddl_requires_graph(spark):
+    e = CypherEngine(spark)
+    with pytest.raises(ValueError, match="no graph selected"):
+        e.execute("CREATE VLABEL person")
+
+
+# ----------------------------------------------- unique properties
+
+
+def test_unique_properties_constraint_blocks_duplicates(engine):
+    engine.execute("CREATE VLABEL person")
+    engine.execute("CREATE UNIQUE PROPERTIES CONSTRAINT ON person")
+    engine.execute("CREATE (:person {name: 'a', age: 1})")
+    engine.execute("CREATE (:person {name: 'b'})")
+    # identical document -> unique violation at write time
+    with pytest.raises(ValueError, match="unique constraint"):
+        engine.execute("CREATE (:person {name: 'a', age: 1})")
+    # key order / numeric form do not matter: gtype object equality
+    with pytest.raises(ValueError, match="unique constraint"):
+        engine.execute("CREATE (:person {age: 1.0, name: 'a'})")
+    # intra-batch duplicates are caught too
+    with pytest.raises(ValueError, match="unique constraint"):
+        engine.execute("CREATE (:person {x: 9}), (:person {x: 9})")
+    assert len(engine.fetch("MATCH (n:person) RETURN n")) == 2
+
+
+def test_unique_constraint_on_existing_duplicates_fails(engine):
+    engine.execute("CREATE (:p {v: 1})")
+    engine.execute("CREATE (:p {v: 1})")
+    # ALTER TABLE ADD CONSTRAINT builds the index over existing rows
+    with pytest.raises(ValueError, match="existing duplicate"):
+        engine.execute("CREATE UNIQUE PROPERTIES CONSTRAINT ON p")
+
+
+def test_unique_property_index(engine):
+    engine.execute("CREATE VLABEL user")
+    engine.execute("CREATE UNIQUE PROPERTY INDEX ON user (email)")
+    engine.execute("CREATE (:user {email: 'a@x', plan: 'f'})")
+    engine.execute("CREATE (:user {email: 'b@x', plan: 'f'})")  # other props may repeat
+    with pytest.raises(ValueError, match="unique constraint"):
+        engine.execute("CREATE (:user {email: 'a@x', plan: 'g'})")
+    # btree-unique semantics: NULL keys never collide
+    engine.execute("CREATE (:user {plan: 'f'})")
+    engine.execute("CREATE (:user {plan: 'g'})")
+    assert len(engine.fetch("MATCH (n:user) RETURN n")) == 4
+
+
+def test_nonunique_property_index_is_metadata(engine):
+    engine.execute("CREATE VLABEL doc")
+    engine.execute("CREATE PROPERTY INDEX ON doc (ts)")
+    assert engine.graph.property_indexes == [{"label": "doc", "property": "ts"}]
+    with pytest.raises(ValueError, match="does not exist"):
+        engine.execute("CREATE PROPERTY INDEX ON nope (ts)")
+
+
+def test_merge_respects_unique_constraint(engine):
+    engine.execute("CREATE VLABEL item")
+    engine.execute("CREATE UNIQUE PROPERTY INDEX ON item (sku)")
+    engine.execute("MERGE (i:item {sku: 's1'})")
+    engine.execute("MERGE (i:item {sku: 's1'})")  # matches, creates nothing
+    assert len(engine.fetch("MATCH (n:item) RETURN n")) == 1
+
+
+# ----------------------------------------------------- durability
+
+
+def test_constraints_survive_reopen(spark, tmp_path):
+    from postgraph_spark.graph import GraphCatalog
+
+    cat = GraphCatalog(spark, root=str(tmp_path))
+    e = CypherEngine(spark, cat)
+    e.execute("CREATE GRAPH dur")
+    e.execute("USE GRAPH dur")
+    e.execute("CREATE VLABEL acct")
+    e.execute("CREATE UNIQUE PROPERTY INDEX ON acct (iban)")
+    e.execute("CREATE (:acct {iban: 'X1'})")
+
+    g2 = Graph.read(spark, str(tmp_path / "dur"))
+    assert g2.label_kinds["acct"] == "vertex"
+    assert g2.constraints == [{"label": "acct", "property": "iban"}]
+    cat2 = GraphCatalog(spark, root=str(tmp_path))
+    e2 = CypherEngine(spark, cat2)
+    e2.execute("USE GRAPH dur")
+    with pytest.raises(ValueError, match="unique constraint"):
+        e2.execute("CREATE (:acct {iban: 'X1'})")
