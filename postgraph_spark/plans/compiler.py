@@ -492,6 +492,22 @@ class Compiler:
                     ).drop(f"__vid_{marker}")
                     scope.kinds[marker] = VKIND_VERTEX
                     return A.Var(marker), df
+                # nodes(ve)/relationships(ve)/edges(ve) over a VLE
+                # binding (old/regress/variable_edge_functions.sql):
+                # resolve the ordered id chains to entity-struct arrays
+                # once per variable; functions_map reads the attached
+                # __pe_/__pn_ columns
+                if (
+                    e.name in ("nodes", "relationships", "edges")
+                    and len(e.args) == 1
+                    and isinstance(e.args[0], A.Var)
+                    and scope.kinds.get(e.args[0].name) == VKIND_VLE
+                    and self.graph is not None
+                    and df is not None
+                    and f"__pe_{e.args[0].name}" not in df.columns
+                ):
+                    df = self._attach_vle_arrays(df, e.args[0].name)
+                    return e, df
                 args = []
                 for a in e.args:
                     a, df = walk(a, df)
@@ -1428,6 +1444,21 @@ class Compiler:
         if isinstance(e, A.BinOp):
             return self._compile_binop(e, df, scope)
         if isinstance(e, A.UnaryOp):
+            if e.op == "@-@":
+                # length: VLE hop count (`@-@ ve`, variable_edge_functions
+                # regress), path edge count, else geometric 1-arg
+                # gtype_distance (lseg/path length)
+                if isinstance(e.operand, A.Var):
+                    k = scope.kinds.get(e.operand.name)
+                    if k == VKIND_VLE:
+                        return G.gv_int(F.col(e.operand.name)["hops"].cast("long"))
+                    if k == VKIND_PATH:
+                        return G.gv_int(
+                            F.size(F.col(e.operand.name)["edges"]).cast("long")
+                        )
+                from postgraph_spark.functions import geometric as GEO
+
+                return GEO.geo_length(self.compile_expr(e.operand, df, scope))
             operand = self.compile_expr(e.operand, df, scope)
             if e.op == "NOT":
                 return G.op_not(operand)
@@ -1524,6 +1555,13 @@ class Compiler:
             if e.op == "<->":
                 return TS.op_phrase(left, right, e.left, e.right)
             return TS.op_concat(left, right, e.left, e.right)
+        if e.op == "!!=" or (
+            e.op in ("@>", "<@")
+            and isinstance(e.left, A.Var)
+            and isinstance(e.right, A.Var)
+            and VKIND_VLE in (scope.kinds.get(e.left.name), scope.kinds.get(e.right.name))
+        ):
+            return self._compile_vle_binop(e, scope)
         fn = self._BINOPS.get(e.op)
         if fn is None:
             raise CompileError(f"unknown operator {e.op}")
@@ -1572,6 +1610,48 @@ class Compiler:
             tsres = TS.op_tsq_contains(left, right, contained_by=(e.op == "<@"))
             return TS.gv_if(both_q, tsres, fn(left, right))
         return fn(left, right)
+
+    def _compile_vle_binop(self, e: A.BinOp, scope) -> Column:
+        """variable_edge operators over VLE/edge bindings."""
+        lk = scope.kinds.get(e.left.name) if isinstance(e.left, A.Var) else None
+        rk = scope.kinds.get(e.right.name) if isinstance(e.right, A.Var) else None
+        if e.op == "!!=":
+            # match_vles (variable_edge.c:269-289): true when the FIRST
+            # edge of the lhs shares an endpoint with the LAST edge of
+            # the rhs. Traversal-order node ids carry those endpoints
+            # (first edge joins node_ids[0]-[1], last joins [-2]-[-1];
+            # the any-of-4 equality is orientation-insensitive, so
+            # reversed traversal order is immaterial). 0-hop operands
+            # have no edges -> unknown.
+            if lk != VKIND_VLE or rk != VKIND_VLE:
+                raise CompileError("!!= requires two variable-length-edge operands")
+            ln = F.col(e.left.name)["node_ids"]
+            rn = F.col(e.right.name)["node_ids"]
+            l0, l1 = F.element_at(ln, 1), F.element_at(ln, 2)
+            r0, r1 = F.element_at(rn, -2), F.element_at(rn, -1)
+            ok = (F.col(e.left.name)["hops"] >= 1) & (F.col(e.right.name)["hops"] >= 1)
+            hit = (l0 == r0) | (l0 == r1) | (l1 == r0) | (l1 == r1)
+            return G.gv_bool(F.when(ok, hit))
+        if e.op in ("@>", "<@") and VKIND_VLE in (lk, rk) and None not in (lk, rk):
+            # edge-in-VLE membership (variable_edge_contains_edge,
+            # variable_edge.c:246-265; old/regress/
+            # variable_edge_functions.sql `e @> ve` / `ve <@ e`) and
+            # VLE/VLE edge overlap (variable_edge_edges_overlap)
+            big, small = (e.left, e.right) if e.op == "@>" else (e.right, e.left)
+            bk = scope.kinds.get(big.name)
+            sk = scope.kinds.get(small.name)
+            if bk == VKIND_VLE and sk == VKIND_VLE:
+                return G.gv_bool(F.arrays_overlap(
+                    F.col(big.name)["edge_ids"], F.col(small.name)["edge_ids"]
+                ))
+            if VKIND_EDGE in (bk, sk):
+                edge = big if bk == VKIND_EDGE else small
+                ve = small if bk == VKIND_EDGE else big
+                return G.gv_bool(F.array_contains(
+                    F.col(ve.name)["edge_ids"], F.col(edge.name)["id"]
+                ))
+            raise CompileError(f"{e.op} unsupported for these entity operands")
+        raise CompileError(e.op)
 
     def _compile_case(self, e: A.CaseExpr, df, scope) -> Column:
         result = (

@@ -172,10 +172,22 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
 
     # ---- traversal / path functions (traversal.c:64+, old/regress/
     # traversal_functions.sql) ----
-    if name in ("nodes", "relationships"):
+    if name in ("nodes", "relationships", "edges"):
         col, kind = ctx.entity(0)
-        if col is None or kind != "path":
-            raise ValueError(f"{name}() requires a named path argument")
+        if col is None or kind not in ("path", "vle"):
+            raise ValueError(f"{name}() requires a named path or VLE argument")
+        if kind == "vle":
+            # arrays attached by the compiler's accessor rewrite
+            # (_attach_vle_arrays; variable_edge_functions.sql)
+            var = ctx.e.args[0].name
+            pe, pn = f"__pe_{var}", f"__pn_{var}"
+            if ctx.df is None or pe not in ctx.df.columns:
+                raise ValueError(f"{name}() on a VLE binding needs its resolved arrays")
+            if name == "nodes":
+                return _entity_array_json(F.col(pn), is_edge=False)
+            return _entity_array_json(F.col(pe), is_edge=True)
+        if name == "edges" and kind == "path":
+            return _entity_array_json(col["edges"], is_edge=True)
         if name == "nodes":
             return _entity_array_json(col["nodes"], is_edge=False)
         return _entity_array_json(col["edges"], is_edge=True)

@@ -525,7 +525,11 @@ class Parser:
     #: existence (gtype_ops.c:849-1080), LIKE family (g.y:2595-2601)
     _CMP_OPS = {"~": "~", "~*": "~*", "!~": "!~", "!~*": "!~*",
                 "@>": "@>", "<@": "<@", "?": "?", "?|": "?|", "?&": "?&",
-                "@@": "@@"}
+                "@@": "@@",
+                # match_vles: two VLE bindings connect head-to-tail
+                # (variable_edge.c:269-289; OPERATOR !!=,
+                # sql/postgraph.sql.in:529-537)
+                "!!=": "!!="}
 
     def parse_comparison(self):
         left = self.parse_bitor()
@@ -740,6 +744,11 @@ class Parser:
             # tsquery negation (gtype_tsquery_not)
             self.advance()
             return A.UnaryOp("!!", self.parse_unary())
+        if self.at_op("@-@"):
+            # length: VLE hop count / geometric path length (the 1-arg
+            # gtype_distance; old/regress/variable_edge_functions.sql)
+            self.advance()
+            return A.UnaryOp("@-@", self.parse_unary())
         if self.at_op("+"):
             self.advance()
             return self.parse_unary()
