@@ -596,24 +596,103 @@ def _array_keys(gv: Column, deep: bool = True) -> Column:
     )
 
 
-def sort_key(gv: Column) -> Column:
+# -------------------------- unbounded-depth container order encoding
+#
+# compare_gtype_containers_orderability (gtype_util.c:233-360) is a
+# token-stream walk: containers compare element-by-element (objects:
+# alternating key/value tokens, pairs in JSONB storage order = sorted by
+# (key length, key bytes)), a premature END token sorts first, scalars
+# compare by type priority then value (numbers numerically). That walk
+# is recursive to ARBITRARY depth. The encoding below maps any JSON
+# value to a STRING whose lexicographic (byte) order equals the walk's
+# order, so Spark's native string comparison performs the recursive
+# comparison: rank char per type (matching the T_* priorities), doubles
+# as 16-hex-digit sign-flipped IEEE754 bits, strings NUL-terminated
+# (shorter-prefix-first), containers as concatenated element encodings
+# with a \x00 end marker (< every rank char => premature end sorts
+# first, exactly the walk's END-token rule). Gval containers are JSON
+# documents, so leaves are only null/bool/number/string — temporals
+# cannot occur inside containers, which keeps the leaf set closed.
+#
+# Residual divergences (documented): numbers through their double image
+# (engine-wide); strings containing NUL bytes re-map \x00 -> \x01.
+
+_F64_SIGN = 1 << 63
+_F64_MASK = (1 << 64) - 1
+
+
+def _deep_enc(v) -> str:
+    import struct as _struct
+
+    if v is None:
+        return chr(0x30 + T_NULL)  # ';' — null sorts last (priority 11)
+    if isinstance(v, bool):
+        return "31" if v else "30"
+    if isinstance(v, (int, float)):
+        x = float(v)
+        if x == 0:
+            x = 0.0  # -0.0 == 0.0 numerically
+        u = _struct.unpack(">Q", _struct.pack(">d", x))[0]
+        u = (~u) & _F64_MASK if u & _F64_SIGN else u | _F64_SIGN
+        return "4%016x" % u
+    if isinstance(v, str):
+        return "2" + v.replace("\x00", "\x01") + "\x00"
+    if isinstance(v, list):
+        return "1" + "".join(_deep_enc(e) for e in v) + "\x00"
+    items = sorted(v.items(), key=lambda kv: (len(kv[0]), kv[0]))
+    return "0" + "".join(
+        "2" + k.replace("\x00", "\x01") + "\x00" + _deep_enc(val) for k, val in items
+    ) + "\x00"
+
+
+_DEEP_KEY_UDF = None
+
+
+def deep_container_key(j: Column) -> Column:
+    """JSON container text -> order-preserving canonical key, Arrow-
+    batched (null in -> null out, so callers pass NULL for scalar rows
+    and the python worker does no per-row work on them)."""
+    global _DEEP_KEY_UDF
+    if _DEEP_KEY_UDF is None:
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import StringType
+
+        def _k(s):
+            import json as _json
+
+            return s.apply(lambda t: None if t is None else _deep_enc(_json.loads(t)))
+
+        _DEEP_KEY_UDF = pandas_udf(_k, StringType())
+    return _DEEP_KEY_UDF(j)
+
+
+def sort_key(gv: Column, exact_containers: bool = False) -> Column:
     """Total-order sort key. bool false<true via int; NaN handled by
     Spark's double ordering (NaN last = reference's NaN > non-NaN).
     timestamp and date share one rank (k0=5) so k1 — the µs axis both
     types store in d — decides their cross-type order, mirroring
-    date_cmp_timestamp_internal (gtype_util.c:1838-1848). Arrays order
-    ELEMENT-WISE via k4 (element keys: numbers through their double
-    image), so [1,'a'] < [1.0,'b'] — gtype_util.c:233-360; objects and
-    deeper nestings still order by JSON text via k5 (documented
-    divergence). The k4 transform is pruned away when the static type
-    set excludes arrays."""
+    date_cmp_timestamp_internal (gtype_util.c:1838-1848).
+
+    Containers: with exact_containers=False (comparison operators,
+    min/max — the hot path) arrays order ELEMENT-WISE to depth 2 via k4
+    and objects/deeper nestings by JSON text via k5 (documented fast-
+    path trade). With exact_containers=True (the ORDER BY compile path)
+    both kinds order by the UNBOUNDED-depth canonical encoding
+    (deep_container_key) — the full gtype_util.c:233-360 walk; scalar
+    rows pass NULL through the Arrow batch, so a sort over scalar
+    values pays no per-row python work."""
+    may_c = T_ARRAY in gv_types(gv) or T_OBJECT in gv_types(gv)
+    if exact_containers and may_c:
+        kc = deep_container_key(F.when(gv.t.isin(T_ARRAY, T_OBJECT), gv.j))
+        return F.struct(
+            F.when(gv.t == T_DATE, F.lit(T_TIMESTAMP)).otherwise(gv.t).alias("k0"),
+            gv.d.alias("k1"),
+            gv.s.alias("k2"),
+            gv.b.cast("int").alias("k3"),
+            kc.alias("k4"),
+        )
     may_arr = T_ARRAY in gv_types(gv)
     k4 = _array_keys(gv, deep=False) if may_arr else F.lit(None).cast(_ELEM_KEY_T)
-    # NOTE: objects in SORT keys stay JSON-text ({a:1} vs {a:1.0} order
-    # by text) — equality surfaces (cmp_eq, canon_key_text: DISTINCT,
-    # joins, = ) canonicalize them, but the sort path is hot (every
-    # ORDER BY / window partition key) and the object walk would tax it
-    # for a rare ordering case
     return F.struct(
         F.when(gv.t == T_DATE, F.lit(T_TIMESTAMP)).otherwise(gv.t).alias("k0"),
         gv.d.alias("k1"),
@@ -1515,23 +1594,117 @@ def _contains_txt(a: Column, b: Column, depth: int, top: bool = False) -> Column
     return chain.otherwise(~a_obj & ~a_arr & _scalar_eq_txt(a, b))
 
 
-def op_contains_json(a: Column, b: Column) -> Column:
-    """`@>` deep containment as a JVM variant walk — no Python in the
-    operator path (the former Arrow-UDF escape hatch is gone; round-5
-    verdict item #7). Safe in scan predicates at any scale."""
+def _py_scalar_eq(x, y) -> bool:
+    xb, yb = isinstance(x, bool), isinstance(y, bool)
+    if xb or yb:
+        return xb and yb and x == y
+    xn = isinstance(x, (int, float))
+    yn = isinstance(y, (int, float))
+    if xn or yn:
+        return xn and yn and float(x) == float(y)
+    return x == y
+
+
+def _py_deep_contains(a, b, top: bool = False) -> bool:
+    """gtype_deep_contains (gtype_ops.c:849-1080) in python, to
+    arbitrary depth: objects contain objects pairwise-recursively,
+    arrays contain arrays element-containment-wise, a top-level array
+    contains a bare scalar; numbers compare numerically, bools never
+    equal numbers."""
+    if isinstance(b, dict):
+        return isinstance(a, dict) and all(
+            k in a and _py_deep_contains(a[k], v) for k, v in b.items()
+        )
+    if isinstance(b, list):
+        return isinstance(a, list) and all(
+            any(_py_deep_contains(x, e) for x in a) for e in b
+        )
+    if top and isinstance(a, list):
+        return any(_py_scalar_eq(x, b) for x in a)
+    if isinstance(a, (dict, list)):
+        return False
+    return _py_scalar_eq(a, b)
+
+
+_DEEP_CONTAINS_UDF = None
+
+
+def _deep_contains_udf(at: Column, bt: Column) -> Column:
+    global _DEEP_CONTAINS_UDF
+    if _DEEP_CONTAINS_UDF is None:
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BooleanType
+
+        def _k(sa, sb):
+            import json as _json
+
+            def one(ta, tb):
+                if ta is None or tb is None:
+                    return None
+                return _py_deep_contains(_json.loads(ta), _json.loads(tb), top=True)
+
+            return sa.combine(sb, one)
+
+        _DEEP_CONTAINS_UDF = pandas_udf(_k, BooleanType())
+    return _DEEP_CONTAINS_UDF(at, bt)
+
+
+def _deeper_than(txt: Column, k: int) -> Column:
+    """True when the JSON text has a CONTAINER node below depth k —
+    i.e. the depth-k unrolled containment walk would hit a container at
+    its text-equality leaves. Same unrolled shape as _contains_txt."""
+    if k == 0:
+        return txt.startswith("{") | txt.startswith("[")
+    am = F.from_json(txt, "map<string, variant>")
+    aa = F.from_json(txt, "array<variant>")
+    obj_deep = F.exists(F.map_values(am), lambda v: _deeper_than(F.to_json(v), k - 1))
+    arr_deep = F.exists(aa, lambda e: _deeper_than(F.to_json(e), k - 1))
+    return (
+        F.when(txt.startswith("{"), F.coalesce(obj_deep, F.lit(False)))
+        .when(txt.startswith("["), F.coalesce(arr_deep, F.lit(False)))
+        .otherwise(F.lit(False))
+    )
+
+
+def json_value_depth(v) -> int:
+    """Max container-nesting depth of a python JSON value (scalar=0)."""
+    if isinstance(v, dict):
+        return 1 + max((json_value_depth(x) for x in v.values()), default=0)
+    if isinstance(v, list):
+        return 1 + max((json_value_depth(x) for x in v), default=0)
+    return 0
+
+
+def op_contains_json(a: Column, b: Column, needle_depth: int | None = None) -> Column:
+    """`@>` deep containment. The JVM variant walk (depth-unrolled to
+    _CONTAIN_DEPTH) is EXACT whenever the needle (b) nests no deeper
+    than the unroll — only the needle's depth matters: a deeper
+    haystack value against a scalar needle leaf correctly fails the
+    text-equality leaf. The compiler passes needle_depth for literal
+    needles (_fold_const_container), keeping the overwhelmingly common
+    literal-needle predicate PURE JVM — safe in scan predicates at any
+    scale. Deeper or unknown-depth needles route through an
+    Arrow-batched recursive check; the unknown-depth case guards with a
+    JVM depth probe and passes NULL inputs for shallow rows, so the
+    python worker only ever decodes genuinely deep needles."""
     at, bt = F.trim(to_json_text(a)), F.trim(to_json_text(b))
-    # gtype-null operand -> gtype null (3VL), matching every other op
+    ok = at.isNotNull() & bt.isNotNull()
+    if needle_depth is not None and needle_depth <= _CONTAIN_DEPTH:
+        return gv_bool(F.when(ok, _contains_txt(at, bt, _CONTAIN_DEPTH, top=True)))
+    if needle_depth is not None:  # known-deep literal needle
+        return gv_bool(F.when(ok, _deep_contains_udf(at, bt)))
+    deep = _deeper_than(bt, _CONTAIN_DEPTH)
+    guard = ok & deep
     return gv_bool(
-        F.when(
-            at.isNotNull() & bt.isNotNull(),
-            _contains_txt(at, bt, _CONTAIN_DEPTH, top=True),
+        F.when(guard, _deep_contains_udf(F.when(guard, at), F.when(guard, bt))).when(
+            ok, _contains_txt(at, bt, _CONTAIN_DEPTH, top=True)
         )
     )
 
 
-def op_contained_by_json(a: Column, b: Column) -> Column:
+def op_contained_by_json(a: Column, b: Column, needle_depth: int | None = None) -> Column:
     """`<@` — containment with the operands flipped."""
-    return op_contains_json(b, a)
+    return op_contains_json(b, a, needle_depth=needle_depth)
 
 
 def op_has_key(a: Column, b: Column) -> Column:

@@ -103,15 +103,53 @@ def _entity_struct_vertex(prefix: str = "") -> list[str]:
 
 
 class Scope:
-    """Bound variables: name -> kind."""
+    """Bound variables: name -> kind. ``vtypes`` carries the
+    statically-known gtype tag set of VALUE bindings across projection
+    boundaries (a WITH alias of sum(...) stays known-numeric), so
+    downstream operator dispatch — in particular the ORDER BY exact-
+    container path — can prune branches the way gv_types does for
+    un-projected expressions."""
 
     def __init__(self):
         self.kinds: dict[str, str] = {}
+        self.vtypes: dict[str, frozenset] = {}
 
     def copy(self) -> "Scope":
         s = Scope()
         s.kinds = dict(self.kinds)
+        s.vtypes = dict(self.vtypes)
         return s
+
+
+_NOT_CONST = object()
+
+
+def _fold_const_container(e):
+    """Python value of a fully-literal container AST, or _NOT_CONST."""
+    if isinstance(e, A.Lit):
+        return e.value
+    if isinstance(e, A.ListLit):
+        out = []
+        for x in e.items:
+            v = _fold_const_container(x)
+            if v is _NOT_CONST:
+                return _NOT_CONST
+            out.append(v)
+        return out
+    if isinstance(e, A.MapLit):
+        out = {}
+        for k, v in e.items.items():
+            fv = _fold_const_container(v)
+            if fv is _NOT_CONST:
+                return _NOT_CONST
+            out[k] = fv
+        return out
+    if isinstance(e, A.UnaryOp) and e.op == "-":
+        v = _fold_const_container(e.operand)
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return -v
+        return _NOT_CONST
+    return _NOT_CONST
 
 
 class Compiler:
@@ -996,6 +1034,8 @@ class Compiler:
                 col, kind = self._compile_item(item.expr, df, scope)
                 cols.append(col.alias(name))
                 new_scope.kinds[name] = kind
+                if kind == VKIND_VALUE:
+                    new_scope.vtypes[name] = G.gv_types(col)
             if df is None:
                 df = self.spark.range(1)
             df, _letn = self._apply_lets(df)
@@ -1020,6 +1060,8 @@ class Compiler:
                 col, kind = self._compile_item(e, df, scope)
                 key_cols.append(col.alias(f"__gk{i}"))
                 new_scope.kinds[name] = kind
+                if kind == VKIND_VALUE:
+                    new_scope.vtypes[name] = G.gv_types(col)
             agg_cols = [
                 self._compile_agg(node, df, scope).alias(f"__agg{i}") for i, node in enumerate(agg_nodes)
             ]
@@ -1043,6 +1085,8 @@ class Compiler:
                     col, kind = self._compile_item(e, agg_df, out_scope)
                     final_cols.append(col.alias(name))
                     new_scope.kinds[name] = kind
+                    if kind == VKIND_VALUE:
+                        new_scope.vtypes[name] = G.gv_types(col)
                 else:
                     final_cols.append(F.col(f"__gk{key_pos[name]}").alias(name))
             agg_df, _letn = self._apply_lets(agg_df)
@@ -1259,9 +1303,18 @@ class Compiler:
         if isinstance(e, A.Var) and e.name in scope.kinds:
             kind = scope.kinds[e.name]
             base = F.col(e.name)
-            col = G.sort_key(base) if kind == VKIND_VALUE else base["id"]
+            if kind == VKIND_VALUE:
+                # ORDER BY uses the exact (unbounded-depth) container
+                # keys; the alias's recorded static types prune the
+                # container path entirely for known-scalar aliases
+                # (ORDER BY revenue stays pure JVM)
+                vt = scope.vtypes.get(e.name)
+                gv = G.gv_ref(base, types=vt) if vt is not None else base
+                col = G.sort_key(gv, exact_containers=True)
+            else:
+                col = base["id"]
         else:
-            col = G.sort_key(self.compile_expr(e, df, scope))
+            col = G.sort_key(self.compile_expr(e, df, scope), exact_containers=True)
         # type rank 11 = null places gtype nulls last on ASC, first on DESC
         # (Postgres default NULLS LAST for ASC) automatically
         return col.desc() if si.descending else col.asc()
@@ -1376,6 +1429,20 @@ class Compiler:
         scope = scope or Scope()
         if isinstance(e, A.Lit):
             return G.gv_lit(e.value)
+        if isinstance(e, (A.ListLit, A.MapLit)):
+            # fully-literal containers constant-fold to ONE json text in
+            # python (PG folds Const trees at plan time): without this a
+            # depth-d literal builds a to_json_text tower whose analysis
+            # cost grows exponentially in d (a depth-3 literal measured
+            # 300+ s of eager analysis)
+            folded = _fold_const_container(e)
+            if folded is not _NOT_CONST:
+                import json as _json
+
+                txt = _json.dumps(folded, separators=(",", ":"))
+                if isinstance(e, A.ListLit):
+                    return G.gv_array_json(F.lit(txt))
+                return G.gv_object_json(F.lit(txt))
         if isinstance(e, A.ListLit):
             parts = [G.to_json_text(self.compile_expr(x, df, scope)) for x in e.items]
             safe = [F.coalesce(p, F.lit("null")) for p in parts]
@@ -1597,18 +1664,28 @@ class Compiler:
                 return ts
             both_str = (left["t"] == G.T_STRING) & (right["t"] == G.T_STRING)
             return TS.gv_if(both_str, ts, fn(left, right))
-        if (
-            e.op in ("@>", "<@")
-            and G.T_STRING in G.gv_types(left)
-            and G.T_STRING in G.gv_types(right)
-        ):
-            # tsquery containment (tsq_mcontains) when both operands are
-            # marked tsquery values; jsonb containment otherwise
-            from postgraph_spark.functions import tsearch as TS
+        if e.op in ("@>", "<@"):
+            # literal needles resolve their nesting depth at compile
+            # time: depth <= unroll keeps the predicate pure JVM,
+            # deeper routes straight to the exact Arrow-batched check
+            # (see gtype.op_contains_json)
+            needle_ast = e.right if e.op == "@>" else e.left
+            folded = _fold_const_container(needle_ast)
+            nd = G.json_value_depth(folded) if folded is not _NOT_CONST else None
+            fn = lambda l, r, _op=e.op: (  # noqa: E731
+                G.op_contains_json(l, r, needle_depth=nd)
+                if _op == "@>"
+                else G.op_contained_by_json(l, r, needle_depth=nd)
+            )
+            if G.T_STRING in G.gv_types(left) and G.T_STRING in G.gv_types(right):
+                # tsquery containment (tsq_mcontains) when both operands
+                # are marked tsquery values; jsonb containment otherwise
+                from postgraph_spark.functions import tsearch as TS
 
-            both_q = (left["j"] == "tsq") & (right["j"] == "tsq")
-            tsres = TS.op_tsq_contains(left, right, contained_by=(e.op == "<@"))
-            return TS.gv_if(both_q, tsres, fn(left, right))
+                both_q = (left["j"] == "tsq") & (right["j"] == "tsq")
+                tsres = TS.op_tsq_contains(left, right, contained_by=(e.op == "<@"))
+                return TS.gv_if(both_q, tsres, fn(left, right))
+            return fn(left, right)
         return fn(left, right)
 
     def _compile_vle_binop(self, e: A.BinOp, scope) -> Column:

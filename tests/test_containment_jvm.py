@@ -131,3 +131,52 @@ def test_cypher_nested_containment(eng):
     assert eng.fetch_values("RETURN [[1, 2], [3]] @> [[2]]") == [True]
     assert eng.fetch_values("RETURN [1, 2, 3] @> 2") == [True]
     assert eng.fetch_values("RETURN {a: [1, {x: 'y'}]} <@ {a: [1, {x: 'y'}], b: 0}") == [True]
+
+
+def test_deep_needle_containment_exact(spark):
+    """Needles nested deeper than the JVM unroll route through the
+    exact recursive check (round-6 verdict item #5): numeric identity
+    and subset semantics must hold at depth 5+, where the old
+    text-equality leaf under-approximated."""
+    from postgraph_spark.engine import CypherEngine
+
+    e = CypherEngine(spark)
+    e.execute("CREATE GRAPH deepcont")
+    e.execute("USE GRAPH deepcont")
+
+    def check(q, want):
+        assert e.fetch_values(f"RETURN {q}") == [want], q
+
+    # depth-5 needle, numeric form differs -> still contained
+    check(
+        "{a: {b: {c: {d: {e: 1, f: 2}}}}} @> {a: {b: {c: {d: {e: 1.0}}}}}",
+        True,
+    )
+    # depth-5 subset (extra keys in the haystack's deep object)
+    check(
+        "{a: {b: {c: {d: {e: 1, f: 2}}}}} @> {a: {b: {c: {d: {f: 2}}}}}",
+        True,
+    )
+    check(
+        "{a: {b: {c: {d: {e: 1}}}}} @> {a: {b: {c: {d: {e: 2}}}}}",
+        False,
+    )
+    # deep arrays: element containment, order-free
+    check("[[[[[1, 2, 3]]]]] @> [[[[[3, 1]]]]]", True)
+    check("[[[[[1, 2]]]]] @> [[[[[4]]]]]", False)
+    # <@ flips operands (needle = left)
+    check("{a: {b: {c: {d: {e: 1.0}}}}} <@ {a: {b: {c: {d: {e: 1, x: 9}}}}}", True)
+    # bool never equals number, even deep
+    check("{a: {b: {c: {d: {e: true}}}}} @> {a: {b: {c: {d: {e: 1}}}}}", False)
+
+
+def test_deep_python_contains_unit():
+    from postgraph_spark.functions.gtype import _py_deep_contains, json_value_depth
+
+    assert json_value_depth({"a": [{"b": 1}]}) == 3
+    assert json_value_depth(5) == 0
+    assert _py_deep_contains({"a": [1, 2]}, {"a": [2]})
+    assert not _py_deep_contains({"a": [1, 2]}, {"a": [3]})
+    assert _py_deep_contains([1, 2], 2, top=True)  # top-level scalar in array
+    assert not _py_deep_contains([1, 2], 2)  # non-top: array vs scalar
+    assert not _py_deep_contains({"a": True}, {"a": 1})
