@@ -1808,6 +1808,23 @@ class Compiler:
 
             lo = bound(spec.frame_start, spec.frame_start_dir, W.unboundedPreceding)
             hi = bound(spec.frame_end, spec.frame_end_dir, W.currentRow)
+            if spec.frame_kind == "groups":
+                # GROUPS frames (cypher_gram.y:17484-17520) count PEER
+                # GROUPS, which Spark's window has no mode for. Exact
+                # rewrite: let-bind dense_rank() over the same
+                # partition/order (peer groups <-> consecutive rank
+                # values, so `GROUPS n PRECEDING/FOLLOWING` == `RANGE n`
+                # over the rank; CURRENT ROW covers the full peer group
+                # under RANGE just as GROUPS defines it). EXCLUDE stays
+                # unsupported (no Spark equivalent).
+                if not order:
+                    raise CompileError("GROUPS mode requires ORDER BY")
+                if self._lets is None:
+                    raise CompileError("GROUPS frame unsupported in this context")
+                dr = self._let_scalar(F.dense_rank().over(w))
+                w = W.partitionBy(*pcols) if pcols else W.partitionBy(F.lit(1))
+                w = w.orderBy(dr.asc()).rangeBetween(lo, hi)
+                return w
             w = w.rowsBetween(lo, hi) if spec.frame_kind == "rows" else w.rangeBetween(lo, hi)
         return w
 

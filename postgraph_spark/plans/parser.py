@@ -315,7 +315,7 @@ class Parser:
             spec.partition_by = self.parse_expr_list()
         if self.at_kw("order"):
             spec.order_by = self.parse_order_by()
-        if self.at_name("rows", "range"):
+        if self.at_name("rows", "range", "groups"):
             spec.frame_kind = self.advance().value.lower()
 
             def bound():
