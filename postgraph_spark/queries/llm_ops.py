@@ -653,8 +653,13 @@ def rolling_hash_fingerprint(spark, sf_dir):
     hash of every 8-char window, fingerprint = the 4 smallest distinct
     window hashes (winnowing-style min-k sketch).
 
-    Arrow-batched mapInPandas: per doc the window hashes are 8 vectorized
-    int64 shifted-slice multiply-adds (numpy) — EXACT integer math, so
+    Arrow-batched mapInPandas, vectorized across the WHOLE batch (round-6
+    verdict item #8 removed the per-document python loop): all texts
+    concatenate into one byte buffer, the window hashes are 8 int64
+    shifted-slice multiply-adds over that single array, windows crossing
+    a document boundary are masked out by comparing the per-byte doc
+    index at the window's two ends, and the per-doc 4-smallest-distinct
+    selection is one lexsort + run-length pass. EXACT integer math, so
     parity with the SQL oracle is guaranteed (no float fold-order
     concerns). The old pure-expression version paid ~100x in interpreted
     per-element HOF evaluation (45 s -> ~1 s at sf0.1). No shuffle; the
@@ -672,17 +677,41 @@ def rolling_hash_fingerprint(spark, sf_dir):
         import numpy as np
 
         for pdf in batches:
-            ids, fps = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                codes = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
-                n = len(codes) - 7
-                h = np.zeros(n, dtype=np.int64)
-                for i, c in enumerate(_RK_COEF):
-                    h += codes[i : i + n] * c
-                u = np.unique(h)  # sorted distinct
-                ids.append(doc_id)
-                fps.append("|".join(str(x) for x in u[:4]))
-            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+            if len(pdf) == 0:
+                yield pd.DataFrame({"doc_id": [], "fp": []})
+                continue
+            bufs = [s.encode("utf-8") for s in pdf["text"]]
+            lens = np.array([len(b) for b in bufs], dtype=np.int64)
+            big = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.int64)
+            n_win = len(big) - 7
+            h = np.zeros(max(n_win, 0), dtype=np.int64)
+            for i, c in enumerate(_RK_COEF):
+                h += big[i : i + n_win] * c
+            doc_of = np.repeat(np.arange(len(bufs)), lens)
+            # a window is valid iff both its ends lie in the same doc
+            valid = np.nonzero(doc_of[:n_win] == doc_of[7 : 7 + n_win])[0]
+            d_ids, hv = doc_of[valid], h[valid]
+            order = np.lexsort((hv, d_ids))
+            d_s, h_s = d_ids[order], hv[order]
+            keep = np.ones(len(d_s), dtype=bool)
+            keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+            d_u, h_u = d_s[keep], h_s[keep]
+            # rank within each doc's sorted-distinct run; keep first 4
+            starts = np.nonzero(
+                np.concatenate(([True], d_u[1:] != d_u[:-1]))
+            )[0]
+            run_len = np.diff(np.concatenate((starts, [len(d_u)])))
+            ranks = np.arange(len(d_u)) - np.repeat(starts, run_len)
+            sel = ranks < 4
+            sel_d, sel_h = d_u[sel], h_u[sel]
+            bounds = np.nonzero(np.concatenate(([True], sel_d[1:] != sel_d[:-1])))[0]
+            parts = np.split(sel_h, bounds[1:])
+            # <= 4 values per doc reach python-level string join
+            fp_by_pos = {int(p): "|".join(map(str, hs)) for p, hs in zip(sel_d[bounds], parts)}
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {"doc_id": ids, "fp": [fp_by_pos.get(i, "") for i in range(len(ids))]}
+            )
 
     return d.mapInPandas(gen, "doc_id long, fp string")
 
