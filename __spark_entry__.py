@@ -51,34 +51,41 @@ _PRIORITY = [
     # function kits
     "vector_distance_funcs", "json_containment_ops",
     "tsearch_match", "range_ops",
-    "network_funcs", "cypher_extended_casts",
-    "cypher_kit_funcs", "geometric_kit_full", "pg_expr_forms",
-    # LLM-pipeline operators — all 13 inside the driver's 50-row prefix
-    "dedup_exact_groups", "dedup_minhash_lsh_pairs",
+    "geometric_kit_full", "pg_expr_forms",
+    # LLM-pipeline operators
+    "dedup_minhash_lsh_pairs",
     "dedup_clusters", "dup_triangles",
     "dedup_jaccard_pairs", "simhash_fingerprints", "text_stats",
-    "lang_id_heuristic", "sim_topk_cosine", "sim_topk_ivf",
-    "embed_neardup_pairs", "embed_neardup_lsh", "rolling_hash_fingerprint",
+    "lang_id_heuristic", "sim_topk_ivf",
+    "embed_neardup_lsh", "rolling_hash_fingerprint",
     "token_count_bpe", "decontam_overlap", "sample_stratified",
     "pii_scrub",
     # temporal joins (as-of via union-tag window; bucketized range join)
     "asof_view_before_click", "interval_overlap_join",
-    # shapes re-exercised by the Cypher rows above — demoted past the
-    # 50-row prefix (still oracle-checked locally): semi/anti and outer
-    # joins (cypher_exists_pattern / cypher_optional_match), engine 1hop
-    # (cypher_match_where), quantified rewrite (cypher_quantified),
-    # base typecasts (cypher_extended_casts)
-    # (q5's multi-join shape = entry()'s flagship query, smoke-checked
-    # by the driver every round anyway; setop-ALL compile path is
-    # driven by cypher_union_labels and golden-tested locally; UNWIND
-    # is driver-checked via cypher_unwind_collect; q3's join+topn shape
-    # = cypher_with_orderby_limit; match_where predicates recur in every
-    # other MATCH row; minhash_signatures is the first stage of
-    # dedup_minhash_lsh_pairs; null_handling semantics recur in
-    # pg_expr_forms' ISNULL/IS UNKNOWN columns)
+    # round-7 prefix rotation (round-6 verdict #7): six rows never
+    # driver-checked before move INTO the 50-row prefix — the write path
+    # (cypher_write_roundtrip: DDL + CREATE/MERGE/SET/DELETE + durable
+    # reopen), corpus boilerplate mining, Gopher repetition stats, the
+    # streaming interval join, the geometric operator row, and the
+    # invariant-pinned pagerank row (no SQL oracle -> the driver records
+    # the weaker rows-only check)
+    "cypher_write_roundtrip", "boilerplate_ngrams", "repetition_stats",
+    "stream_interval_join", "geometric_ops", "pagerank_dupgraph",
+    # rotated OUT this round (still oracle-checked locally, and their
+    # shapes stay driver-covered): dedup_exact_groups (md5-groupBy =
+    # stage 1 of dedup_clusters), sim_topk_cosine / embed_neardup_pairs
+    # (the IVF/LSH variants of the same operators stay in), network
+    # funcs + kit funcs (re-exercised across the Cypher rows), extended
+    # casts (::casts recur in cypher_temporal_funcs)
+    "dedup_exact_groups", "sim_topk_cosine", "embed_neardup_pairs",
+    "network_funcs", "cypher_extended_casts", "cypher_kit_funcs",
+    "multimodal_decode",
+    # previously-demoted shapes (see round-6 notes): q5's multi-join =
+    # entry()'s flagship smoke check; setop-ALL / match_where /
+    # quantified / null-handling semantics recur in prefix rows
     "q5_region_revenue", "q3_top_orders", "cypher_setop_all",
     "cypher_match_where", "minhash_signatures", "null_handling",
-    "unwind_word_count", "repetition_stats", "pagerank_dupgraph",
+    "unwind_word_count",
     "semi_join_exists", "left_outer_join", "graph_match_1hop",
     "quantified_all_rewrite", "typecasting_funcs", "multimodal_resize",
     "multimodal_frame_sample", "date_bin_events",
