@@ -102,6 +102,7 @@ class WindowSpec:
     frame_end: Optional[Any] = None
     frame_start_dir: Optional[str] = None  # 'preceding' | 'following'
     frame_end_dir: Optional[str] = None
+    frame_exclude: Optional[str] = None  # 'current' | 'group' | 'ties'
 
 
 @dataclass

@@ -1795,6 +1795,20 @@ class Compiler:
         if order:
             w = w.orderBy(*[ocol(si) for si in order])
 
+        # EXCLUDE rewrites per aggregate (frame minus a correction), so
+        # expose the exclusion kind + the PEER-GROUP window (RANGE
+        # CURRENT ROW..CURRENT ROW over the same order) to the caller
+        excl = getattr(spec, "frame_exclude", None)
+        excl_info = None
+        if excl:
+            if not order:
+                raise CompileError("EXCLUDE requires ORDER BY")
+            wg = W.partitionBy(*pcols) if pcols else W.partitionBy(F.lit(1))
+            wg = wg.orderBy(*[ocol(si) for si in order]).rangeBetween(
+                W.currentRow, W.currentRow
+            )
+            excl_info = (excl, wg)
+
         if spec.frame_kind:
             def bound(b, d, default):
                 if b == "unbounded":
@@ -1824,16 +1838,25 @@ class Compiler:
                 dr = self._let_scalar(F.dense_rank().over(w))
                 w = W.partitionBy(*pcols) if pcols else W.partitionBy(F.lit(1))
                 w = w.orderBy(dr.asc()).rangeBetween(lo, hi)
-                return w
+                return w, excl_info
             w = w.rowsBetween(lo, hi) if spec.frame_kind == "rows" else w.rangeBetween(lo, hi)
-        return w
+        return w, excl_info
 
     def _compile_window_func(self, e: A.FuncCall, df, scope) -> Column:
         """fn(...) OVER (...) — ranking/navigation fns plus windowed
         aggregates (the reference reuses PG's windowagg executor;
-        here each maps to a pyspark Window expression)."""
-        w = self._resolve_window(e.over, df, scope)
+        here each maps to a pyspark Window expression). EXCLUDE
+        (g.y:17545-17565) rewrites for the DECOMPOSABLE aggregates —
+        count/sum/avg — as frame aggregate minus a correction (the
+        current row's contribution, the peer group's, or the peer group
+        minus the current row); min/max/stdev with EXCLUDE stay
+        unsupported (not decomposable without a window min_by)."""
+        w, excl = self._resolve_window(e.over, df, scope)
         name = e.name
+        if excl is not None and name not in ("count", "sum", "avg"):
+            raise CompileError(f"EXCLUDE is unsupported for {name}() (only count/sum/avg)")
+        if excl is not None:
+            return self._compile_excluded_agg(e, w, excl, df, scope)
 
         if name == "row_number":
             return G.gv_int(F.row_number().over(w))
@@ -1891,3 +1914,42 @@ class Compiler:
         if name == "stdevp":
             return G.gv_float(F.stddev_pop(d).over(w))
         raise CompileError(f"unsupported window function {name}")
+
+    def _compile_excluded_agg(self, e: A.FuncCall, w, excl, df, scope) -> Column:
+        """count/sum/avg with a frame EXCLUDE clause: frame aggregate
+        minus the excluded contribution. `kind`: current = this row,
+        group = the whole peer group, ties = peers except this row.
+        A frame left empty by the exclusion yields NULL for sum/avg and
+        0 for count (PG semantics)."""
+        kind, wg = excl
+        name = e.name
+        if name == "count" and e.star:
+            base = F.count(F.lit(1)).over(w)
+            gcnt = F.count(F.lit(1)).over(wg)
+            corr = {"current": F.lit(1), "group": gcnt, "ties": gcnt - 1}[kind]
+            return G.gv_int(base - corr)
+        arg = self._maybe_let(self.compile_expr(e.args[0], df, scope), e.args[0], df)
+        nn = F.when(arg["t"] != G.T_NULL, F.lit(1))
+        own_cnt = F.coalesce(nn, F.lit(0))
+        gcnt = F.count(nn).over(wg)
+        corr_cnt = {"current": own_cnt, "group": gcnt, "ties": gcnt - own_cnt}[kind]
+        post_cnt = F.count(nn).over(w) - corr_cnt
+        if name == "count":
+            return G.gv_int(post_cnt)
+        d = arg["d"]
+        own_d = F.coalesce(d, F.lit(0.0))
+        gsum = F.coalesce(F.sum(d).over(wg), F.lit(0.0))
+        corr_d = {"current": own_d, "group": gsum, "ties": gsum - own_d}[kind]
+        post_sum = F.coalesce(F.sum(d).over(w), F.lit(0.0)) - corr_d
+        if name == "avg":
+            return G.gv_float(F.when(post_cnt > 0, post_sum / post_cnt))
+        # sum — keep the exact int64 axis when every frame value is int
+        all_int = F.min(F.when(arg["t"] == G.T_NUMBER, arg["i"].isNotNull())).over(w)
+        own_i = F.coalesce(arg["i"], F.lit(0))
+        gsum_i = F.coalesce(F.sum(arg["i"]).over(wg), F.lit(0))
+        corr_i = {"current": own_i, "group": gsum_i, "ties": gsum_i - own_i}[kind]
+        post_i = F.coalesce(F.sum(arg["i"]).over(w), F.lit(0)) - corr_i
+        return G.gv_num(
+            i=F.when(all_int & (post_cnt > 0), post_i),
+            d=F.when(post_cnt > 0, post_sum),
+        )

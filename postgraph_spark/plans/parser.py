@@ -341,6 +341,24 @@ class Parser:
             else:
                 spec.frame_start, spec.frame_start_dir = bound()
                 spec.frame_end, spec.frame_end_dir = "current", None
+            # frame_exclusion (g.y:17545-17565): EXCLUDE CURRENT ROW |
+            # GROUP | TIES | NO OTHERS
+            if self.at_name("exclude"):
+                self.advance()
+                tok = self.advance().value.lower()
+                if tok == "current":
+                    row = self.advance().value.lower()
+                    if row != "row":
+                        raise ParseError("expected ROW after EXCLUDE CURRENT")
+                    spec.frame_exclude = "current"
+                elif tok in ("group", "ties"):
+                    spec.frame_exclude = tok
+                elif tok == "no":
+                    others = self.advance().value.lower()
+                    if others != "others":
+                        raise ParseError("expected OTHERS after EXCLUDE NO")
+                else:
+                    raise ParseError(f"bad EXCLUDE option {tok!r}")
         self.eat_op(")")
         return spec
 

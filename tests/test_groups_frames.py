@@ -102,3 +102,56 @@ def test_groups_requires_order_by(engine):
             "MATCH (n:r) RETURN sum(n.v) OVER "
             "(PARTITION BY n.g GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s"
         ).collect()
+
+
+# ---------------------------------------------------- EXCLUDE clause
+
+
+def duck_exclude(agg, frame):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE r (g text, k int, v int)")
+    con.executemany("INSERT INTO r VALUES (?, ?, ?)", ROWS)
+    q = (
+        f"SELECT g, k, v, {agg} OVER (PARTITION BY g ORDER BY k "
+        f"{frame}) AS s FROM r ORDER BY g, k, v"
+    )
+    return [tuple(r) for r in con.execute(q).fetchall()]
+
+
+def run_exclude(engine, agg, frame):
+    q = (
+        "MATCH (n:r) "
+        "RETURN n.g AS g, n.k AS k, n.v AS v, "
+        f"{agg.replace('(v)', '(n.v)')} OVER (PARTITION BY n.g ORDER BY n.k {frame}) AS s "
+        "ORDER BY g, k, v"
+    )
+    return [tuple(r) for r in engine.fetch(q)]
+
+
+@pytest.mark.parametrize("excl", ["EXCLUDE CURRENT ROW", "EXCLUDE GROUP", "EXCLUDE TIES", "EXCLUDE NO OTHERS"])
+@pytest.mark.parametrize("agg", ["sum(v)", "count(v)", "avg(v)"])
+def test_exclude_matches_duckdb(engine, agg, excl):
+    frame = f"ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING {excl}"
+    got = run_exclude(engine, agg, frame)
+    want = duck_exclude(agg, frame)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        if g[3] is None or w[3] is None:
+            assert g[3] == w[3], (agg, excl, g, w)
+        else:
+            assert abs(g[3] - w[3]) < 1e-9, (agg, excl, g, w)
+
+
+def test_exclude_over_range_frame(engine):
+    frame = "RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP"
+    assert run_exclude(engine, "sum(v)", frame) == duck_exclude("sum(v)", frame)
+
+
+def test_exclude_unsupported_agg(engine):
+    with pytest.raises(Exception, match="EXCLUDE"):
+        engine.execute(
+            "MATCH (n:r) RETURN min(n.v) OVER (PARTITION BY n.g ORDER BY n.k "
+            "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS s"
+        ).collect()
