@@ -603,3 +603,75 @@ def cypher_write_roundtrip(spark, sf_dir):
         F.col("key_sum")["i"].alias("key_sum"),
         F.col("flagged")["i"].alias("flagged"),
     )
+
+
+@register(
+    "window_frames_extended",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS okey,
+      round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW), 2) AS neigh_sum,
+      CAST(count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS BIGINT) AS pre_n,
+      round(avg(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+            ROWS BETWEEN 1 PRECEDING AND 3 FOLLOWING EXCLUDE TIES), 2) AS win_avg
+    FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def window_frames_extended(spark, sf_dir):
+    """The round-7 frame surface driver-checked: EXCLUDE CURRENT ROW /
+    GROUP / TIES over ROWS frames, rewritten as frame-aggregate minus a
+    peer-group correction (compiler._compile_excluded_agg; the oracle is
+    DuckDB's NATIVE SQL:2011 EXCLUDE). ORDER BY o_orderkey is unique, so
+    frames are deterministic."""
+    eng = _tpch_engine(spark, sf_dir)
+    out = eng.execute(
+        "MATCH (o:orders) WHERE o.o_totalprice > 400000 "
+        "RETURN o.o_orderkey AS okey, "
+        "round(sum(o.o_totalprice) OVER (PARTITION BY o.o_orderpriority ORDER BY o.o_orderkey "
+        "  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW), 2) AS neigh_sum, "
+        "count(*) OVER (PARTITION BY o.o_orderpriority ORDER BY o.o_orderkey "
+        "  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS pre_n, "
+        "round(avg(o.o_totalprice) OVER (PARTITION BY o.o_orderpriority ORDER BY o.o_orderkey "
+        "  ROWS BETWEEN 1 PRECEDING AND 3 FOLLOWING EXCLUDE TIES), 2) AS win_avg"
+    )
+    return out.select(
+        F.col("okey")["i"].alias("okey"),
+        F.col("neigh_sum")["d"].alias("neigh_sum"),
+        F.col("pre_n")["i"].alias("pre_n"),
+        F.col("win_avg")["d"].alias("win_avg"),
+    )
+
+
+@register(
+    "deep_order_arrays",
+    """
+    SELECT q, d, e FROM (
+      SELECT l_quantity AS q, l_discount AS d, l_extendedprice AS e,
+             [[l_quantity, l_discount], [l_extendedprice]] AS v,
+             l_orderkey * 8 + l_linenumber AS cid
+      FROM lineitem WHERE l_quantity > 45
+    ) ORDER BY v, cid LIMIT 60
+    """,
+)
+def deep_order_arrays(spark, sf_dir):
+    """ORDER BY over NESTED array values through the engine's exact
+    deep-container sort path (gtype.deep_container_key: the unbounded
+    compare_gtype_containers_orderability walk) — the oracle is DuckDB's
+    native nested-list ordering, which agrees with gtype ordering for
+    homogeneous numeric nestings (element-wise, numbers numerically,
+    shorter prefix first). cid (the lineitem edge's entry-id formula)
+    breaks ties deterministically; the driver compares the ordered
+    prefix's VALUES, so the sort order itself is what's checked."""
+    eng = _tpch_engine(spark, sf_dir)
+    out = eng.execute(
+        "MATCH ()-[c:contains]->() WHERE c.quantity > 45 "
+        "WITH [[c.quantity, c.discount], [c.extendedprice]] AS v, id(c) AS cid "
+        "ORDER BY v, cid LIMIT 60 "
+        "RETURN v[0][0] AS q, v[0][1] AS d, v[1][0] AS e"
+    )
+    return out.select(
+        F.col("q")["d"].alias("q"),
+        F.col("d")["d"].alias("d"),
+        F.col("e")["d"].alias("e"),
+    )
