@@ -1,0 +1,87 @@
+"""K-means document clustering over embedding columns — Lloyd's
+algorithm as DataFrame iterations (the batch analog of the reference's
+IVF list-training k-means, src/backend/access/ivfflat/ivfkmeans.c; that
+engine trains on a reservoir sample, assigns lists, and re-averages —
+the same assign/update alternation expressed here declaratively).
+
+Scale design (100 TB):
+- Assignment is a PURE projection: the k centroids travel as literal
+  arrays inside the expression (k*dim doubles — broadcast-by-plan), and
+  the argmin is a JVM fold per centroid. No join, no shuffle, no UDF.
+- The update is ONE hash aggregation per iteration: groupBy(cluster)
+  with per-dimension avg columns (map-side partial aggregation; the
+  shuffle moves k * dim partial sums per map task, not rows).
+- The driver holds only the k x dim centroid matrix per iteration —
+  never data rows. Lineage stays flat because each iteration's
+  assignment recomputes from the (cacheable) input, not from the
+  previous iteration's plan.
+
+Determinism: init picks the k vectors with the smallest ids (no RNG —
+cross-engine reproducible); distance folds run left-to-right over the
+double-cast vector, and argmin ties break to the lowest cluster index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 between a double-array column and a literal centroid:
+    left-to-right fold, so the float result is reproducible."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> Column:
+    """Cluster index column: argmin of squared distance over the literal
+    centroids, ties to the lowest index (struct-min on (dist, idx))."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cands = F.array(
+        *[
+            F.struct(_sq_dist(v, c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(cands)["i"]
+
+
+def kmeans(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 5,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Cluster `df[vec_col]` (array<numeric>) into k clusters; returns
+    (df with a `cluster` column, final centroids). `iters` counts
+    ASSIGNMENT rounds: init -> assign -> (update -> assign) * (iters-1).
+    """
+    dim = df.select(F.size(F.col(vec_col)).alias("n")).filter(F.col("n") > 0).first()["n"]
+    seed_rows = (
+        df.select(id_col, vec_col).orderBy(F.col(id_col)).limit(k).collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    if len(centroids) < k:
+        raise ValueError(f"need at least k={k} rows to seed k-means")
+
+    out = df.withColumn("cluster", assign_clusters(df, vec_col, centroids))
+    for _ in range(iters - 1):
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        means = (
+            out.select("cluster", *[v[i].alias(f"__d{i}") for i in range(dim)])
+            .groupBy("cluster")
+            .agg(*[F.avg(f"__d{i}").alias(f"__d{i}") for i in range(dim)])
+            .collect()
+        )
+        got = {r["cluster"]: [r[f"__d{i}"] for i in range(dim)] for r in means}
+        # an emptied cluster keeps its previous centroid (ivfkmeans
+        # re-seeds from a sample; deterministic variant: hold position)
+        centroids = [got.get(i, centroids[i]) for i in range(k)]
+        out = df.withColumn("cluster", assign_clusters(df, vec_col, centroids))
+    return out, centroids

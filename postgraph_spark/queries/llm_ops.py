@@ -819,3 +819,64 @@ def multimodal_decode(spark, sf_dir):
     schema, payload-column drop — is the real production shape."""
     media = MM.documents_as_media(t(spark, sf_dir, "documents"))
     return MM.decode_media(media, n_features=8)
+
+
+@register(
+    "kmeans_embeddings",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+      FROM e ORDER BY vec_id LIMIT 10),
+    d1 AS (
+      SELECT e.vec_id, c0.c,
+             list_sum(list_transform(list_zip(e.v, c0.cv),
+                                     x -> (x[1]-x[2])*(x[1]-x[2]))) AS dist
+      FROM e CROSS JOIN c0),
+    a1 AS (
+      SELECT vec_id, min(c) AS c FROM (
+        SELECT vec_id, c, dist, min(dist) OVER (PARTITION BY vec_id) AS md FROM d1)
+      WHERE dist = md GROUP BY vec_id),
+    c1 AS (
+      SELECT c, list(m ORDER BY i) AS cv FROM (
+        SELECT a1.c, t.i, avg(e.v[t.i + 1]) AS m
+        FROM a1 JOIN e USING (vec_id) CROSS JOIN range(64) t(i)
+        GROUP BY a1.c, t.i)
+      GROUP BY c),
+    d2 AS (
+      SELECT e.vec_id, c1.c,
+             list_sum(list_transform(list_zip(e.v, c1.cv),
+                                     x -> (x[1]-x[2])*(x[1]-x[2]))) AS dist
+      FROM e CROSS JOIN c1),
+    a2 AS (
+      SELECT vec_id, min(c) AS c FROM (
+        SELECT vec_id, c, dist, min(dist) OVER (PARTITION BY vec_id) AS md FROM d2)
+      WHERE dist = md GROUP BY vec_id)
+    SELECT a2.c AS cluster, CAST(count(*) AS BIGINT) AS n,
+           round(sum(list_sum(e.v)) / count(*), 3) AS centroid_mass
+    FROM a2 JOIN e USING (vec_id) GROUP BY a2.c
+    """,
+)
+def kmeans_embeddings(spark, sf_dir):
+    """K-means document clustering (operators/clustering.py — Lloyd's
+    as DataFrame iterations, the batch analog of IVF list training,
+    ivfkmeans.c): k=10 over the 64-dim embeddings, 2 assignment rounds,
+    deterministic smallest-id init, left-to-right distance folds,
+    lowest-index tie-breaks. The oracle replays the SAME two rounds as
+    DuckDB CTEs. Assignment is a pure projection (centroids are plan
+    literals); each update is one map-side-partial hash aggregation."""
+    from postgraph_spark.operators.clustering import kmeans
+
+    e = t(spark, sf_dir, "embeddings")
+    out, _cent = kmeans(e, "embedding", "vec_id", k=10, iters=2)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        out.select("cluster", F.aggregate(v, F.lit(0.0), lambda a, b: a + b).alias("__s"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("__s") / F.count(F.lit(1)), 3).alias("centroid_mass"),
+        )
+    )
