@@ -17,6 +17,7 @@ Cypher variable —
 from __future__ import annotations
 
 import itertools
+import re
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -255,18 +256,33 @@ class Compiler:
         return self._let(col)
 
     def _apply_lets(self, df: DataFrame) -> tuple[DataFrame, list[str]]:
-        """Flush pending lets onto df as hidden columns. One select per
-        let: a later let may reference an earlier one (post-order
-        compile), and same-select aliases are not mutually visible.
-        Each select's eager analysis is cheap precisely because the
-        lets keep every expression small."""
+        """Flush pending lets onto df as hidden columns. A later let may
+        reference an earlier one (post-order compile) and same-select
+        aliases are not mutually visible, so lets are flushed in
+        DEPENDENCY BATCHES: consecutive lets that do not reference a
+        name bound in the current batch share one select (each select's
+        eager analysis costs a full plan walk — one select per let made
+        driver-side build time linear in let count x plan size)."""
         if not self._lets:
             return df, []
         lets, self._lets = self._lets, []
-        names = []
-        for name, c in lets:
-            df = df.select("*", c.alias(name))
-            names.append(name)
+        names = [n for n, _ in lets]
+        i = 0
+        while i < len(lets):
+            batch = [lets[i]]
+            batch_names = [lets[i][0]]
+            j = i + 1
+            while j < len(lets):
+                c = lets[j][1]
+                s = str(c._jc) if hasattr(c, "_jc") else str(c)
+                # \b guards __let12 matching inside __let123
+                if any(re.search(bn + r"\b", s) for bn in batch_names):
+                    break
+                batch.append(lets[j])
+                batch_names.append(lets[j][0])
+                j += 1
+            df = df.select("*", *[c.alias(n) for n, c in batch])
+            i = j
         return df, names
 
     # ------------------------------------------------------------- MATCH
