@@ -246,3 +246,65 @@ def neardup_pairs_lsh(
     return neardup_pairs_cosine(
         bucketed, id_col=id_col, vec_col=vec_col, bucket_col="__lsh", threshold=threshold
     )
+
+
+# -- trained IVF (k-means coarse quantizer) --------------------------------
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    iters: int = 2,
+    max_broadcast_queries: int = 100_000,
+) -> DataFrame:
+    """IVFFlat with a TRAINED coarse quantizer (ivfkmeans.c + ivfscan):
+    k-means (operators/clustering.py — deterministic init, pure-
+    projection assignment) partitions the corpus into nlist inverted
+    lists; each query probes its `nprobe` nearest centroids and ranks
+    candidates from those lists only.
+
+    Scale shape: training = iters hash aggregations; list assignment and
+    query probing are projections (centroids are plan literals); the
+    candidate join is an EQUI join on the list id — the recall/cost dial
+    is nprobe, never an all-pairs pass."""
+    from postgraph_spark.operators.clustering import _sq_dist, kmeans
+
+    assigned, cents = kmeans(corpus, vec_col, id_col, k=nlist, iters=iters)
+    v = _d(F.col(vec_col))
+    cand = F.array(
+        *[
+            F.struct(_sq_dist(v, c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(cents)
+        ]
+    )
+    probe_lists = F.transform(F.slice(F.array_sort(cand), 1, nprobe), lambda s: s["i"])
+    q = queries.select(
+        F.col(id_col).alias("q"),
+        _d(F.col(vec_col)).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+        F.explode(probe_lists).alias("list"),
+    )
+    c = assigned.select(
+        F.col(id_col).alias("n"),
+        _d(F.col(vec_col)).alias("nv"),
+        l2_norm(F.col(vec_col)).alias("nn"),
+        F.col("cluster").alias("list"),
+    )
+    # guarded broadcast (same limit-probe discipline as brute_force_topk):
+    # an unbounded query set falls back to a shuffle equi-join
+    small = queries.limit(max_broadcast_queries + 1).count() <= max_broadcast_queries
+    sims = (
+        c.join(F.broadcast(q) if small else q, ["list"])
+        .filter(F.col("q") != F.col("n"))
+        .select(
+            "q", "n",
+            F.round(_dotd(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6).alias("sim"),
+        )
+    )
+    w = W.partitionBy("q").orderBy(F.col("sim").desc(), F.col("n"))
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -880,3 +880,69 @@ def kmeans_embeddings(spark, sf_dir):
             F.round(F.sum("__s") / F.count(F.lit(1)), 3).alias("centroid_mass"),
         )
     )
+
+
+@register(
+    "sim_topk_ivf_trained",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+      FROM e ORDER BY vec_id LIMIT 8),
+    d1 AS (
+      SELECT e.vec_id, c0.c,
+             list_sum(list_transform(list_zip(e.v, c0.cv),
+                                     x -> (x[1]-x[2])*(x[1]-x[2]))) AS dist
+      FROM e CROSS JOIN c0),
+    a1 AS (
+      SELECT vec_id, min(c) AS c FROM (
+        SELECT vec_id, c, dist, min(dist) OVER (PARTITION BY vec_id) AS md FROM d1)
+      WHERE dist = md GROUP BY vec_id),
+    c1 AS (
+      SELECT c, list(m ORDER BY i) AS cv FROM (
+        SELECT a1.c, t.i, avg(e.v[t.i + 1]) AS m
+        FROM a1 JOIN e USING (vec_id) CROSS JOIN range(64) t(i)
+        GROUP BY a1.c, t.i)
+      GROUP BY c),
+    d2 AS (
+      SELECT e.vec_id, c1.c,
+             list_sum(list_transform(list_zip(e.v, c1.cv),
+                                     x -> (x[1]-x[2])*(x[1]-x[2]))) AS dist
+      FROM e CROSS JOIN c1),
+    lists AS (
+      SELECT vec_id, min(c) AS list FROM (
+        SELECT vec_id, c, dist, min(dist) OVER (PARTITION BY vec_id) AS md FROM d2)
+      WHERE dist = md GROUP BY vec_id),
+    probes AS (
+      SELECT vec_id AS q, c AS list FROM (
+        SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS pr
+        FROM d2 WHERE vec_id < 10)
+      WHERE pr <= 2),
+    sims AS (
+      SELECT p.q, n.vec_id AS n,
+             round(list_dot_product(qe.v, n.v)
+                   / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS sim
+      FROM probes p
+      JOIN lists l ON l.list = p.list
+      JOIN e n ON n.vec_id = l.vec_id
+      JOIN e qe ON qe.vec_id = p.q
+      WHERE n.vec_id <> p.q)
+    SELECT q, n, sim, rn FROM (
+      SELECT q, n, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, n) AS rn FROM sims)
+    WHERE rn <= 5
+    """,
+)
+def sim_topk_ivf_trained(spark, sf_dir):
+    """IVFFlat with a TRAINED k-means coarse quantizer (ivfkmeans.c +
+    ivfscan; operators/similarity.ivf_topk): nlist=8 lists trained for
+    two assignment rounds, each query probes its nprobe=2 nearest
+    centroids, candidates come from those lists only. The oracle
+    replays the identical training (deterministic init, same float fold
+    order) and probe selection as DuckDB CTEs, so the recall trade
+    itself — not just the distances — is value-checked."""
+    e = t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(
+        e.filter(F.col("vec_id") < 10), e, k=5, nlist=8, nprobe=2, iters=2
+    )
