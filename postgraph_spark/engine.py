@@ -292,4 +292,15 @@ def _literal_value(e):
         return {k: _literal_value(v) for k, v in e.items.items()}
     if isinstance(e, A.UnaryOp) and e.op == "-":
         return -_literal_value(e.operand)
+    if isinstance(e, A.Cast) and e.type_name in ("numeric", "float", "integer"):
+        # PG folds Const casts at plan time (3.8::numeric in a CREATE
+        # map is still a literal; old/regress/aggregation.sql:34)
+        v = _literal_value(e.operand)
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise ValueError("CREATE supports literal properties only")
+        if e.type_name == "integer":
+            return int(v)
+        if e.type_name == "float":
+            return float(v)
+        return v  # numeric keeps the literal's exact value
     raise ValueError("CREATE supports literal properties only")
