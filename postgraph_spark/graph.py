@@ -502,6 +502,26 @@ class Graph:
             if not existing.join(newk, "__k", "left_semi").isEmpty():
                 raise ValueError(f"duplicate key value violates unique constraint on {what}")
 
+    def enforce_unique_post_update(self, table: DataFrame, labels: list[str]) -> None:
+        """Post-UPDATE unique check (the btree index also rejects
+        UPDATEs that create duplicates — old/regress/index.sql Test 3):
+        given the candidate post-update table, any constrained label
+        among the touched `labels` must hold no duplicate keys. One
+        label-pruned partial-agg job per constrained touched label."""
+        for c in self.constraints:
+            if c["label"] not in labels:
+                continue
+            key = self._unique_key_col(c["property"])
+            dup = (
+                table.filter(F.col("label") == c["label"])
+                .select(key.alias("__k"))
+                .filter(F.col("__k").isNotNull())
+                .groupBy("__k").count().filter(F.col("count") > 1)
+            )
+            what = f'{c["label"]}.{c["property"]}' if c["property"] else f'{c["label"]}.properties'
+            if not dup.isEmpty():
+                raise ValueError(f"duplicate key value violates unique constraint on {what}")
+
     def alloc_entry_ids(self, label: str, n: int, kind: str | None = None) -> tuple[int, int]:
         """Reserve n per-label sequence values -> (label_id,
         first_entry_id). Mirrors the reference's label sequences

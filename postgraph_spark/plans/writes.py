@@ -360,6 +360,7 @@ class WriteRunner:
                 )
                 if "pv" in g.vertices.columns:  # keep the variant in sync
                     upd = upd.withColumn("pv", F.try_parse_json("properties"))
+                g.enforce_unique_post_update(upd, upd_labels)
                 g.vertices = upd.localCheckpoint(eager=True)
                 g.persist_partitions("vertices", upd_labels)
             else:
@@ -370,6 +371,7 @@ class WriteRunner:
                 )
                 if "pv" in g.edges.columns:
                     upd = upd.withColumn("pv", F.try_parse_json("properties"))
+                g.enforce_unique_post_update(upd, upd_labels)
                 g.edges = upd.localCheckpoint(eager=True)
                 g.persist_partitions("edges", upd_labels)
         return df

@@ -145,3 +145,49 @@ def test_constraints_survive_reopen(spark, tmp_path):
     e2.execute("USE GRAPH dur")
     with pytest.raises(ValueError, match="unique constraint"):
         e2.execute("CREATE (:acct {iban: 'X1'})")
+
+
+# -------- old/regress/index.sql Section 1 behavioral sequence --------
+
+
+def test_index_regress_sequence(spark):
+    """Unique-properties-constraint lifecycle mirrored from
+    old/regress/index.{sql,out} Tests 1-6: duplicate CREATE rejected
+    (one statement or two), SET that produces a duplicate rejected,
+    DELETE and SET-away free the value for re-use."""
+    e = CypherEngine(spark)
+    e.execute("CREATE GRAPH cypher_index")
+    e.execute("USE GRAPH cypher_index")
+    e.execute("CREATE VLABEL idx")
+    e.execute("CREATE UNIQUE PROPERTIES CONSTRAINT ON idx")
+
+    # Test 1: second identical CREATE errors
+    e.execute("CREATE (:idx {i: 1})")
+    with pytest.raises(ValueError, match="unique constraint"):
+        e.execute("CREATE (:idx {i: 1})")
+    e.execute("MATCH (n) DETACH DELETE n")
+
+    # Test 2: intra-statement duplicate errors
+    with pytest.raises(ValueError, match="unique constraint"):
+        e.execute("CREATE (:idx {i: 1}), (:idx {i: 1})")
+    e.execute("MATCH (n) DETACH DELETE n")
+
+    # Test 3: SET producing duplicate properties errors (index.out:70)
+    e.execute("CREATE (:idx {i: 1})")
+    e.execute("CREATE (:idx)")
+    with pytest.raises(ValueError, match="unique constraint"):
+        e.execute("MATCH (n) SET n.i = 1")
+    e.execute("MATCH (n) DETACH DELETE n")
+
+    # Test 4: delete frees the value
+    e.execute("CREATE (:idx {i: 1})")
+    e.execute("MATCH (n) DETACH DELETE n")
+    e.execute("CREATE (:idx {i: 1})")
+    e.execute("MATCH (n) DETACH DELETE n")
+
+    # Test 6: SET-away frees the value
+    e.execute("CREATE (:idx {i: 1})")
+    e.execute("MATCH (n) SET n.i = 2")
+    e.execute("CREATE (:idx {i: 1})")
+    vals = sorted(e.fetch_values("MATCH (n) RETURN n.i"))
+    assert vals == [1, 2]
