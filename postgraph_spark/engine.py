@@ -39,6 +39,18 @@ _UNIQUE_PROPS_RE = re.compile(
     r"^\s*CREATE\s+UNIQUE\s+PROPERTIES\s+CONSTRAINT\s+ON\s+([A-Za-z_][A-Za-z_0-9]*)\s*;?\s*$",
     re.IGNORECASE,
 )
+# Entry point C (SURVEY §3): any plain-SQL statement falls through to
+# the SQL engine — the reference hands these to stock Postgres
+# (regress/sql/new_cypher.sql mixes CREATE TABLE / SELECT with Cypher);
+# here they run on Spark SQL with the current graph's tables exposed as
+# views. Leading-WITH stays Cypher (`WITH 1 AS x RETURN x`); the
+# CYPHER prefix forces the Cypher path as in the reference.
+_SQL_RE = re.compile(
+    r"^\s*(SELECT|VALUES|INSERT|CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?"
+    r"(?:TABLE|VIEW)|DROP\s+(?:TABLE|VIEW)|SHOW|DESCRIBE)\b",
+    re.IGNORECASE,
+)
+
 _PROP_INDEX_RE = re.compile(
     r"^\s*CREATE\s+(UNIQUE\s+)?PROPERTY\s+INDEX\s+ON\s+([A-Za-z_][A-Za-z_0-9]*)\s*"
     r"\(\s*([A-Za-z_][A-Za-z_0-9]*)\s*\)\s*;?\s*$",
@@ -66,6 +78,9 @@ class CypherEngine:
         ldl = self._label_ddl(text)
         if ldl:
             return None
+        if _SQL_RE.match(text):
+            self._sync_sql_views()
+            return self.spark.sql(text)
         ddl = _DDL_RE.match(text)
         if ddl:
             verb, _, name, cascade = ddl.groups()
@@ -91,6 +106,22 @@ class CypherEngine:
                     raise ValueError("no graph selected (USE GRAPH first)")
                 return WriteRunner(self.spark, self.graph).run(q)
         return Compiler(self.spark, self.graph).compile_query(q)
+
+    def _sync_sql_views(self) -> None:
+        """Expose the current graph to Spark SQL the way the reference's
+        label heap tables are visible to plain SQL: `vertices`/`edges`
+        temp views plus one view per label whose name is a valid
+        identifier (SELECT * FROM students ~ the per-label table)."""
+        g = self.graph
+        if g is None:
+            return
+        g.vertices.createOrReplaceTempView("vertices")
+        g.edges.createOrReplaceTempView("edges")
+        for label, kind in g.label_kinds.items():
+            if not label.isidentifier() or label.startswith("_"):
+                continue
+            tbl = g.vertices if kind == "vertex" else g.edges
+            tbl.filter(F.col("label") == label).createOrReplaceTempView(label)
 
     def _label_ddl(self, text: str) -> bool:
         """Dispatch label DDL / constraint statements; returns True when
