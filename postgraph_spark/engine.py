@@ -25,6 +25,14 @@ _DDL_RE = re.compile(
     re.IGNORECASE,
 )
 
+# alter_graph(name, 'RENAME', new) — RENAME is the only operation the
+# reference supports (graph_commands.c:380-430)
+_ALTER_GRAPH_RE = re.compile(
+    r"^\s*ALTER\s+GRAPH\s+([A-Za-z_][A-Za-z_0-9]*)\s+RENAME\s+TO\s+"
+    r"([A-Za-z_][A-Za-z_0-9]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 # label DDL + constraints — the statement surface over the reference's
 # SQL functions (sql/postgraph.sql.in:131-171; label_commands.c:170,249,
 # 271-350,425-520,976-1040): create_vlabel/create_elabel/drop_label,
@@ -81,6 +89,10 @@ class CypherEngine:
         if _SQL_RE.match(text):
             self._sync_sql_views()
             return self.spark.sql(text)
+        alt = _ALTER_GRAPH_RE.match(text)
+        if alt:
+            self.catalog.rename_graph(alt.group(1), alt.group(2))
+            return None
         ddl = _DDL_RE.match(text)
         if ddl:
             verb, _, name, cascade = ddl.groups()

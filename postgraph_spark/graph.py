@@ -592,6 +592,30 @@ class GraphCatalog:
         if self.current == name:
             self.current = None
 
+    def rename_graph(self, name: str, new_name: str) -> Graph:
+        """alter_graph(name, 'RENAME', new) (graph_commands.c:380-430).
+        Durable graphs move their backing directory with the name."""
+        if name not in self.graphs:
+            raise ValueError(f"graph {name!r} does not exist")
+        if new_name in self.graphs:
+            raise ValueError(f"graph {new_name!r} already exists")
+        g = self.graphs.pop(name)
+        g.name = new_name
+        if g.durable_path and self.root:
+            new_path = os.path.join(self.root, new_name)
+            os.rename(g.durable_path, new_path)
+            g.durable_path = new_path
+            # reload lazily-read tables from the moved directory so
+            # lineage does not point at the old path
+            reloaded = Graph.read(self.spark, new_path, new_name)
+            g.vertices, g.edges = reloaded.vertices, reloaded.edges
+            g._snapshot = reloaded._snapshot
+            g._write_catalog()
+        self.graphs[new_name] = g
+        if self.current == name:
+            self.current = new_name
+        return g
+
     def register(self, graph: Graph) -> Graph:
         self.graphs[graph.name] = graph
         if self.current is None:

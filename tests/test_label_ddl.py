@@ -191,3 +191,27 @@ def test_index_regress_sequence(spark):
     e.execute("CREATE (:idx {i: 1})")
     vals = sorted(e.fetch_values("MATCH (n) RETURN n.i"))
     assert vals == [1, 2]
+
+
+# ------------------------------------------------------- ALTER GRAPH
+
+
+def test_alter_graph_rename(spark, tmp_path):
+    from postgraph_spark.graph import GraphCatalog
+
+    cat = GraphCatalog(spark, root=str(tmp_path))
+    e = CypherEngine(spark, cat)
+    e.execute("CREATE GRAPH old_name")
+    e.execute("USE GRAPH old_name")
+    e.execute("CREATE (:v {i: 1})")
+    e.execute("ALTER GRAPH old_name RENAME TO new_name")
+    assert e.catalog.current == "new_name"
+    assert e.fetch_values("MATCH (n) RETURN n.i") == [1]
+    assert (tmp_path / "new_name").is_dir() and not (tmp_path / "old_name").exists()
+    with pytest.raises(ValueError, match="does not exist"):
+        e.execute("ALTER GRAPH old_name RENAME TO x")
+    # reopen from disk under the new name
+    cat2 = GraphCatalog(spark, root=str(tmp_path))
+    e2 = CypherEngine(spark, cat2)
+    e2.execute("USE GRAPH new_name")
+    assert e2.fetch_values("MATCH (n) RETURN n.i") == [1]
