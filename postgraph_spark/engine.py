@@ -64,6 +64,11 @@ _PROP_INDEX_RE = re.compile(
     r"\(\s*([A-Za-z_][A-Za-z_0-9]*)\s*\)\s*;?\s*$",
     re.IGNORECASE,
 )
+_IVF_INDEX_RE = re.compile(
+    r"^\s*CREATE\s+IVFFLAT\s+(L2|IP)\s+INDEX\s+ON\s+([A-Za-z_][A-Za-z_0-9]*)\s*"
+    r"\(\s*([A-Za-z_][A-Za-z_0-9]*)\s*\)(?:\s+LISTS\s+(\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 class CypherEngine:
@@ -143,8 +148,9 @@ class CypherEngine:
         m = _LABEL_RE.match(text)
         m2 = _DROP_LABEL_RE.match(text) if not m else None
         m3 = _UNIQUE_PROPS_RE.match(text) if not (m or m2) else None
-        m4 = _PROP_INDEX_RE.match(text) if not (m or m2 or m3) else None
-        if not (m or m2 or m3 or m4):
+        m5 = _IVF_INDEX_RE.match(text) if not (m or m2 or m3) else None
+        m4 = _PROP_INDEX_RE.match(text) if not (m or m2 or m3 or m5) else None
+        if not (m or m2 or m3 or m4 or m5):
             return False
         if self.graph is None:
             raise ValueError("no graph selected (USE GRAPH first)")
@@ -158,6 +164,12 @@ class CypherEngine:
             self.graph.drop_label(m2.group(1))
         elif m3:
             self.graph.add_unique_constraint(m3.group(1), None)
+        elif m5:
+            self.graph.create_ivfflat_index(
+                m5.group(2), m5.group(3),
+                metric=m5.group(1).lower(),
+                lists=int(m5.group(4)) if m5.group(4) else 8,
+            )
         else:
             label, prop = m4.group(2), m4.group(3)
             if m4.group(1):

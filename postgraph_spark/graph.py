@@ -103,6 +103,13 @@ class Graph:
         #: analogs (label-partition pruning, id clustering + bloom,
         #: Z-order layout) do the work a btree would
         self.property_indexes: list[dict] = []
+        #: IVFFlat vector indexes (create_ivfflat_{l2,ip}_ops_index,
+        #: sql/postgraph.sql.in + ivfflathandler): the TRAINED coarse
+        #: quantizer persists here ({label, property, metric, lists,
+        #: centroids}); list assignment is recomputed at scan time as a
+        #: pure projection against the stored centroids — the layout
+        #: philosophy's answer to storing an assignment column
+        self.vector_indexes: list[dict] = []
         #: when set, every committed write persists here (the analog of
         #: the reference's heap-table durability; WriteRunner calls
         #: persist() after each commit)
@@ -226,6 +233,7 @@ class Graph:
             meta.get("label_ids", {}), meta.get("label_kinds", {}),
             meta.get("constraints", []),
         )
+        g.vector_indexes = meta.get("vector_indexes", [])
         g.durable_path = path
         g._snapshot = snapshot
         return g
@@ -289,6 +297,8 @@ class Graph:
             meta["label_kinds"] = self.label_kinds
         if self.constraints:
             meta["constraints"] = self.constraints
+        if self.vector_indexes:
+            meta["vector_indexes"] = self.vector_indexes
         if self._snapshot:
             meta["snapshot"] = self._snapshot
         with open(tmp, "w") as f:
@@ -501,6 +511,88 @@ class Graph:
             existing = table.filter(F.col("label") == c["label"]).select(key.alias("__k"))
             if not existing.join(newk, "__k", "left_semi").isEmpty():
                 raise ValueError(f"duplicate key value violates unique constraint on {what}")
+
+    def _vector_prop_col(self, prop: str) -> F.Column:
+        """A vector property (JSON number array) as array<double>."""
+        return F.from_json(F.get_json_object(F.col("properties"), f"$.{prop}"), "array<double>")
+
+    def create_ivfflat_index(
+        self, label: str, prop: str, metric: str = "l2", lists: int = 8, iters: int = 3
+    ) -> None:
+        """create_ivfflat_l2_ops_index / create_ivfflat_ip_ops_index
+        (sql/postgraph.sql.in; ivfkmeans.c trains the list centroids):
+        train a k-means coarse quantizer over the label's vector
+        property and persist the centroids in the catalog. `metric`:
+        'l2' or 'ip' (inner product; training is L2 k-means either way,
+        as in ivfkmeans)."""
+        from postgraph_spark.operators.clustering import kmeans
+
+        if label not in self.label_ids:
+            raise ValueError(f'label "{label}" does not exist')
+        if metric not in ("l2", "ip"):
+            raise ValueError(f"unknown ivfflat ops {metric!r}")
+        tbl = self.vertices if self.label_kinds.get(label) != "edge" else self.edges
+        vecs = (
+            tbl.filter(F.col("label") == label)
+            .select("id", self._vector_prop_col(prop).alias("__v"))
+            .filter(F.col("__v").isNotNull())
+        )
+        _, centroids = kmeans(vecs, "__v", "id", k=lists, iters=iters)
+        self.vector_indexes = [
+            ix for ix in self.vector_indexes
+            if not (ix["label"] == label and ix["property"] == prop)
+        ] + [{
+            "label": label, "property": prop, "metric": metric,
+            "lists": lists, "centroids": centroids,
+        }]
+        self._write_catalog()
+
+    def ivf_search(
+        self, label: str, prop: str, query_vec: list[float], k: int = 5, nprobe: int = 1
+    ) -> DataFrame:
+        """Probe a trained IVFFlat index: the query's `nprobe` nearest
+        lists are picked driver-side (k-means centroids are catalog
+        metadata), candidate rows assign to lists by pure projection
+        against the SAME centroids, and only probed-list rows are
+        ranked. Returns (id, dist) ordered best-first; dist is L2 or
+        negative inner product per the index metric."""
+        from postgraph_spark.operators.clustering import _sq_dist, assign_clusters
+
+        ix = next(
+            (x for x in self.vector_indexes
+             if x["label"] == label and x["property"] == prop),
+            None,
+        )
+        if ix is None:
+            raise ValueError(f"no ivfflat index on {label}.{prop}")
+        q = [float(x) for x in query_vec]
+
+        def sq(c):
+            return sum((a - b) * (a - b) for a, b in zip(q, c))
+
+        ranked = sorted(range(len(ix["centroids"])), key=lambda i: (sq(ix["centroids"][i]), i))
+        probe = ranked[:nprobe]
+        tbl = self.vertices if self.label_kinds.get(label) != "edge" else self.edges
+        rows = (
+            tbl.filter(F.col("label") == label)
+            .select("id", self._vector_prop_col(prop).alias("__v"))
+            .filter(F.col("__v").isNotNull())
+        )
+        rows = rows.withColumn("__list", assign_clusters(rows, "__v", ix["centroids"]))
+        cand = rows.filter(F.col("__list").isin(probe))
+        qc = F.array(*[F.lit(x) for x in q])
+        if ix["metric"] == "l2":
+            dist = F.sqrt(_sq_dist(F.col("__v"), q))
+        else:  # ip: pgvector <#> is NEGATIVE inner product
+            dist = -F.aggregate(
+                F.zip_with(F.col("__v"), qc, lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+        return (
+            cand.select("id", dist.alias("dist"))
+            .orderBy(F.col("dist").asc(), F.col("id"))
+            .limit(k)
+        )
 
     def enforce_unique_post_update(self, table: DataFrame, labels: list[str]) -> None:
         """Post-UPDATE unique check (the btree index also rejects
