@@ -47,7 +47,7 @@ _PRIORITY = [
     "cypher_quantified", "cypher_grouping_sets",
     # multimodal + streaming
     "multimodal_meta",
-    "stream_windowed_counts", "stream_sessionize",
+    "stream_windowed_counts",
     # function kits
     "vector_distance_funcs", "json_containment_ops",
     "tsearch_match", "range_ops",
@@ -56,27 +56,39 @@ _PRIORITY = [
     "dedup_minhash_lsh_pairs",
     "dedup_clusters", "dup_triangles",
     "dedup_jaccard_pairs", "simhash_fingerprints", "text_stats",
-    "lang_id_heuristic", "sim_topk_ivf",
-    "embed_neardup_lsh", "rolling_hash_fingerprint",
-    "token_count_bpe", "decontam_overlap", "sample_stratified",
+    "sim_topk_ivf",
+    "embed_neardup_lsh",
+    "decontam_overlap", "sample_stratified",
     "pii_scrub",
     # temporal joins (as-of via union-tag window; bucketized range join)
     "asof_view_before_click", "interval_overlap_join",
-    # round-7 prefix rotation (round-6 verdict #7): six rows never
-    # driver-checked before move INTO the 50-row prefix — the write path
-    # (cypher_write_roundtrip: DDL + CREATE/MERGE/SET/DELETE + durable
-    # reopen), corpus boilerplate mining, Gopher repetition stats, the
-    # streaming interval join, the geometric operator row, and the
-    # invariant-pinned pagerank row (no SQL oracle -> the driver records
-    # the weaker rows-only check)
-    "cypher_write_roundtrip", "boilerplate_ngrams", "repetition_stats",
-    "stream_interval_join", "geometric_ops", "pagerank_dupgraph",
-    # rotated OUT this round (still oracle-checked locally, and their
-    # shapes stay driver-covered): dedup_exact_groups (md5-groupBy =
-    # stage 1 of dedup_clusters), sim_topk_cosine / embed_neardup_pairs
-    # (the IVF/LSH variants of the same operators stay in), network
-    # funcs + kit funcs (re-exercised across the Cypher rows), extended
-    # casts (::casts recur in cypher_temporal_funcs)
+    # the write path (DDL + CREATE/MERGE/SET/DELETE + durable reopen),
+    # corpus boilerplate mining, the streaming interval join, and
+    # pagerank — now under an EXACT DuckDB oracle (deterministic rounds
+    # replayed as CTEs, round-7 verdict #1)
+    "cypher_write_roundtrip", "boilerplate_ngrams",
+    "stream_interval_join", "pagerank_dupgraph",
+    # round-8 prefix rotation (round-7 verdict #1): the four round-7
+    # flagship rows move INTO the 50-row prefix for their first external
+    # oracle check, plus the two NEW round-8 operator rows (vector
+    # distance OPERATOR spellings <-> / <=> / <#>; inet subnet
+    # operators << <<= >> >>= &&)
+    "kmeans_embeddings", "sim_topk_ivf_trained",
+    "window_frames_extended", "deep_order_arrays",
+    "vector_ops_topk", "network_ops",
+    # rotated OUT this round (still oracle-checked locally, shapes
+    # driver-covered): lang_id/token_count/rolling_hash (pure-expression
+    # and JVM-regexp families stay via text_stats/pii_scrub/simhash),
+    # repetition_stats (Gopher family stays via boilerplate_ngrams),
+    # geometric_ops (geometric_kit_full stays), stream_sessionize (two
+    # streaming rows stay)
+    "lang_id_heuristic", "token_count_bpe", "rolling_hash_fingerprint",
+    "repetition_stats", "geometric_ops", "stream_sessionize",
+    # earlier rotations: dedup_exact_groups (md5-groupBy = stage 1 of
+    # dedup_clusters), sim_topk_cosine / embed_neardup_pairs (the
+    # IVF/LSH variants stay in), network funcs + kit funcs
+    # (re-exercised across the Cypher rows), extended casts (::casts
+    # recur in cypher_temporal_funcs)
     "dedup_exact_groups", "sim_topk_cosine", "embed_neardup_pairs",
     "network_funcs", "cypher_extended_casts", "cypher_kit_funcs",
     "multimodal_decode",

@@ -114,6 +114,61 @@ def subnet_contains(net: pd.Series, addr: pd.Series) -> pd.Series:
     return pd.Series([safe(n, a) for n, a in zip(net, addr)])
 
 
+def _mk_subnet_udf(test):
+    """Factory for the inet subnet OPERATORS `<< <<= >> >>= &&`
+    (gtype_ops.c:756-827 over PG's network_sub/subeq/sup/supeq/overlap;
+    old/regress/network.sql:232-264). PG semantics: family mismatch is
+    false (not error), unparsable input is null. Comparing the
+    interfaces' .network objects is equivalent to PG's raw-bit compare:
+    only bits up to the wider mask matter, and python network equality
+    includes the prefix length (strictness)."""
+
+    @pandas_udf(T.BooleanType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        import ipaddress
+
+        def parse(v):
+            try:
+                return ipaddress.ip_interface(v).network
+            except ValueError:
+                # PG's abbreviated cidr form ('192.168.1/24',
+                # old/regress/network.sql): pad the missing octets
+                if "/" in v and ":" not in v:
+                    addr, mask = v.split("/", 1)
+                    parts = addr.split(".")
+                    if 1 <= len(parts) < 4 and all(p.isdigit() for p in parts):
+                        addr = ".".join(parts + ["0"] * (4 - len(parts)))
+                        return ipaddress.ip_interface(f"{addr}/{mask}").network
+                raise
+
+        def safe(x, y):
+            if x is None or y is None:
+                return None
+            try:
+                xn, yn = parse(x), parse(y)
+            except ValueError:
+                return None
+            if xn.version != yn.version:
+                return False
+            return test(xn, yn)
+
+        return pd.Series([safe(x, y) for x, y in zip(a, b)])
+
+    return _udf
+
+
+#: `<<` — lhs is a STRICT subnet of rhs (network_sub)
+subnet_contained_strict = _mk_subnet_udf(lambda a, b: a.subnet_of(b) and a != b)
+#: `<<=` — subnet of or equal (network_subeq)
+subnet_contained_eq = _mk_subnet_udf(lambda a, b: a.subnet_of(b))
+#: `>>` — lhs STRICTLY contains rhs (network_sup)
+subnet_contains_strict = _mk_subnet_udf(lambda a, b: b.subnet_of(a) and a != b)
+#: `>>=` — contains or equal (network_supeq)
+subnet_contains_eq = _mk_subnet_udf(lambda a, b: b.subnet_of(a))
+#: `&&` — either contains the other (network_overlap)
+subnet_overlap = _mk_subnet_udf(lambda a, b: a.subnet_of(b) or b.subnet_of(a))
+
+
 @pandas_udf(T.BooleanType())
 def inet_same_family(a: pd.Series, b: pd.Series) -> pd.Series:
     import ipaddress

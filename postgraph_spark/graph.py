@@ -90,6 +90,12 @@ class Graph:
         self.vertices = vertices
         self.edges = edges
         self.label_ids = dict(label_ids or {})
+        #: label-id high-water mark: ids are NEVER reused after DROP
+        #: LABEL (graphids pack label_id<<48 | entry_id and each new
+        #: label's entry sequence restarts at 1 — reusing a dropped id
+        #: would collide two labels' graphids). Persisted in the catalog
+        #: so reloads after drops stay safe.
+        self._label_id_hwm = max(self.label_ids.values(), default=0)
         #: label -> "vertex" | "edge" (explicit DDL or first write interns
         #: it; the analog of LABEL_TYPE_VERTEX/EDGE in ag_label)
         self.label_kinds = dict(label_kinds or {})
@@ -176,7 +182,7 @@ class Graph:
 
         def intern(label: str) -> int:
             if label not in label_ids:
-                label_ids[label] = len(label_ids) + 1
+                label_ids[label] = max(label_ids.values(), default=0) + 1
             return label_ids[label]
 
         vids: list[int] = []
@@ -234,6 +240,7 @@ class Graph:
             meta.get("constraints", []),
         )
         g.vector_indexes = meta.get("vector_indexes", [])
+        g._label_id_hwm = max(g._label_id_hwm, meta.get("label_id_hwm", 0))
         g.durable_path = path
         g._snapshot = snapshot
         return g
@@ -293,6 +300,9 @@ class Graph:
         os.makedirs(self.durable_path, exist_ok=True)
         tmp = os.path.join(self.durable_path, ".catalog.json.tmp")
         meta = {"name": self.name, "label_ids": self.label_ids}
+        hwm = max(self._label_id_hwm, max(self.label_ids.values(), default=0))
+        if hwm:
+            meta["label_id_hwm"] = hwm
         if self.label_kinds:
             meta["label_kinds"] = self.label_kinds
         if self.constraints:
@@ -410,6 +420,16 @@ class Graph:
 
     # -- label DDL + constraints ----------------------------------------
 
+    def _alloc_label_id(self) -> int:
+        """Next never-used label id: max(live ids, persisted high-water
+        mark) + 1, so ids of dropped labels are never recycled
+        (graphid = label_id<<48 | entry_id — a recycled id with a fresh
+        entry sequence would collide with a surviving label's ids)."""
+        self._label_id_hwm = (
+            max(self._label_id_hwm, max(self.label_ids.values(), default=0)) + 1
+        )
+        return self._label_id_hwm
+
     def create_label(self, label: str, kind: str) -> None:
         """create_vlabel / create_elabel (label_commands.c:170-265):
         error if the label already exists; otherwise intern its id and
@@ -417,7 +437,7 @@ class Graph:
         labels, as the reference's write path does.)"""
         if label in self.label_ids:
             raise ValueError(f'label "{label}" already exists')
-        self.label_ids[label] = len(self.label_ids) + 1
+        self.label_ids[label] = self._alloc_label_id()
         self.label_kinds[label] = kind
         self._write_catalog()
 
@@ -628,7 +648,9 @@ class Graph:
             if declared is not None and declared != kind:
                 raise ValueError(f'label "{label}" is a {declared} label, not {kind}')
             self.label_kinds.setdefault(label, kind)
-        lid = self.label_ids.setdefault(label, len(self.label_ids) + 1)
+        lid = self.label_ids.get(label)
+        if lid is None:
+            lid = self.label_ids[label] = self._alloc_label_id()
         if not hasattr(self, "_next_entry"):
             self._next_entry: dict[str, int] = {}
         if label not in self._next_entry:

@@ -62,7 +62,10 @@ def kmeans(
     (df with a `cluster` column, final centroids). `iters` counts
     ASSIGNMENT rounds: init -> assign -> (update -> assign) * (iters-1).
     """
-    dim = df.select(F.size(F.col(vec_col)).alias("n")).filter(F.col("n") > 0).first()["n"]
+    first = df.select(F.size(F.col(vec_col)).alias("n")).filter(F.col("n") > 0).first()
+    if first is None:
+        raise ValueError(f"no non-empty vectors in {vec_col!r} to train k-means on")
+    dim = first["n"]
     seed_rows = (
         df.select(id_col, vec_col).orderBy(F.col(id_col)).limit(k).collect()
     )

@@ -75,6 +75,16 @@ class CompileError(ValueError):
     pass
 
 
+def _is_gval_type(dt) -> bool:
+    """True when a column's Spark type is the gval struct (the flat
+    t/b/i/d/s/j value representation gtype._mk builds)."""
+    from pyspark.sql import types as T
+
+    return isinstance(dt, T.StructType) and [f.name for f in dt.fields] == [
+        "t", "b", "i", "d", "s", "j"
+    ]
+
+
 def _const_int(e) -> int | None:
     """Driver-side evaluation of integer-constant expressions
     (literals, unary minus, + - * / % over constants)."""
@@ -171,7 +181,17 @@ class Compiler:
             if q.op == "union_all":
                 return left.unionByName(right)
             if q.op == "union":
-                return left.unionByName(right).distinct()
+                # UNION DISTINCT dedups under gtype ORDERABILITY equality
+                # (1 = 1.0 collapse — cypher_setop.sql's int/float
+                # coercion rows); gval columns are recognized by shape
+                # since single-query scopes are not carried across the
+                # set-op tree
+                u = left.unionByName(right)
+                sc = Scope()
+                for f in u.schema.fields:
+                    if _is_gval_type(f.dataType):
+                        sc.kinds[f.name] = VKIND_VALUE
+                return self._distinct_rows(u, sc)
             if q.op == "intersect":
                 return left.intersect(right)
             if q.op == "intersect_all":
@@ -1316,6 +1336,7 @@ class Compiler:
 
     def _sort_col(self, si: A.SortItem, df, scope) -> Column:
         e = si.expr
+        gv = None
         if isinstance(e, A.Var) and e.name in scope.kinds:
             kind = scope.kinds[e.name]
             base = F.col(e.name)
@@ -1330,9 +1351,19 @@ class Compiler:
             else:
                 col = base["id"]
         else:
-            col = G.sort_key(self.compile_expr(e, df, scope), exact_containers=True)
-        # type rank 11 = null places gtype nulls last on ASC, first on DESC
-        # (Postgres default NULLS LAST for ASC) automatically
+            gv = self.compile_expr(e, df, scope)
+            col = G.sort_key(gv, exact_containers=True)
+        # type rank 11 = null places gtype nulls last on ASC, first on
+        # DESC (Postgres defaults) automatically. An EXPLICIT NULLS
+        # FIRST/LAST must override that rank position: gtype nulls map
+        # to SQL nulls so Spark's null ordering applies — observably the
+        # reference's behavior for missing properties under NULLS
+        # FIRST/LAST (regress/sql/order_by.sql x.j NULLS FIRST)
+        if si.nulls_first is not None and gv is not None:
+            col = F.when(gv["t"] != G.T_NULL, col)
+            if si.descending:
+                return col.desc_nulls_first() if si.nulls_first else col.desc_nulls_last()
+            return col.asc_nulls_first() if si.nulls_first else col.asc_nulls_last()
         return col.desc() if si.descending else col.asc()
 
     def _compile_item(self, e, df, scope):
@@ -1623,6 +1654,35 @@ class Compiler:
     }
 
     def _compile_binop(self, e: A.BinOp, df, scope) -> Column:
+        # vector distance operators (postgraph-gtype.sql.in:140-167;
+        # vector.c:285+): `<=>` cosine and `<#>` negative inner product
+        # are vector-only; `<->` dispatches below with tsearch
+        if e.op in ("<=>", "<#>"):
+            left = self._maybe_let(self.compile_expr(e.left, df, scope), e.left, df)
+            right = self._maybe_let(self.compile_expr(e.right, df, scope), e.right, df)
+            return self._vector_distance(e.op, left, right)
+        # inet subnet operators (gtype_ops.c:756-827); `&&` doubles as
+        # VLE edges-overlap (variable_edge.sql.in:205) via the VLE route
+        if e.op in ("<<", "<<=", ">>", ">>=", "&&") and not (
+            e.op == "&&"
+            and isinstance(e.left, A.Var)
+            and isinstance(e.right, A.Var)
+            and VKIND_VLE in (scope.kinds.get(e.left.name), scope.kinds.get(e.right.name))
+        ):
+            from postgraph_spark.functions import network as NET
+
+            fn = {
+                "<<": NET.subnet_contained_strict,
+                "<<=": NET.subnet_contained_eq,
+                ">>": NET.subnet_contains_strict,
+                ">>=": NET.subnet_contains_eq,
+                "&&": NET.subnet_overlap,
+            }[e.op]
+            left = self._maybe_let(self.compile_expr(e.left, df, scope), e.left, df)
+            right = self._maybe_let(self.compile_expr(e.right, df, scope), e.right, df)
+            ls = F.when(left["t"] == G.T_STRING, left["s"])
+            rs = F.when(right["t"] == G.T_STRING, right["s"])
+            return G.gv_bool(fn(ls, rs))
         # text-search operators (gtype_tsearch.c; regress/sql/tsearch.sql)
         if e.op in ("@@", "<->", "||"):
             from postgraph_spark.functions import tsearch as TS
@@ -1636,9 +1696,24 @@ class Compiler:
                 return TS.op_match(left, e.left, right_fn, e.right)
             right = self._maybe_let(self.compile_expr(e.right, df, scope), e.right, df)
             if e.op == "<->":
-                return TS.op_phrase(left, right, e.left, e.right)
+                # l2_distance (vector.c:285-350) dispatches per operand
+                # type: tsquery -> phrase distance, vector -> l2. Static
+                # types pick a single path; mixed branch at runtime the
+                # way `&`/`||` do.
+                vec_ok = G.T_ARRAY in G.gv_types(left) and G.T_ARRAY in G.gv_types(right)
+                str_ok = G.T_STRING in G.gv_types(left) or G.T_STRING in G.gv_types(right)
+                if vec_ok and not str_ok:
+                    return self._vector_distance("<->", left, right)
+                if not vec_ok:
+                    return TS.op_phrase(left, right, e.left, e.right)
+                both_arr = (left["t"] == G.T_ARRAY) & (right["t"] == G.T_ARRAY)
+                return TS.gv_if(
+                    both_arr,
+                    self._vector_distance("<->", left, right),
+                    TS.op_phrase(left, right, e.left, e.right),
+                )
             return TS.op_concat(left, right, e.left, e.right)
-        if e.op == "!!=" or (
+        if e.op in ("!!=", "&&") or (
             e.op in ("@>", "<@")
             and isinstance(e.left, A.Var)
             and isinstance(e.right, A.Var)
@@ -1704,10 +1779,36 @@ class Compiler:
             return fn(left, right)
         return fn(left, right)
 
+    @staticmethod
+    def _vector_distance(op: str, left: Column, right: Column) -> Column:
+        """`<->` l2 / `<=>` cosine / `<#>` negative inner product over
+        gtype vectors (vector.c l2_distance / cosine_distance /
+        negative_inner_product; postgraph-gtype.sql.in:140-167).
+        Vectors ride the gval's json axis as number arrays; the fold is
+        a pure JVM expression (zip_with + aggregate)."""
+        from postgraph_spark.functions import vector as V
+
+        la = F.when(left["t"] == G.T_ARRAY, F.from_json(left["j"], "array<double>"))
+        ra = F.when(right["t"] == G.T_ARRAY, F.from_json(right["j"], "array<double>"))
+        fn = {
+            "<->": V.l2_distance,
+            "<=>": V.cosine_distance,
+            "<#>": V.negative_inner_product,
+        }[op]
+        return G.gv_float(fn(la, ra))
+
     def _compile_vle_binop(self, e: A.BinOp, scope) -> Column:
         """variable_edge operators over VLE/edge bindings."""
         lk = scope.kinds.get(e.left.name) if isinstance(e.left, A.Var) else None
         rk = scope.kinds.get(e.right.name) if isinstance(e.right, A.Var) else None
+        if e.op == "&&":
+            # variable_edge_edges_overlap (variable_edge.sql.in:205):
+            # two VLE bindings share at least one edge
+            if lk != VKIND_VLE or rk != VKIND_VLE:
+                raise CompileError("&& requires two variable-length-edge operands")
+            return G.gv_bool(F.arrays_overlap(
+                F.col(e.left.name)["edge_ids"], F.col(e.right.name)["edge_ids"]
+            ))
         if e.op == "!!=":
             # match_vles (variable_edge.c:269-289): true when the FIRST
             # edge of the lhs shares an endpoint with the LAST edge of
@@ -1793,7 +1894,15 @@ class Compiler:
                 raise CompileError(f"unknown window {spec.ref_name!r}")
             part = list(ref.partition_by) + part
             order = list(ref.order_by) + order
-        pcols = [G.sort_key(self.compile_expr(p, df, scope)) for p in part]
+        def bind(c: Column) -> Column:
+            # partition/order sort keys expand to large CASE kernels
+            # (sort_key's cross-type walk) and are referenced by EVERY
+            # window expression over the spec — let-bind them so the
+            # plan carries one short attribute ref per key (round-7
+            # verdict #8: plan-line headroom)
+            return self._let_scalar(c) if self._lets is not None else c
+
+        pcols = [bind(G.sort_key(self.compile_expr(p, df, scope))) for p in part]
         # RANGE frames with value offsets need a single NUMERIC order
         # column — ride the gval's numeric axis there; otherwise the
         # total-order sort key preserves gtype orderability
@@ -1804,27 +1913,19 @@ class Compiler:
 
         def ocol(si: A.SortItem) -> Column:
             gv = self.compile_expr(si.expr, df, scope)
-            c = gv["d"] if value_range else G.sort_key(gv)
+            c = bind(gv["d"] if value_range else G.sort_key(gv))
             return c.desc() if si.descending else c.asc()
 
-        w = W.partitionBy(*pcols) if pcols else W.partitionBy(F.lit(1))
+        def part():
+            return W.partitionBy(*pcols) if pcols else W.partitionBy(F.lit(1))
+
+        ocols = [ocol(si) for si in order]
+        w = part()
         if order:
-            w = w.orderBy(*[ocol(si) for si in order])
+            w = w.orderBy(*ocols)
+        w_base = w  # partition + order, frame NOT yet applied
 
-        # EXCLUDE rewrites per aggregate (frame minus a correction), so
-        # expose the exclusion kind + the PEER-GROUP window (RANGE
-        # CURRENT ROW..CURRENT ROW over the same order) to the caller
-        excl = getattr(spec, "frame_exclude", None)
-        excl_info = None
-        if excl:
-            if not order:
-                raise CompileError("EXCLUDE requires ORDER BY")
-            wg = W.partitionBy(*pcols) if pcols else W.partitionBy(F.lit(1))
-            wg = wg.orderBy(*[ocol(si) for si in order]).rangeBetween(
-                W.currentRow, W.currentRow
-            )
-            excl_info = (excl, wg)
-
+        lo = hi = None
         if spec.frame_kind:
             def bound(b, d, default):
                 if b == "unbounded":
@@ -1845,17 +1946,58 @@ class Compiler:
                 # partition/order (peer groups <-> consecutive rank
                 # values, so `GROUPS n PRECEDING/FOLLOWING` == `RANGE n`
                 # over the rank; CURRENT ROW covers the full peer group
-                # under RANGE just as GROUPS defines it). EXCLUDE stays
-                # unsupported (no Spark equivalent).
+                # under RANGE just as GROUPS defines it).
                 if not order:
                     raise CompileError("GROUPS mode requires ORDER BY")
                 if self._lets is None:
                     raise CompileError("GROUPS frame unsupported in this context")
-                dr = self._let_scalar(F.dense_rank().over(w))
-                w = W.partitionBy(*pcols) if pcols else W.partitionBy(F.lit(1))
-                w = w.orderBy(dr.asc()).rangeBetween(lo, hi)
-                return w, excl_info
-            w = w.rowsBetween(lo, hi) if spec.frame_kind == "rows" else w.rangeBetween(lo, hi)
+                dr = self._let_scalar(F.dense_rank().over(w_base))
+                w = part().orderBy(dr.asc()).rangeBetween(lo, hi)
+            elif spec.frame_kind == "rows":
+                w = w.rowsBetween(lo, hi)
+            else:
+                w = w.rangeBetween(lo, hi)
+
+        # EXCLUDE (g.y:17545-17565) rewrites per aggregate as frame
+        # aggregate minus the excluded rows' IN-FRAME contribution
+        # (SQL:2011 removes only rows inside the frame). Expose:
+        #   cur_in — is the current row inside its own frame (static:
+        #            frame bounds are literals; offset 0 within [lo,hi])
+        #   wg     — whole-peer-group window (RANGE CUR..CUR)
+        #   wgf    — peers ∩ frame: for ROWS, a RANGE window over the
+        #            let-bound row_number partitioned by (pcols, peer
+        #            group) with the same offsets — exactly the peer
+        #            rows whose row offset lies within the ROWS bounds.
+        #            For RANGE/GROUPS frames peers sit at order-distance
+        #            0, so they are in-frame iff cur_in: wg or None.
+        #   rn/pg  — let-bound row_number / dense_rank over the ordered
+        #            partition (peer identity for the collect-based
+        #            min/max/stdev path).
+        excl = getattr(spec, "frame_exclude", None)
+        excl_info = None
+        if excl:
+            if not order:
+                raise CompileError("EXCLUDE requires ORDER BY")
+            if self._lets is None:
+                raise CompileError("EXCLUDE unsupported in this context")
+            elo = W.unboundedPreceding if lo is None else lo
+            ehi = W.currentRow if hi is None else hi
+            cur_in = elo <= 0 <= ehi
+            rn = self._let_scalar(F.row_number().over(w_base))
+            pg = self._let_scalar(F.dense_rank().over(w_base))
+            wg = part().orderBy(*ocols).rangeBetween(W.currentRow, W.currentRow)
+            if spec.frame_kind == "rows":
+                wgf = (
+                    W.partitionBy(*(pcols or [F.lit(1)]), pg)
+                    .orderBy(rn.asc())
+                    .rangeBetween(elo, ehi)
+                )
+            else:
+                wgf = wg if cur_in else None
+            excl_info = {
+                "kind": excl, "cur_in": cur_in, "wg": wg, "wgf": wgf,
+                "rn": rn, "pg": pg,
+            }
         return w, excl_info
 
     def _compile_window_func(self, e: A.FuncCall, df, scope) -> Column:
@@ -1863,16 +2005,18 @@ class Compiler:
         aggregates (the reference reuses PG's windowagg executor;
         here each maps to a pyspark Window expression). EXCLUDE
         (g.y:17545-17565) rewrites for the DECOMPOSABLE aggregates —
-        count/sum/avg — as frame aggregate minus a correction (the
-        current row's contribution, the peer group's, or the peer group
-        minus the current row); min/max/stdev with EXCLUDE stay
-        unsupported (not decomposable without a window min_by)."""
+        count/sum/avg — as frame aggregate minus the excluded in-frame
+        contribution; min/max/stdev/stdevp take the collect-list path
+        (collect the frame, array-filter the exclusion, re-aggregate —
+        O(frame) per row, EXCLUDE-only)."""
         w, excl = self._resolve_window(e.over, df, scope)
         name = e.name
-        if excl is not None and name not in ("count", "sum", "avg"):
-            raise CompileError(f"EXCLUDE is unsupported for {name}() (only count/sum/avg)")
         if excl is not None:
-            return self._compile_excluded_agg(e, w, excl, df, scope)
+            if name in ("count", "sum", "avg"):
+                return self._compile_excluded_agg(e, w, excl, df, scope)
+            if name in ("min", "max", "stdev", "stdevp"):
+                return self._compile_excluded_collect_agg(e, w, excl, df, scope)
+            raise CompileError(f"EXCLUDE is unsupported for {name}()")
 
         if name == "row_number":
             return G.gv_int(F.row_number().over(w))
@@ -1933,39 +2077,97 @@ class Compiler:
 
     def _compile_excluded_agg(self, e: A.FuncCall, w, excl, df, scope) -> Column:
         """count/sum/avg with a frame EXCLUDE clause: frame aggregate
-        minus the excluded contribution. `kind`: current = this row,
-        group = the whole peer group, ties = peers except this row.
-        A frame left empty by the exclusion yields NULL for sum/avg and
-        0 for count (PG semantics)."""
-        kind, wg = excl
+        minus the excluded IN-FRAME contribution (SQL:2011 removes only
+        rows inside the frame). `kind`: current = this row (only if the
+        frame contains it — static `cur_in`), group = the peer group ∩
+        frame (window `wgf`), ties = that minus the current row. A frame
+        left empty by the exclusion yields NULL for sum/avg and 0 for
+        count (PG semantics)."""
+        kind, cur_in, wgf = excl["kind"], excl["cur_in"], excl["wgf"]
         name = e.name
+
+        def pagg(fn, zero):
+            # peers-in-frame aggregate (incl. current row when cur_in)
+            if wgf is None:
+                return F.lit(zero)
+            return F.coalesce(fn().over(wgf), F.lit(zero))
+
         if name == "count" and e.star:
             base = F.count(F.lit(1)).over(w)
-            gcnt = F.count(F.lit(1)).over(wg)
-            corr = {"current": F.lit(1), "group": gcnt, "ties": gcnt - 1}[kind]
+            own = F.lit(1 if cur_in else 0)
+            gcnt = pagg(lambda: F.count(F.lit(1)), 0)
+            corr = {"current": own, "group": gcnt, "ties": gcnt - own}[kind]
             return G.gv_int(base - corr)
         arg = self._maybe_let(self.compile_expr(e.args[0], df, scope), e.args[0], df)
         nn = F.when(arg["t"] != G.T_NULL, F.lit(1))
-        own_cnt = F.coalesce(nn, F.lit(0))
-        gcnt = F.count(nn).over(wg)
+        own_cnt = F.coalesce(nn, F.lit(0)) if cur_in else F.lit(0)
+        gcnt = pagg(lambda: F.count(nn), 0)
         corr_cnt = {"current": own_cnt, "group": gcnt, "ties": gcnt - own_cnt}[kind]
         post_cnt = F.count(nn).over(w) - corr_cnt
         if name == "count":
             return G.gv_int(post_cnt)
         d = arg["d"]
-        own_d = F.coalesce(d, F.lit(0.0))
-        gsum = F.coalesce(F.sum(d).over(wg), F.lit(0.0))
+        own_d = F.coalesce(d, F.lit(0.0)) if cur_in else F.lit(0.0)
+        gsum = pagg(lambda: F.sum(d), 0.0)
         corr_d = {"current": own_d, "group": gsum, "ties": gsum - own_d}[kind]
         post_sum = F.coalesce(F.sum(d).over(w), F.lit(0.0)) - corr_d
         if name == "avg":
             return G.gv_float(F.when(post_cnt > 0, post_sum / post_cnt))
         # sum — keep the exact int64 axis when every frame value is int
         all_int = F.min(F.when(arg["t"] == G.T_NUMBER, arg["i"].isNotNull())).over(w)
-        own_i = F.coalesce(arg["i"], F.lit(0))
-        gsum_i = F.coalesce(F.sum(arg["i"]).over(wg), F.lit(0))
+        own_i = F.coalesce(arg["i"], F.lit(0)) if cur_in else F.lit(0)
+        gsum_i = pagg(lambda: F.sum(arg["i"]), 0)
         corr_i = {"current": own_i, "group": gsum_i, "ties": gsum_i - own_i}[kind]
         post_i = F.coalesce(F.sum(arg["i"]).over(w), F.lit(0)) - corr_i
         return G.gv_num(
             i=F.when(all_int & (post_cnt > 0), post_i),
             d=F.when(post_cnt > 0, post_sum),
         )
+
+    def _compile_excluded_collect_agg(self, e: A.FuncCall, w, excl, df, scope) -> Column:
+        """min/max/stdev/stdevp with EXCLUDE — not decomposable, so:
+        collect the frame rows as (row_number, peer-group, value)
+        structs, array-filter the excluded rows (current row by rn,
+        peer group / ties by dense_rank), and re-aggregate the survivors
+        with JVM array folds. O(frame size) per row — used only when
+        EXCLUDE is present; frames in practice are bounded offsets.
+        Mirrors cypher_gram.y:17520-17565 over PG's windowagg."""
+        kind, rn, pg = excl["kind"], excl["rn"], excl["pg"]
+        name = e.name
+        arg = self._maybe_let(self.compile_expr(e.args[0], df, scope), e.args[0], df)
+        items = F.collect_list(
+            F.struct(
+                rn.alias("rn"), pg.alias("pg"),
+                arg["d"].alias("d"), arg["s"].alias("s"),
+            )
+        ).over(w)
+        if kind == "current":
+            keep = lambda x: x["rn"] != rn
+        elif kind == "group":
+            keep = lambda x: x["pg"] != pg
+        else:  # ties: drop peers other than the current row
+            keep = lambda x: (x["pg"] != pg) | (x["rn"] == rn)
+        kept = F.filter(items, keep)
+        if name in ("min", "max"):
+            # numeric/string payloads, same surface as the non-EXCLUDE
+            # windowed min/max; array_min/max skip NULL elements
+            afn = F.array_min if name == "min" else F.array_max
+            md = afn(F.transform(kept, lambda x: x["d"]))
+            ms = afn(F.transform(kept, lambda x: x["s"]))
+            t = (
+                F.when(md.isNotNull(), F.lit(G.T_NUMBER))
+                .when(ms.isNotNull(), F.lit(G.T_STRING))
+                .otherwise(F.lit(G.T_NULL))
+            )
+            return G._mk(t, d=md, s=ms)
+        # stdev/stdevp: two-pass fold (mean, then Σ(x-mean)²) — matches
+        # stddev_samp/stddev_pop semantics (NULL below the n threshold)
+        vals = F.filter(
+            F.transform(kept, lambda x: x["d"]), lambda v: v.isNotNull()
+        )
+        n = F.size(vals)
+        mean = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x) / n
+        ss = F.aggregate(vals, F.lit(0.0), lambda a, x: a + (x - mean) * (x - mean))
+        if name == "stdev":
+            return G.gv_float(F.when(n >= 2, F.sqrt(ss / (n - 1))))
+        return G.gv_float(F.when(n >= 1, F.sqrt(ss / n)))

@@ -774,9 +774,15 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
 
     if name == "tovector":
         # vector-as-gtype-array (gtype_typecasting.c:401-440 parses the
-        # '[x, y, ...]' text through gtype_vector_in)
+        # '[x, y, ...]' text through gtype_vector_in). The vector text
+        # grammar is wider than JSON: bare leading-dot decimals ('.9')
+        # and NaN/Infinity literals (regress/sql/vector.sql) — normalize
+        # the dots, let Jackson's allowNonNumericNumbers take the rest
         a = ctx.gv(0)
-        arr = F.to_json(F.from_json(a["s"], "array<double>"))
+        s_norm = F.regexp_replace(a["s"], r"(?<=[\[,\s-])\.(?=\d)", "0.")
+        arr = F.to_json(
+            F.from_json(s_norm, "array<double>", {"allowNonNumericNumbers": "true"})
+        )
         return G.gv_array_json(
             F.when(a["t"] == G.T_ARRAY, a["j"]).when(a["t"] == G.T_STRING, arr)
         )

@@ -27,7 +27,7 @@ _TOKEN_RE = re.compile(
   | (?P<int>\d+)
   | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<name>[A-Za-z_][A-Za-z_0-9]*|`[^`]*`)
-  | (?P<op><>|<=|>=|=~|\+=|\.\.|<->|->|<-|::|@-@|@@|@>|<@|\?\||\?&|!!=|!!|!~\*|!~|~\*|\|\||[-+*/%^=<>()\[\]{},.:|?&~])
+  | (?P<op><=>|<\#>|<>|<<=|<<|<=|>=|>>=|>>|=~|\+=|\.\.|<->|->|<-|::|@-@|@@|@>|<@|\?\||\?&|!!=|!!|!~\*|!~|~\*|\|\||&&|[-+*/%^=<>()\[\]{},.:|?&~\#])
     """,
     re.VERBOSE,
 )

@@ -83,17 +83,33 @@ class Parser:
 
     def parse_setop(self):
         """UNION / INTERSECT / EXCEPT with ALL|DISTINCT on all three
-        (cypher_gram.y:1082-1102)."""
-        left = self.parse_single()
+        (cypher_gram.y:1082-1102); operands may be parenthesized set-op
+        subtrees — `A UNION (B UNION ALL C)` groups explicitly
+        (regress/sql/cypher_setop.sql:74-77)."""
+        left = self.parse_setop_operand()
         while self.at_kw("union", "intersect", "except"):
             op = self.advance().value
             if self.try_kw("all"):
                 op = op + "_all"
             else:
                 self.try_kw("distinct")
-            right = self.parse_single()
+            right = self.parse_setop_operand()
             left = A.SetOp(op, left, right)
         return left
+
+    _CLAUSE_STARTERS = ("match", "optional", "unwind", "with", "return",
+                        "create", "merge", "cypher", "call")
+
+    def parse_setop_operand(self):
+        if (
+            self.cur.kind == "op" and self.cur.value == "("
+            and self.peek().kind == "kw" and self.peek().value in self._CLAUSE_STARTERS
+        ):
+            self.eat_op("(")
+            q = self.parse_setop()
+            self.eat_op(")")
+            return q
+        return self.parse_single()
 
     def parse_single(self) -> A.SingleQuery:
         clauses = []
@@ -547,7 +563,12 @@ class Parser:
                 # match_vles: two VLE bindings connect head-to-tail
                 # (variable_edge.c:269-289; OPERATOR !!=,
                 # sql/postgraph.sql.in:529-537)
-                "!!=": "!!="}
+                "!!=": "!!=",
+                # inet subnet operators (gtype_ops.c:756-827;
+                # old/regress/network.sql): contained-by / contains /
+                # strict variants / overlap
+                "<<": "<<", "<<=": "<<=", ">>": ">>", ">>=": ">>=",
+                "&&": "&&"}
 
     def parse_comparison(self):
         left = self.parse_bitor()
@@ -729,12 +750,15 @@ class Parser:
         return left
 
     def parse_tsphrase(self):
-        # tsquery phrase operator `<->` (gtype_tsearch.c tsquery_phrase;
-        # between & and additive, mirroring PG operator precedence)
+        # `<->` (tsquery phrase / vector l2 — runtime dispatch in the
+        # compiler, mirroring vector.c:285-350) plus the vector-only
+        # distance spellings `<=>` (cosine) and `<#>` (negative inner
+        # product) — postgraph-gtype.sql.in:140-167; between & and
+        # additive, mirroring PG generic-operator precedence
         left = self.parse_additive()
-        while self.at_op("<->"):
-            self.advance()
-            left = A.BinOp("<->", left, self.parse_additive())
+        while self.at_op("<->", "<=>", "<#>"):
+            op = self.advance().value
+            left = A.BinOp(op, left, self.parse_additive())
         return left
 
     def parse_additive(self):

@@ -574,7 +574,14 @@ def cypher_write_roundtrip(spark, sf_dir):
     from postgraph_spark.graph import GraphCatalog
 
     rows = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).collect()
-    root = tempfile.mkdtemp(prefix="pgspark_wr_")
+    # fixed per-process dir (not mkdtemp-per-call): bench + correctness
+    # invoke this several times per round — reuse and reset instead of
+    # accumulating orphan temp roots. The graph-write cost lands in the
+    # driver's build_sec for this row (documented trade).
+    import shutil
+
+    root = os.path.join(tempfile.gettempdir(), f"pgspark_wr_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
     eng = CypherEngine(spark, GraphCatalog(spark, root=root))
     eng.execute("CREATE GRAPH wr")
     eng.execute("USE GRAPH wr")
@@ -597,12 +604,17 @@ def cypher_write_roundtrip(spark, sf_dir):
         "MATCH (x:n) RETURN x.region AS region, count(*) AS n, "
         "sum(x.key) AS key_sum, count(x.flag) AS flagged"
     )
-    return out.select(
+    out = out.select(
         F.col("region")["i"].alias("region"),
         F.col("n")["i"].alias("n"),
         F.col("key_sum")["i"].alias("key_sum"),
         F.col("flagged")["i"].alias("flagged"),
     )
+    # materialize (5 rows, metadata-scale) so the temp root can be
+    # removed now instead of leaking until the next invocation
+    final = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return final
 
 
 @register(

@@ -267,11 +267,57 @@ def interval_overlap_join(spark, sf_dir):
     return joined.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_windows"))
 
 
-@register("pagerank_dupgraph")
+# LSH candidate pairs as an oracle CTE chain (identical to the
+# dup_triangles prefix, which hash-matches the Spark side)
+_LSH_PAIRS = f"""{_SHINGLES},
+    hs AS (SELECT doc_id, g.h AS h,
+                  substr(md5(CAST(g.h AS VARCHAR) || shingle), 1, 8) AS hv
+           FROM sh CROSS JOIN generate_series(0, 7) AS g(h)),
+    sig AS (SELECT doc_id, h, min(hv) AS minhash FROM hs GROUP BY doc_id, h),
+    bands AS (SELECT doc_id, h // 2 AS band,
+                     md5(array_to_string(list_sort(list(CAST(h AS VARCHAR) || ':' || minhash)), '|')) AS bucket
+              FROM sig GROUP BY doc_id, h // 2),
+    pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+              WHERE x.doc_id < y.doc_id)"""
+
+# one PageRank round as CTEs: contribution sum, dangling mass, update —
+# the exact association order the Spark side uses
+# (base = (1-d)/n + d*dang/n, then base + d*contrib)
+_PR_ROUND = """
+    c{i} AS (SELECT e.dst AS v, sum(r.rank / o.deg) AS c
+             FROM e JOIN r{p} r ON r.v = e.src JOIN outdeg o ON o.src = e.src
+             GROUP BY e.dst),
+    d{i} AS (SELECT coalesce(sum(rank), 0.0) AS dang FROM r{p}
+             WHERE v NOT IN (SELECT src FROM outdeg)),
+    r{i} AS (SELECT verts.v,
+                    (1 - 0.85) / (SELECT n FROM nn)
+                    + 0.85 * (SELECT dang FROM d{i}) / (SELECT n FROM nn)
+                    + 0.85 * coalesce(c.c, 0.0) AS rank
+             FROM verts LEFT JOIN c{i} c ON c.v = verts.v)"""
+
+_PAGERANK_SQL = (
+    f"""
+    WITH {_LSH_PAIRS},
+    e AS (SELECT a AS src, b AS dst FROM pairs),
+    verts AS (SELECT src AS v FROM e UNION SELECT dst AS v FROM e),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+    outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT v, 1.0 / (SELECT n FROM nn) AS rank FROM verts),"""
+    + ",".join(_PR_ROUND.format(i=i, p=i - 1) for i in range(1, 6))
+    + "\n    SELECT v, round(rank, 6) AS rank FROM r5"
+)
+
+
+@register("pagerank_dupgraph", _PAGERANK_SQL)
 def pagerank_dupgraph(spark, sf_dir):
     """PageRank over the near-dup pair graph (operators/pagerank.py) —
-    no SQL oracle (iterative numeric fixpoint); pinned instead by
-    star/cycle invariant tests in tests/test_graph_analytics.py."""
+    the iterations are deterministic DataFrame rounds (uniform init,
+    per-round dangling-mass fold, fixed association order), so the
+    oracle replays the SAME 5 rounds as DuckDB CTEs (the
+    kmeans_embeddings technique); round(6) absorbs cross-engine
+    float-sum ordering. Star/cycle invariants additionally pinned in
+    tests/test_graph_analytics.py."""
     from postgraph_spark.operators import pagerank as PR
 
     pairs = DD.lsh_candidate_pairs(

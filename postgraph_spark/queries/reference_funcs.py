@@ -616,3 +616,136 @@ def geometric_kit_full(spark, sf_dir):
         F.col("np")["i"].alias("np"),
         F.col("pc")["s"].alias("pc"),
     )
+
+
+# -- round 8: operator SPELLINGS under the driver oracle ------------------
+
+_EMB_GRAPH_CACHE: dict = {}
+
+
+def _emb_graph(spark, sf_dir):
+    """Embeddings projected as `emb` vertices ({vec_id, embedding}).
+    float32 embeddings are widened to double BEFORE the JSON/VARIANT
+    projection: shortest-repr doubles round-trip exactly, so the Cypher
+    path sees bit-identical values to DuckDB's CAST(embedding AS
+    DOUBLE[]) (a float32's shortest repr parsed as double does NOT equal
+    its widening — the classic cross-engine trap)."""
+    import os
+
+    from postgraph_spark.graph import EDGE_SCHEMA, ENTRY_ID_BITS, Graph
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if key not in _EMB_GRAPH_CACHE:
+        df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        ps = F.struct(
+            F.col("vec_id"),
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+        )
+        verts = df.select(
+            (F.lit(1 << ENTRY_ID_BITS).cast("long") + F.col("vec_id").cast("long")).alias("id"),
+            F.lit("emb").alias("label"),
+            F.to_json(ps).alias("properties"),
+            F.to_variant_object(ps).alias("pv"),
+        )
+        edges = spark.createDataFrame([], EDGE_SCHEMA)
+        _EMB_GRAPH_CACHE[key] = Graph("embgraph", verts, edges, {"emb": 1})
+    return _EMB_GRAPH_CACHE[key]
+
+
+@register(
+    "vector_ops_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT e.vec_id AS n,
+           round(list_distance(qv, e.v), 4) AS l2,
+           round(1.0 - list_cosine_similarity(qv, e.v), 4) AS cos_dist,
+           round(-list_inner_product(qv, e.v), 4) AS nip
+    FROM e CROSS JOIN q WHERE e.vec_id <> 0
+    ORDER BY l2, n
+    LIMIT 10
+    """,
+)
+def vector_ops_topk(spark, sf_dir):
+    """The pgvector-style query shape through the vector distance
+    OPERATOR spellings (postgraph-gtype.sql.in:140-167; vector.c
+    l2_distance/cosine_distance/negative_inner_product; round-7 verdict
+    #2): `ORDER BY q.embedding <-> n.embedding LIMIT k` with `<=>` and
+    `<#>` in the projection. `<->` runtime-dispatches vector-l2 vs
+    tsquery-phrase the way the reference's l2_distance C function does
+    (vector.c:285-350). Ordering by the ROUNDED distance + vec_id keeps
+    the top-k set deterministic across engines."""
+    from postgraph_spark.engine import CypherEngine
+
+    eng = CypherEngine(spark)
+    eng.catalog.register(_emb_graph(spark, sf_dir))
+    out = eng.execute(
+        "MATCH (q:emb), (n:emb) WHERE q.vec_id = 0 AND n.vec_id <> 0 "
+        "RETURN n.vec_id AS n, "
+        "  round(q.embedding <-> n.embedding, 4) AS l2, "
+        "  round(q.embedding <=> n.embedding, 4) AS cos_dist, "
+        "  round(q.embedding <#> n.embedding, 4) AS nip "
+        "ORDER BY l2, n LIMIT 10"
+    )
+    return out.select(
+        F.col("n")["i"].alias("n"),
+        F.col("l2")["d"].alias("l2"),
+        F.col("cos_dist")["d"].alias("cos_dist"),
+        F.col("nip")["d"].alias("nip"),
+    )
+
+
+@register(
+    "network_ops",
+    """
+    SELECT k,
+      (k % 200) = (k % 100) AS in_strict,
+      (k % 200) = (k % 100) AS in_eq,
+      (k % 200) = (k % 100) AS sup_strict,
+      (k % 200) = (k % 100) AS sup_eq,
+      (k % 200) = (k % 100) AS overlap,
+      true AS self_eq,
+      false AS self_strict,
+      false AS cross_family
+    FROM range(1, 401) t(k)
+    """,
+)
+def network_ops(spark, sf_dir):
+    """inet subnet OPERATORS `<< <<= >> >>= &&` (gtype_ops.c:756-827,
+    old/regress/network.sql:232-264; round-7 verdict #3) through the
+    full Cypher text path: each k builds a /32 host and a /16 network
+    whose containment holds iff k % 200 == k % 100, plus
+    same-network (equal: <<= true, << false) and cross-family (IPv6 vs
+    IPv4: false, not error) cases. The oracle recomputes the expected
+    booleans arithmetically."""
+    from postgraph_spark.engine import CypherEngine
+
+    eng = CypherEngine(spark)
+    out = eng.execute(
+        "UNWIND range(1, 400) AS k "
+        "WITH k, "
+        "  '10.' + toString(k % 200) + '.1.5' AS ip, "
+        "  '10.' + toString(k % 100) + '.0.0/16' AS net "
+        "RETURN k, "
+        "  ip << net AS in_strict, "
+        "  ip <<= net AS in_eq, "
+        "  net >> ip AS sup_strict, "
+        "  net >>= ip AS sup_eq, "
+        "  net && ip AS overlap, "
+        "  net <<= net AS self_eq, "
+        "  net << net AS self_strict, "
+        "  '::1' << net AS cross_family"
+    )
+    return out.select(
+        F.col("k")["i"].alias("k"),
+        F.col("in_strict")["b"].alias("in_strict"),
+        F.col("in_eq")["b"].alias("in_eq"),
+        F.col("sup_strict")["b"].alias("sup_strict"),
+        F.col("sup_eq")["b"].alias("sup_eq"),
+        F.col("overlap")["b"].alias("overlap"),
+        F.col("self_eq")["b"].alias("self_eq"),
+        F.col("self_strict")["b"].alias("self_strict"),
+        F.col("cross_family")["b"].alias("cross_family"),
+    )

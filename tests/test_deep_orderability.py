@@ -107,3 +107,47 @@ def test_order_by_scalars_unchanged(engine):
     got = order_of(engine, [3, 1, 2, "b", "a", True, None])
     # string(2) < bool(3) < number(4) < null(11)
     assert got == ["a", "b", True, 1, 2, 3, None]
+
+
+# --------------------- comparison operators reuse the deep encoding
+
+
+def cmp_lt(engine, a, b):
+    q = f"RETURN {json.dumps(a)} < {json.dumps(b)} AS r"
+    return engine.fetch_values(q)[0]
+
+
+def test_lt_agrees_with_order_by_depth5(engine):
+    """round-7 verdict #5: `<` must follow the same unbounded-depth
+    total order ORDER BY uses (gtype_util.c:233-360 semantics)."""
+    vals = [
+        [[[[[2]]]]], [[[[[10]]]]],              # numeric at depth 5
+        [[[[["x"]]]]], [[[[[0]]]]],             # string < number at depth 5
+        {"a": {"b": {"c": {"d": {"e": 2}}}}},
+        {"a": {"b": {"c": {"d": {"e": 10}}}}},
+        [1, [2, [3, [4, [5]]]]],
+        [1, [2, [3, [4, [5, 0]]]]],             # premature end sorts first
+        [{"k": [1, {"z": "s"}]}],
+        [{"k": [1, {"z": 2}]}],                 # string < number deep inside
+        [], [None], {"a": 1}, [1], "z", True, -5,
+    ]
+    total = order_of(engine, vals)
+    for i in range(len(total) - 1):
+        for j in range(i + 1, len(total)):
+            a, b = total[i], total[j]
+            if a == b:
+                continue
+            assert cmp_lt(engine, a, b) is True, (a, b)
+            assert cmp_lt(engine, b, a) is False, (a, b)
+
+
+def test_lt_numeric_identity_in_containers(engine):
+    assert cmp_lt(engine, [[[[[1]]]]], [[[[[1.0]]]]]) is False
+    assert cmp_lt(engine, [[[[[1.0]]]]], [[[[[1]]]]]) is False
+    assert cmp_lt(engine, {"a": [1]}, {"a": [1.0]}) is False
+
+
+def test_lt_scalar_fast_path_unchanged(engine):
+    assert cmp_lt(engine, 1, 2) is True
+    assert cmp_lt(engine, "a", "b") is True
+    assert cmp_lt(engine, 2, [1]) is False  # array rank < number rank

@@ -215,3 +215,41 @@ def test_alter_graph_rename(spark, tmp_path):
     e2 = CypherEngine(spark, cat2)
     e2.execute("USE GRAPH new_name")
     assert e2.fetch_values("MATCH (n) RETURN n.i") == [1]
+
+
+def test_dropped_label_id_never_reused(engine):
+    """ADVICE r8 high #2: DROP LABEL must not free its label id —
+    graphids pack label_id<<48 | entry_id and a recycled id with a
+    fresh entry sequence collides with a surviving label's graphids."""
+    engine.execute("CREATE VLABEL keep1")
+    engine.execute("CREATE VLABEL victim")
+    engine.execute("CREATE VLABEL keep2")
+    ids_before = dict(engine.graph.label_ids)
+    engine.execute("DROP LABEL victim")
+    engine.execute("CREATE VLABEL reborn")
+    assert engine.graph.label_ids["reborn"] not in ids_before.values()
+    # entities of the new label cannot collide with any existing graphid
+    engine.execute("CREATE (:keep2 {k: 1})")
+    engine.execute("CREATE (:reborn {k: 1})")
+    ids = [r[0] for r in engine.graph.vertices.select("id").collect()]
+    assert len(ids) == len(set(ids))
+
+
+def test_label_id_hwm_survives_reopen(spark, tmp_path):
+    """The high-water mark persists in catalog.json: a reload after a
+    drop must not hand out the dropped id either (graph.py:_alloc_label_id)."""
+    from postgraph_spark.graph import GraphCatalog
+
+    root = str(tmp_path / "hwm")
+    eng = CypherEngine(spark, GraphCatalog(spark, root=root))
+    eng.execute("CREATE GRAPH g")
+    eng.execute("USE GRAPH g")
+    eng.execute("CREATE VLABEL a")
+    eng.execute("CREATE VLABEL b")
+    dropped_id = eng.graph.label_ids["b"]
+    eng.execute("DROP LABEL b")
+
+    eng2 = CypherEngine(spark, GraphCatalog(spark, root=root))
+    eng2.execute("USE GRAPH g")
+    eng2.execute("CREATE VLABEL c")
+    assert eng2.graph.label_ids["c"] > dropped_id
