@@ -780,22 +780,53 @@ def op_neq(a: Column, b: Column) -> Column:
     return _cmp3vl(a, b, ~cmp_eq(a, b))
 
 
+#: ranks whose payload rides the d axis in sort_key's k1
+_D_AXIS_RANKS = {T_NUMBER, T_TIMESTAMP, T_TIME, T_INTERVAL}
+
+
+def _rank_set(types: frozenset) -> set:
+    """Static type set -> comparison-rank set (DATE shares TIMESTAMP's
+    rank, as sort_key's k0 does)."""
+    return {T_TIMESTAMP if t == T_DATE else t for t in types if t != T_NULL}
+
+
 def _ord_cmp(a: Column, b: Column, pyop) -> Column:
-    """Ordered comparison core for `< <= > >=`: the depth-2 JVM sort-key
-    fast path everywhere, EXCEPT container-vs-container rows, which
-    route through the round-7 unbounded canonical encoding
-    (deep_container_key) so `<` agrees with ORDER BY's total order at
-    any nesting depth (compare_gtype_containers_orderability,
-    gtype_util.c:233-360). The deep branch is only BUILT when both
-    operands' static type sets admit containers — literal-vs-property
-    scan predicates keep the pure-JVM plan — and the Arrow batch passes
-    NULL for non-container rows (no per-row python work for them). The
-    encoding's leading rank char orders array-vs-object exactly as the
-    type priorities do."""
-    res = pyop(sort_key(a), sort_key(b))
-    may_a = T_ARRAY in gv_types(a) or T_OBJECT in gv_types(a)
-    may_b = T_ARRAY in gv_types(b) or T_OBJECT in gv_types(b)
-    if may_a and may_b:
+    """Ordered comparison core for `< <= > >=`.
+
+    Payload axes are PRUNED by the operands' shared static ranks: a
+    struct `<` decides on the first differing field, and payload fields
+    matter only when both rows land on the SAME k0 rank — possible only
+    for ranks in the intersection of the two static type sets. A scan
+    predicate comparing a property to a numeric literal therefore
+    compiles to just (k0, d) — no string/bool/array kernels inlined in
+    the Filter (the dominant plan-line cost; scan predicates cannot
+    let-bind without losing their Filter position).
+
+    Container-vs-container rows route through the round-7 unbounded
+    canonical encoding (deep_container_key) so `<` agrees with ORDER
+    BY's total order at any nesting depth (gtype_util.c:233-360). The
+    deep branch is only BUILT when both operands' static type sets
+    admit containers, and the Arrow batch passes NULL for non-container
+    rows (no per-row python work for them)."""
+    shared = _rank_set(gv_types(a)) & _rank_set(gv_types(b))
+
+    def key(gv: Column) -> Column:
+        fields = [
+            F.when(gv.t == T_DATE, F.lit(T_TIMESTAMP)).otherwise(gv.t).alias("k0")
+        ]
+        if shared & _D_AXIS_RANKS:
+            fields.append(gv.d.alias("k1"))
+        if T_STRING in shared:
+            fields.append(gv.s.alias("k2"))
+        if T_BOOL in shared:
+            fields.append(gv.b.cast("int").alias("k3"))
+        # container payloads need no fast-path axis: every container-vs-
+        # container row goes to the deep branch below, and against any
+        # other rank k0 already decides
+        return F.struct(*fields)
+
+    res = pyop(key(a), key(b))
+    if shared & {T_ARRAY, T_OBJECT}:
         both_c = a.t.isin(T_ARRAY, T_OBJECT) & b.t.isin(T_ARRAY, T_OBJECT)
         deep = pyop(
             deep_container_key(F.when(both_c, a.j)),
