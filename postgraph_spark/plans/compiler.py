@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import itertools
 import re
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -349,8 +350,9 @@ class Compiler:
         e = self.graph.edges_with_label(rel.label)
         pv = self._table_pv(e)
         if rel.props:
-            for k, vexpr in rel.props.items.items():
-                e = e.filter(self._prop_eq(G.prop_access_variant(pv, [k]), vexpr))
+            with self._no_lets():
+                for k, vexpr in rel.props.items.items():
+                    e = e.filter(self._prop_eq(G.prop_access_variant(pv, [k]), vexpr))
         struct = F.struct(
             F.col("id"), F.col("start_id"), F.col("end_id"), F.col("label"),
             F.col("properties"), pv.alias("pv"),
@@ -365,6 +367,24 @@ class Compiler:
         # — keep the out-orientation copy only (vle.py does the same dedup)
         return out_e.unionByName(in_e.filter(F.col("__src") != F.col("__dst")))
 
+    @contextmanager
+    def _no_lets(self):
+        """Disable let-binding while compiling SCAN-side predicates and
+        sub-pattern compiles: their expressions go straight into
+        df.filter on a scan that never receives the hidden let
+        projection — keeping them inline also preserves the Filter's
+        scan position. Clears the GLOBAL scalar binder too: function
+        kernels (from_variant, temporal) route through it, and during a
+        sub-Compiler's compile it would still point at the OUTER
+        compiler's let buffer."""
+        prev, self._lets = self._lets, None
+        prev_binder = G.set_scalar_binder(None)
+        try:
+            yield
+        finally:
+            self._lets = prev
+            G.set_scalar_binder(prev_binder)
+
     def _prop_eq(self, prop_gv: Column, vexpr) -> Column:
         """Pattern property map {k: v} -> containment qual
         (create_property_constraints, cypher_clause.c:106)."""
@@ -373,14 +393,15 @@ class Compiler:
 
     def _node_filters(self, df: DataFrame, node: A.NodePat, var: str) -> DataFrame:
         if node.props:
-            pv = self._var_pv(df, var)
-            for k, vexpr in node.props.items.items():
-                prop = (
-                    G.prop_access_variant(pv, [k])
-                    if pv is not None
-                    else G.prop_access(F.col(var)["properties"], [k])
-                )
-                df = df.filter(self._prop_eq(prop, vexpr))
+            with self._no_lets():
+                pv = self._var_pv(df, var)
+                for k, vexpr in node.props.items.items():
+                    prop = (
+                        G.prop_access_variant(pv, [k])
+                        if pv is not None
+                        else G.prop_access(F.col(var)["properties"], [k])
+                    )
+                    df = df.filter(self._prop_eq(prop, vexpr))
         return df
 
     def compile_match(self, m: A.MatchClause, df, scope):
@@ -392,9 +413,10 @@ class Compiler:
 
         if m.optional:
             pat = Compiler(self.spark, self.graph)
-            pdf, pscope = pat.compile_match(
-                A.MatchClause(m.paths, m.where, False, []), None, Scope()
-            )
+            with self._no_lets():  # sub-compile: outer binder must not leak in
+                pdf, pscope = pat.compile_match(
+                    A.MatchClause(m.paths, m.where, False, []), None, Scope()
+                )
             shared = [v for v in pscope.kinds if v in scope.kinds]
             new_cols = [v for v in pscope.kinds if v not in scope.kinds]
             if df is None:
@@ -477,9 +499,10 @@ class Compiler:
                     and (rels[0].varlen[0] or 0) <= 1
                 ):
                     sub._vle_reachability = True
-                pdf, pscope = sub.compile_match(
-                    A.MatchClause([e.pattern], None, False, []), None, Scope()
-                )
+                with self._no_lets():  # sub-compile: outer binder must not leak in
+                    pdf, pscope = sub.compile_match(
+                        A.MatchClause([e.pattern], None, False, []), None, Scope()
+                    )
                 shared = [v for v in pscope.kinds if v in scope.kinds]
                 raw = f"{marker}_raw"
                 if shared:
@@ -613,7 +636,8 @@ class Compiler:
         if df is None:
             raise CompileError("quantified subquery requires a preceding clause")
         sub = Compiler(self.spark, self.graph)
-        sdf = sub.compile_query(e.query)
+        with self._no_lets():  # sub-compile: outer binder must not leak in
+            sdf = sub.compile_query(e.query)
         if len(sdf.columns) != 1:
             raise CompileError("quantified subquery must return exactly one column")
         scol = G.gv_ref(sdf.columns[0])
@@ -871,10 +895,11 @@ class Compiler:
         lo, hi = rel.varlen
         prop_filter = None
         if rel.props:
-            edge_pv = self._table_pv(self.graph.edges)
-            for k, vexpr in rel.props.items.items():
-                c = self._prop_eq(G.prop_access_variant(edge_pv, [k]), vexpr)
-                prop_filter = c if prop_filter is None else (prop_filter & c)
+            with self._no_lets():  # scan-side predicate, see _no_lets
+                edge_pv = self._table_pv(self.graph.edges)
+                for k, vexpr in rel.props.items.items():
+                    c = self._prop_eq(G.prop_access_variant(edge_pv, [k]), vexpr)
+                    prop_filter = c if prop_filter is None else (prop_filter & c)
         # push the already-bound start set into the traversal: the
         # reference's VLE gets its endpoints lazily from the lateral join
         # (add_vle_to_query, c.c:2692-2710); here the frontier simply
@@ -1744,6 +1769,12 @@ class Compiler:
                 return G.gv_bool(same if e.op == "=" else ~same)
         left = self._maybe_let(self.compile_expr(e.left, df, scope), e.left, df)
         right = self._maybe_let(self.compile_expr(e.right, df, scope), e.right, df)
+        if e.op in ("@>", "<@", "?", "?|", "?&"):
+            # entity operands act as their PROPERTIES document
+            # (old/regress/vertex.sql & edge.sql: `v @> map`, `map <@ v`,
+            # `v ? 'key'` — gtype_ops.c's vertex/edge containment wiring)
+            left = self._entity_props_gv(e.left, left, scope)
+            right = self._entity_props_gv(e.right, right, scope)
         if e.op == "&" and G.T_STRING in G.gv_types(left) and G.T_STRING in G.gv_types(right):
             # `&` is tsquery AND for string (tsquery-text) operands and
             # integer bitwise AND otherwise (gtype_ops.c:716-740 wires &
@@ -1778,6 +1809,17 @@ class Compiler:
                 return TS.gv_if(both_q, tsres, fn(left, right))
             return fn(left, right)
         return fn(left, right)
+
+    @staticmethod
+    def _entity_props_gv(node, col: Column, scope) -> Column:
+        """Entity var operand -> its properties document as a gval
+        object (containment/existence operators treat vertices/edges as
+        their property maps, vertex.sql/edge.sql)."""
+        if isinstance(node, A.Var) and scope.kinds.get(node.name) in (
+            VKIND_VERTEX, VKIND_EDGE
+        ):
+            return G.gv_object_json(F.col(node.name)["properties"])
+        return col
 
     @staticmethod
     def _vector_distance(op: str, left: Column, right: Column) -> Column:

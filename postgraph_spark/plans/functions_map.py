@@ -157,6 +157,10 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
     if name in ("id", "start_id", "end_id", "label", "type", "properties", "startnode", "endnode"):
         col, kind = ctx.entity(0)
         if col is None:
+            # id(NULL)/label(NULL)/... -> null (RETURNS NULL ON NULL
+            # INPUT in the reference's fn decls; vertex.sql goldens)
+            if isinstance(e.args[0], A.Lit) and e.args[0].value is None:
+                return G.gv_null()
             raise ValueError(f"{name}() requires an entity argument")
         if name == "id":
             return G.gv_int(col["id"])
