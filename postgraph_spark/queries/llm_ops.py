@@ -419,6 +419,61 @@ def repetition_stats(spark, sf_dir):
 
 
 @register(
+    "ngram_logprob_score",
+    f"""
+    WITH {_TOKS},
+    bg AS (SELECT doc_id,
+                  unnest(CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+                         ELSE list_transform(generate_series(0, len(tk)-2),
+                                             j -> array_to_string(tk[j+1:j+2], ' ')) END) AS g
+           FROM toks),
+    bgc AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+    ctx AS (SELECT split_part(g, ' ', 1) AS w1, count(*) AS c1 FROM bg GROUP BY 1),
+    voc AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(tk) AS w FROM toks))
+    SELECT bg.doc_id,
+           round(avg(log2(CAST(c2 + 1 AS DOUBLE) / (c1 + (SELECT v FROM voc)))), 4)
+             AS bigram_logprob,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+    FROM bg
+    JOIN bgc ON bgc.g = bg.g
+    JOIN ctx ON ctx.w1 = split_part(bg.g, ' ', 1)
+    GROUP BY bg.doc_id
+    """,
+)
+def ngram_logprob_score(spark, sf_dir):
+    """Corpus bigram language-model scoring (the KenLM-style perplexity
+    proxy a curation pipeline uses to rank fluency): per document, the
+    average add-1-smoothed log2 P(w_i | w_{i-1}) under the corpus's own
+    bigram counts. Shape at 100 TB: one bigram-count shuffle + one
+    context-count shuffle build the model; scoring is two equi-joins on
+    (bigram) / (context) — broadcastable when the vocabulary is small,
+    AQE skew-splits the hot stopword-context keys otherwise; one final
+    per-doc partial agg. The vocabulary size (the smoothing constant) is
+    the only driver-side scalar."""
+    docs = t(spark, sf_dir, "documents")
+    from postgraph_spark.operators.dedup import _spread
+
+    toks = TX.tokens(F.col("text"))
+    bg = _spread(docs).select("doc_id", F.explode(TX.shingles(toks, 2)).alias("g"))
+    bg = bg.withColumn("w1", F.substring_index("g", " ", 1))
+    bgc = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("w")).distinct().count()
+    )
+    return (
+        bg.join(bgc, "g")
+        .join(ctx, "w1")
+        .select("doc_id", F.log2((F.col("c2") + 1) / (F.col("c1") + F.lit(vocab))).alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("lp"), 4).alias("bigram_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+
+
+@register(
     "pii_scrub",
     r"""
     WITH synth AS (
