@@ -749,3 +749,63 @@ def network_ops(spark, sf_dir):
         F.col("self_strict")["b"].alias("self_strict"),
         F.col("cross_family")["b"].alias("cross_family"),
     )
+
+
+@register(
+    "expr_operator_forms",
+    """
+    SELECT o_orderkey AS k,
+      o_orderpriority LIKE '%URGENT' AS like_t,
+      o_orderpriority ILIKE '2-h%' AS ilike_t,
+      o_orderpriority NOT LIKE '1%' AS nlike_t,
+      regexp_full_match(o_orderstatus, '[OF]') AS re_full,
+      regexp_matches(o_orderpriority, 'URG') AS re_part,
+      CAST(((o_orderkey % 16) & 12) | 5 AS BIGINT) AS bits,
+      ((o_orderkey % 2 = 0) <> (o_orderkey % 3 = 0)) AS xor_bool,
+      coalesce(NULL, o_orderstatus, 'x') AS coal,
+      CAST(EXTRACT(year FROM CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS yr,
+      CAST(EXTRACT(month FROM CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS mo
+    FROM orders WHERE o_orderkey < 3000
+    """,
+)
+def expr_operator_forms(spark, sf_dir):
+    """Consolidated expression-operator surface through the full Cypher
+    path (pins several §2 rows previously checked only in pytest):
+    LIKE/ILIKE/NOT LIKE (gtype_string.c:163-190), anchored `=~` vs
+    match-anywhere `~` (gtype_eq_tilde vs PG regex ops, :193-227),
+    integer bitwise `& |` and the `^`-free XOR (3VL boolean), COALESCE,
+    EXTRACT over timestamps. Pure scan + project, zero shuffles; the
+    oracle spells XOR on ints with DuckDB's xor() and anchored =~ with
+    regexp_full_match."""
+    from postgraph_spark.engine import CypherEngine
+    from postgraph_spark.graph import tpch_graph
+
+    eng = CypherEngine(spark)
+    eng.catalog.register(tpch_graph(spark, sf_dir))
+    out = eng.execute(
+        "MATCH (o:orders) WHERE o.o_orderkey < 3000 "
+        "RETURN o.o_orderkey AS k, "
+        "  o.o_orderpriority LIKE '%URGENT' AS like_t, "
+        "  o.o_orderpriority ILIKE '2-h%' AS ilike_t, "
+        "  o.o_orderpriority NOT LIKE '1%' AS nlike_t, "
+        "  o.o_orderstatus =~ '[OF]' AS re_full, "
+        "  o.o_orderpriority ~ 'URG' AS re_part, "
+        "  (o.o_orderkey % 16 & 12 | 5) AS bits, "
+        "  (o.o_orderkey % 2 = 0) XOR (o.o_orderkey % 3 = 0) AS xor_bool, "
+        "  coalesce(null, o.o_orderstatus, 'x') AS coal, "
+        "  EXTRACT(year FROM o.o_orderdate) AS yr, "
+        "  EXTRACT(month FROM o.o_orderdate) AS mo"
+    )
+    return out.select(
+        F.col("k")["i"].alias("k"),
+        F.col("like_t")["b"].alias("like_t"),
+        F.col("ilike_t")["b"].alias("ilike_t"),
+        F.col("nlike_t")["b"].alias("nlike_t"),
+        F.col("re_full")["b"].alias("re_full"),
+        F.col("re_part")["b"].alias("re_part"),
+        F.col("bits")["i"].alias("bits"),
+        F.col("xor_bool")["b"].alias("xor_bool"),
+        F.col("coal")["s"].alias("coal"),
+        F.col("yr")["i"].alias("yr"),
+        F.col("mo")["i"].alias("mo"),
+    )
