@@ -682,7 +682,10 @@ def vector_ops_topk(spark, sf_dir):
     eng = CypherEngine(spark)
     eng.catalog.register(_emb_graph(spark, sf_dir))
     out = eng.execute(
-        "MATCH (q:emb), (n:emb) WHERE q.vec_id = 0 AND n.vec_id <> 0 "
+        # the query vector binds through the pattern property map — a
+        # SCAN-side filter (1 row) before the cross join, so the product
+        # is 1 x N, never N x N
+        "MATCH (q:emb {vec_id: 0}), (n:emb) WHERE n.vec_id <> 0 "
         "RETURN n.vec_id AS n, "
         "  round(q.embedding <-> n.embedding, 4) AS l2, "
         "  round(q.embedding <=> n.embedding, 4) AS cos_dist, "
