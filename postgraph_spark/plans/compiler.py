@@ -385,6 +385,21 @@ class Compiler:
             self._lets = prev
             G.set_scalar_binder(prev_binder)
 
+    def _filter_cond(self, w, df, scope) -> Column:
+        """WHERE/HAVING predicate -> Spark boolean, splitting TOP-LEVEL
+        AND chains into plain boolean conjuncts. The 3VL AND kernel is
+        one opaque CASE tree Catalyst cannot decompose — conjuncts
+        locked inside it never push below a join, so
+        `MATCH (a), (b) WHERE a.x = 1 AND b.y = 2` kept an N x N
+        cartesian. Kleene identity: truth(x AND y) == truth(x) AND
+        truth(y) (unknown is never true), so the split is exact for
+        filtering."""
+        if isinstance(w, A.BinOp) and w.op == "AND":
+            return self._filter_cond(w.left, df, scope) & self._filter_cond(
+                w.right, df, scope
+            )
+        return G.truth(self.compile_expr(w, df, scope))
+
     def _prop_eq(self, prop_gv: Column, vexpr) -> Column:
         """Pattern property map {k: v} -> containment qual
         (create_property_constraints, cypher_clause.c:106)."""
@@ -450,7 +465,7 @@ class Compiler:
 
         if m.where is not None:
             w, df = self._rewrite_exists(m.where, df, new_scope)
-            cond = G.truth(self.compile_expr(w, df, new_scope))
+            cond = self._filter_cond(w, df, new_scope)
             df, letn = self._apply_lets(df)
             df = df.filter(cond)
             if letn:
@@ -1042,7 +1057,7 @@ class Compiler:
         if is_with and clause.where is not None and df is not None:
             try:
                 w, df2 = self._rewrite_exists(clause.where, df, scope)
-                cond = G.truth(self.compile_expr(w, df2, scope))
+                cond = self._filter_cond(w, df2, scope)
                 df2, letn = self._apply_lets(df2)
                 df = df2.filter(cond)
                 if letn:
@@ -1154,7 +1169,7 @@ class Compiler:
             out = agg_df.select(*final_cols)
 
         if deferred_where is not None:
-            cond = G.truth(self.compile_expr(deferred_where, out, new_scope))
+            cond = self._filter_cond(deferred_where, out, new_scope)
             out, letn = self._apply_lets(out)
             out = out.filter(cond)
             if letn:
