@@ -71,6 +71,11 @@ _IVF_INDEX_RE = re.compile(
 )
 
 
+#: read-path compiled-plan cache (see CypherEngine.execute); bounded,
+#: cleared wholesale on overflow — correctness never depends on it
+_PLAN_CACHE: dict = {}
+
+
 class CypherEngine:
     def __init__(self, spark: SparkSession, catalog: GraphCatalog | None = None):
         self.spark = spark
@@ -122,7 +127,31 @@ class CypherEngine:
                 if self.graph is None:
                     raise ValueError("no graph selected (USE GRAPH first)")
                 return WriteRunner(self.spark, self.graph).run(q)
-        return Compiler(self.spark, self.graph).compile_query(q)
+        # READ-path plan cache — the analog of PG's prepared-statement /
+        # plan caching (the reference rides plancache.c): a DataFrame is
+        # an immutable logical plan, so the same query text against the
+        # same graph SNAPSHOT recompiles to an identical plan; driver-side
+        # Catalyst analysis is the dominant repeat cost. Keyed on the
+        # graph's current table objects — any write replaces
+        # vertices/edges, so mutation naturally invalidates.
+        key = None
+        if self.graph is not None:
+            key = (
+                id(self.spark), id(self.graph),
+                id(self.graph.vertices), id(self.graph.edges), text,
+            )
+            hit = _PLAN_CACHE.get(key)
+            if hit is not None:
+                return hit[0]
+        df = Compiler(self.spark, self.graph).compile_query(q)
+        if key is not None:
+            if len(_PLAN_CACHE) > 256:
+                _PLAN_CACHE.clear()
+            # pin the keyed objects: live entries keep their ids from
+            # being recycled by the allocator (a recycled id would
+            # alias a NEW graph onto an old plan)
+            _PLAN_CACHE[key] = (df, self.graph, self.graph.vertices, self.graph.edges)
+        return df
 
     def _sync_sql_views(self) -> None:
         """Expose the current graph to Spark SQL the way the reference's
