@@ -104,3 +104,30 @@ def stream_interval_join(spark, sf_dir):
         F.col("l_key").alias("user_id"),
         F.round("r_value", 6).alias("purchase_value"),
     )
+
+
+@register(
+    "stream_sliding_counts",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    w AS (
+      SELECT user_id, time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL (g.k * 5) MINUTE AS ws
+      FROM e CROSS JOIN generate_series(0, 1) AS g(k))
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           user_id, count(*) AS n_events
+    FROM w GROUP BY ws, user_id
+    """,
+)
+def stream_sliding_counts(spark, sf_dir):
+    """Sliding-window per-user activity (streaming/ops.py
+    sliding_user_activity: 10-minute windows sliding by 5): every event
+    lands in exactly window/slide = 2 overlapping windows, so the oracle
+    assigns each event to its bucket and the bucket one slide earlier.
+    Batch == stream under the append-source guarantee (tests/
+    test_streaming.py pins the streaming side)."""
+    out = S.sliding_user_activity(t(spark, sf_dir, "events"))
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "user_id",
+        "n_events",
+    )
