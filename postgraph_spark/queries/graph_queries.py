@@ -626,16 +626,23 @@ def cypher_write_roundtrip(spark, sf_dir):
       CAST(count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS BIGINT) AS pre_n,
       round(avg(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
-            ROWS BETWEEN 1 PRECEDING AND 3 FOLLOWING EXCLUDE TIES), 2) AS win_avg
+            ROWS BETWEEN 1 PRECEDING AND 3 FOLLOWING EXCLUDE TIES), 2) AS win_avg,
+      round(min(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW), 2) AS nmin,
+      round(coalesce(stddev_samp(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW), -1), 2) AS nstd
     FROM orders WHERE o_totalprice > 400000
     """,
 )
 def window_frames_extended(spark, sf_dir):
-    """The round-7 frame surface driver-checked: EXCLUDE CURRENT ROW /
-    GROUP / TIES over ROWS frames, rewritten as frame-aggregate minus a
-    peer-group correction (compiler._compile_excluded_agg; the oracle is
-    DuckDB's NATIVE SQL:2011 EXCLUDE). ORDER BY o_orderkey is unique, so
-    frames are deterministic."""
+    """The frame surface driver-checked: EXCLUDE CURRENT ROW / GROUP /
+    TIES over ROWS frames — count/sum/avg via the frame-minus-correction
+    rewrite and min/stdev via the round-8 collect-frame path
+    (compiler._compile_excluded_collect_agg); the oracle is DuckDB's
+    NATIVE SQL:2011 EXCLUDE (the frames here all contain the current
+    row, where DuckDB agrees with PG — see test_groups_frames.py for
+    the divergence on frames that do not). ORDER BY o_orderkey is
+    unique, so frames are deterministic."""
     eng = _tpch_engine(spark, sf_dir)
     out = eng.execute(
         "MATCH (o:orders) WHERE o.o_totalprice > 400000 "
@@ -645,13 +652,19 @@ def window_frames_extended(spark, sf_dir):
         "count(*) OVER (PARTITION BY o.o_orderpriority ORDER BY o.o_orderkey "
         "  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS pre_n, "
         "round(avg(o.o_totalprice) OVER (PARTITION BY o.o_orderpriority ORDER BY o.o_orderkey "
-        "  ROWS BETWEEN 1 PRECEDING AND 3 FOLLOWING EXCLUDE TIES), 2) AS win_avg"
+        "  ROWS BETWEEN 1 PRECEDING AND 3 FOLLOWING EXCLUDE TIES), 2) AS win_avg, "
+        "round(min(o.o_totalprice) OVER (PARTITION BY o.o_orderpriority ORDER BY o.o_orderkey "
+        "  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW), 2) AS nmin, "
+        "round(coalesce(stdev(o.o_totalprice) OVER (PARTITION BY o.o_orderpriority ORDER BY o.o_orderkey "
+        "  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW), -1), 2) AS nstd"
     )
     return out.select(
         F.col("okey")["i"].alias("okey"),
         F.col("neigh_sum")["d"].alias("neigh_sum"),
         F.col("pre_n")["i"].alias("pre_n"),
         F.col("win_avg")["d"].alias("win_avg"),
+        F.col("nmin")["d"].alias("nmin"),
+        F.col("nstd")["d"].alias("nstd"),
     )
 
 
