@@ -54,11 +54,11 @@ _PRIORITY = [
     "geometric_kit_full", "pg_expr_forms",
     # LLM-pipeline operators
     "dedup_minhash_lsh_pairs",
-    "dedup_clusters", "dup_triangles",
-    "dedup_jaccard_pairs", "simhash_fingerprints", "text_stats",
+    "dedup_clusters",
+    "dedup_jaccard_pairs", "text_stats",
     "sim_topk_ivf",
     "embed_neardup_lsh",
-    "decontam_overlap", "sample_stratified",
+    "decontam_overlap",
     "pii_scrub",
     # temporal joins (as-of via union-tag window; bucketized range join)
     "asof_view_before_click", "interval_overlap_join",
@@ -76,12 +76,22 @@ _PRIORITY = [
     "kmeans_embeddings", "sim_topk_ivf_trained",
     "window_frames_extended", "deep_order_arrays",
     "vector_ops_topk", "network_ops",
+    # the three remaining round-8-NEW rows (same lesson as verdict #1:
+    # the newest surface gets driver-checked the round it lands):
+    # consolidated expression-operator forms, the corpus bigram-LM
+    # scorer, and the sliding-window streaming aggregation
+    "expr_operator_forms", "ngram_logprob_score", "stream_sliding_counts",
     # rotated OUT this round (still oracle-checked locally, shapes
     # driver-covered): lang_id/token_count/rolling_hash (pure-expression
-    # and JVM-regexp families stay via text_stats/pii_scrub/simhash),
+    # and JVM-regexp families stay via text_stats/pii_scrub),
+    # simhash_fingerprints (signature construction recurs inside
+    # dedup_minhash_lsh_pairs), dup_triangles (graph-analytics family
+    # stays via pagerank_dupgraph + dedup_clusters' CC),
+    # sample_stratified (pure md5 scan predicate),
     # repetition_stats (Gopher family stays via boilerplate_ngrams),
     # geometric_ops (geometric_kit_full stays), stream_sessionize (two
     # streaming rows stay)
+    "simhash_fingerprints", "dup_triangles", "sample_stratified",
     "lang_id_heuristic", "token_count_bpe", "rolling_hash_fingerprint",
     "repetition_stats", "geometric_ops", "stream_sessionize",
     # earlier rotations: dedup_exact_groups (md5-groupBy = stage 1 of
