@@ -105,14 +105,14 @@ class CypherEngine:
             return None
         ddl = _DDL_RE.match(text)
         if ddl:
-            verb, _, name, cascade = ddl.groups()
+            verb, if_not_exists, name, cascade = ddl.groups()
             verb = verb.upper()
             if verb == "CREATE":
-                self.catalog.create_graph(name)
+                self.catalog.create_graph(name, if_not_exists=bool(if_not_exists))
             elif verb == "USE":
                 self.catalog.use_graph(name)
             else:
-                self.catalog.drop_graph(name)
+                self.catalog.drop_graph(name, cascade=bool(cascade))
             return None
 
         q = parse(text)

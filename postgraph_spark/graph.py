@@ -678,7 +678,11 @@ class GraphCatalog:
         self.graphs: dict[str, Graph] = {}
         self.current: str | None = None
 
-    def create_graph(self, name: str, if_not_exists: bool = True) -> Graph:
+    def create_graph(self, name: str, if_not_exists: bool = False) -> Graph:
+        """create_graph / create_graph_if_not_exists
+        (graph_commands.c:60-96; old/regress/catalog.out:401-411): plain
+        create errors on a duplicate name; the IF NOT EXISTS form is
+        idempotent and returns the existing graph untouched."""
         if name in self.graphs:
             if if_not_exists:
                 return self.graphs[name]
@@ -701,8 +705,24 @@ class GraphCatalog:
         self.current = name
         return self.graphs[name]
 
-    def drop_graph(self, name: str, cascade: bool = True) -> None:
-        self.graphs.pop(name, None)
+    def drop_graph(self, name: str, cascade: bool = False) -> None:
+        """drop_graph (graph_commands.c; old/regress/catalog.out:69-84):
+        errors on a missing graph; without cascade errors because the
+        label tables always depend on the graph (even a fresh graph
+        carries _ag_label_vertex/_ag_label_edge); cascade drops the
+        graph and, for durable graphs, removes the backing directory."""
+        if name not in self.graphs:
+            raise ValueError(f"graph {name!r} does not exist")
+        g = self.graphs[name]
+        if not cascade:
+            deps = ", ".join(sorted(g.label_ids)) or "_ag_label_vertex, _ag_label_edge"
+            raise ValueError(
+                f"cannot drop graph {name} because other objects depend on it"
+                f" (labels: {deps}); use DROP GRAPH {name} CASCADE"
+            )
+        self.graphs.pop(name)
+        if g.durable_path and os.path.isdir(g.durable_path):
+            shutil.rmtree(g.durable_path)
         if self.current == name:
             self.current = None
 
