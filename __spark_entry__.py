@@ -55,7 +55,7 @@ _PRIORITY = [
     # LLM-pipeline operators
     "dedup_minhash_lsh_pairs",
     "dedup_clusters",
-    "dedup_jaccard_pairs", "text_stats",
+    "dedup_jaccard_pairs",
     "sim_topk_ivf",
     "embed_neardup_lsh",
     "decontam_overlap",
@@ -79,11 +79,14 @@ _PRIORITY = [
     # the three remaining round-8-NEW rows (same lesson as verdict #1:
     # the newest surface gets driver-checked the round it lands):
     # consolidated expression-operator forms, the corpus bigram-LM
-    # scorer, and the sliding-window streaming aggregation
+    # scorer, the sliding-window streaming aggregation, and corpus
+    # TF-IDF keyword extraction
     "expr_operator_forms", "ngram_logprob_score", "stream_sliding_counts",
+    "tfidf_top_terms",
     # rotated OUT this round (still oracle-checked locally, shapes
-    # driver-covered): lang_id/token_count/rolling_hash (pure-expression
-    # and JVM-regexp families stay via text_stats/pii_scrub),
+    # driver-covered): text_stats/lang_id/token_count/rolling_hash
+    # (pure-expression and JVM-regexp families stay via pii_scrub,
+    # boilerplate_ngrams, and the tokenizing corpus rows),
     # simhash_fingerprints (signature construction recurs inside
     # dedup_minhash_lsh_pairs), dup_triangles (graph-analytics family
     # stays via pagerank_dupgraph + dedup_clusters' CC),
@@ -92,6 +95,7 @@ _PRIORITY = [
     # geometric_ops (geometric_kit_full stays), stream_sessionize (two
     # streaming rows stay)
     "simhash_fingerprints", "dup_triangles", "sample_stratified",
+    "text_stats",
     "lang_id_heuristic", "token_count_bpe", "rolling_hash_fingerprint",
     "repetition_stats", "geometric_ops", "stream_sessionize",
     # earlier rotations: dedup_exact_groups (md5-groupBy = stage 1 of

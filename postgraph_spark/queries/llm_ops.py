@@ -1047,3 +1047,66 @@ def sim_topk_ivf_trained(spark, sf_dir):
     return SIM.ivf_topk(
         e.filter(F.col("vec_id") < 10), e, k=5, nlist=8, nprobe=2, iters=2
     )
+
+
+@register(
+    "tfidf_top_terms",
+    r"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+                  FROM documents),
+    w AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+    tf AS (SELECT doc_id, w, count(*) AS c FROM w WHERE w <> '' GROUP BY doc_id, w),
+    dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w,
+             round(tf.c * ln(CAST((SELECT n FROM n) AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (w))
+    SELECT doc_id, w AS term, CAST(rnk AS BIGINT) AS rnk, tfidf FROM (
+      SELECT doc_id, w, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, w ASC) AS rnk
+      FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Corpus TF-IDF keyword extraction — the classic curation/indexing
+    primitive (salient terms per document under the corpus's own
+    document frequencies): tfidf(d, w) = tf(d, w) * ln(N / df(w)),
+    top-3 terms per document.
+
+    Shape at 100 TB: tokenize+explode is map-side; tf is one partial
+    agg on (doc_id, term); df(w) re-aggregates tf's output on term
+    (the second and last shuffle over term-cardinality data, far
+    smaller than the corpus); the score join is term-keyed — AQE
+    broadcast-plans it when the vocabulary is small and skew-splits
+    hot stopword terms otherwise; top-k per doc is one window over the
+    doc-partitioned scores. N is the only driver scalar. Ordering ties
+    at 6-decimal tfidf break on the term, so the result is
+    deterministic across engines."""
+    docs = t(spark, sf_dir, "documents")
+    from postgraph_spark.operators.dedup import _spread
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    w = (
+        _spread(docs)
+        .select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    tf = w.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "w").select(
+        "doc_id",
+        "w",
+        F.round(F.col("c") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("w"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", F.col("w").alias("term"), "rnk", "tfidf")
+    )
