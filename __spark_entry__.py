@@ -60,8 +60,11 @@ _PRIORITY = [
     "embed_neardup_lsh",
     "decontam_overlap",
     "pii_scrub",
-    # temporal joins (as-of via union-tag window; bucketized range join)
-    "asof_view_before_click", "interval_overlap_join",
+    # temporal joins (as-of via union-tag window; the bucketized
+    # interval-join family's second row, interval_overlap_join, rotated
+    # out — stream_interval_join keeps the same bucket-grid shape under
+    # the driver oracle)
+    "asof_view_before_click",
     # the write path (DDL + CREATE/MERGE/SET/DELETE + durable reopen),
     # corpus boilerplate mining, the streaming interval join, and
     # pagerank — now under an EXACT DuckDB oracle (deterministic rounds
@@ -82,7 +85,7 @@ _PRIORITY = [
     # scorer, the sliding-window streaming aggregation, and corpus
     # TF-IDF keyword extraction
     "expr_operator_forms", "ngram_logprob_score", "stream_sliding_counts",
-    "tfidf_top_terms",
+    "tfidf_top_terms", "pq_quantize_embeddings",
     # rotated OUT this round (still oracle-checked locally, shapes
     # driver-covered): text_stats/lang_id/token_count/rolling_hash
     # (pure-expression and JVM-regexp families stay via pii_scrub,
@@ -95,7 +98,7 @@ _PRIORITY = [
     # geometric_ops (geometric_kit_full stays), stream_sessionize (two
     # streaming rows stay)
     "simhash_fingerprints", "dup_triangles", "sample_stratified",
-    "text_stats",
+    "text_stats", "interval_overlap_join",
     "lang_id_heuristic", "token_count_bpe", "rolling_hash_fingerprint",
     "repetition_stats", "geometric_ops", "stream_sessionize",
     # earlier rotations: dedup_exact_groups (md5-groupBy = stage 1 of

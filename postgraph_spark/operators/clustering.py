@@ -88,3 +88,63 @@ def kmeans(
         centroids = [got.get(i, centroids[i]) for i in range(k)]
         out = df.withColumn("cluster", assign_clusters(df, vec_col, centroids))
     return out, centroids
+
+
+def pq_codes(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Product quantization (PQ) — compress embeddings to m small codes
+    by running k-means independently in m disjoint subspaces (the
+    IVFPQ/Faiss layout; each dim-d vector becomes m code bytes plus a
+    shared m x ksub x (d/m) codebook).
+
+    Scale design (100 TB): training runs the kmeans() above once per
+    subspace on a SLICED projection (m is small and fixed; each
+    training round is one map-side-partial aggregation), and the
+    driver holds only the m codebooks. Encoding is then a SINGLE pure
+    projection over the input — every codebook travels as plan
+    literals, each code is a JVM struct-argmin fold over its slice,
+    and the reconstruction error is the running sum of the chosen
+    sub-distances. No join, no shuffle, no UDF anywhere.
+
+    Determinism matches kmeans(): smallest-id init per subspace,
+    left-to-right folds, lowest-index tie-breaks — so an engine
+    replaying the same rounds reproduces codes AND error bit-for-bit
+    (up to one final rounding)."""
+    first = df.select(F.size(F.col(vec_col)).alias("n")).filter(F.col("n") > 0).first()
+    if first is None:
+        raise ValueError(f"no non-empty vectors in {vec_col!r} to train PQ on")
+    dim = first["n"]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sub = dim // m
+
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        sliced = df.select(
+            id_col, F.slice(F.col(vec_col), j * sub + 1, sub).alias("__subv")
+        )
+        _, cents = kmeans(sliced, "__subv", id_col, k=ksub, iters=iters)
+        codebooks.append(cents)
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cols = [F.col(id_col)]
+    err = F.lit(0.0)
+    for j, cents in enumerate(codebooks):
+        sv = F.slice(v, j * sub + 1, sub)
+        cands = F.array(
+            *[
+                F.struct(_sq_dist(sv, c).alias("d"), F.lit(i).alias("i"))
+                for i, c in enumerate(cents)
+            ]
+        )
+        best = F.array_min(cands)
+        cols.append(best["i"].cast("long").alias(f"code{j}"))
+        err = err + best["d"]
+    cols.append(F.round(err, 6).alias("recon_err"))
+    return df.select(*cols)

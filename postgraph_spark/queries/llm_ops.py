@@ -1110,3 +1110,65 @@ def tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("doc_id", F.col("w").alias("term"), "rnk", "tfidf")
     )
+
+
+def _pq_oracle(m: int = 4, dim: int = 64, ksub: int = 8) -> str:
+    """DuckDB oracle for pq_quantize_embeddings: replays pq_codes'
+    deterministic training (smallest-id init, one Lloyd update, final
+    assign) independently per subspace as CTEs — the kmeans_embeddings
+    technique, m times over vector slices."""
+    sub = dim // m
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings)"
+    ]
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        ctes.append(f"s{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e)")
+        ctes.append(
+            f"c{j}0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv"
+            f" FROM s{j} ORDER BY vec_id LIMIT {ksub})"
+        )
+        for r, (src, cent) in enumerate([(f"s{j}", f"c{j}0"), (f"s{j}", f"c{j}1")], 1):
+            ctes.append(
+                f"d{j}{r} AS (SELECT t.vec_id, cc.c,"
+                f" list_sum(list_transform(list_zip(t.v, cc.cv),"
+                f" x -> (x[1]-x[2])*(x[1]-x[2]))) AS dist"
+                f" FROM {src} t CROSS JOIN {cent} cc)"
+            )
+            ctes.append(
+                f"a{j}{r} AS (SELECT vec_id, min(c) AS c, min(dist) AS d FROM ("
+                f" SELECT vec_id, c, dist, min(dist) OVER (PARTITION BY vec_id) AS md"
+                f" FROM d{j}{r}) WHERE dist = md GROUP BY vec_id)"
+            )
+            if r == 1:
+                ctes.append(
+                    f"c{j}1 AS (SELECT c, list(m ORDER BY i) AS cv FROM ("
+                    f" SELECT a.c, t.i, avg(s.v[t.i + 1]) AS m"
+                    f" FROM a{j}1 a JOIN s{j} s USING (vec_id)"
+                    f" CROSS JOIN range({sub}) t(i) GROUP BY a.c, t.i) GROUP BY c)"
+                )
+    codes = ", ".join(f"a{j}2.c AS code{j}" for j in range(m))
+    errsum = "a02.d"
+    for j in range(1, m):
+        errsum = f"({errsum} + a{j}2.d)"
+    joins = " ".join(f"JOIN a{j}2 ON a{j}2.vec_id = e.vec_id" for j in range(m))
+    return (
+        "WITH " + ", ".join(ctes) + f" SELECT e.vec_id, {codes},"
+        f" round({errsum}, 6) AS recon_err FROM e {joins}"
+    )
+
+
+@register("pq_quantize_embeddings", _pq_oracle())
+def pq_quantize_embeddings(spark, sf_dir):
+    """Product-quantization embedding compression (operators/
+    clustering.pq_codes — the Faiss/IVFPQ layout): 64-dim vectors ->
+    4 codes from per-subspace k-means codebooks (ksub=8, 2 assignment
+    rounds), plus the reconstruction error. Training aggregates once
+    per subspace per round; encoding is one pure projection with the
+    codebooks as plan literals — no join, no shuffle, no UDF. The
+    oracle replays the identical training per subspace as DuckDB CTEs."""
+    from postgraph_spark.operators.clustering import pq_codes
+
+    e = t(spark, sf_dir, "embeddings")
+    return pq_codes(e, "embedding", "vec_id", m=4, ksub=8, iters=2)

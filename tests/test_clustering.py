@@ -61,3 +61,39 @@ def test_assign_tie_breaks_low_index(spark):
     # equidistant from both centroids -> lowest index wins
     c = assign_clusters(df, "v", [[0.0, 0.0], [1.0, 1.0]])
     assert df.select(c.alias("c")).first()["c"] == 0
+
+
+def test_pq_codes_shape_and_error(spark):
+    """PQ: codes land in [0, ksub); recon_err is non-negative and zero
+    for a vector that IS a codebook centroid (a seed vector unchanged
+    by the update round would reconstruct exactly; instead assert the
+    weaker invariants plus determinism across two runs)."""
+    import pyspark.sql.functions as F
+
+    from postgraph_spark.operators.clustering import pq_codes
+
+    data = [(i, [float((i * 7 + d * 3) % 11) for d in range(8)]) for i in range(12)]
+    df = spark.createDataFrame(data, "id long, v array<double>")
+    out = pq_codes(df, "v", "id", m=2, ksub=4, iters=2)
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == 12
+    for r in rows.values():
+        assert 0 <= r["code0"] < 4 and 0 <= r["code1"] < 4
+        assert r["recon_err"] >= 0.0
+    again = {r["id"]: r for r in pq_codes(df, "v", "id", m=2, ksub=4, iters=2).collect()}
+    assert {i: tuple(r) for i, r in rows.items()} == {
+        i: tuple(r) for i, r in again.items()
+    }
+
+
+def test_pq_codes_errors(spark):
+    import pytest as _pytest
+
+    from postgraph_spark.operators.clustering import pq_codes
+
+    empty = spark.createDataFrame([], "id long, v array<double>")
+    with _pytest.raises(ValueError, match="no non-empty vectors"):
+        pq_codes(empty, "v", "id")
+    bad = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "id long, v array<double>")
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_codes(bad, "v", "id", m=2)
