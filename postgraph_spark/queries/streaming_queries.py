@@ -131,3 +131,23 @@ def stream_sliding_counts(spark, sf_dir):
         "user_id",
         "n_events",
     )
+
+
+@register(
+    "stream_dedup_events",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_events(spark, sf_dir):
+    """Watermarked streaming dedup (streaming/ops.py stream_dedup —
+    dropDuplicates with watermark-expired key state). Batch form of the
+    same plan is exact DISTINCT on the dedup key, which is what the
+    oracle checks; the streaming-only property (duplicates arriving in
+    later micro-batches are dropped while state expires past the
+    watermark) is pinned by tests/test_streaming.py:test_stream_dedup.
+    Keyed state hash-partitions across executors; watermark bounds it."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    return S.stream_dedup(ev, keys=["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
