@@ -444,12 +444,15 @@ def ngram_logprob_score(spark, sf_dir):
     """Corpus bigram language-model scoring (the KenLM-style perplexity
     proxy a curation pipeline uses to rank fluency): per document, the
     average add-1-smoothed log2 P(w_i | w_{i-1}) under the corpus's own
-    bigram counts. Shape at 100 TB: one bigram-count shuffle + one
-    context-count shuffle build the model; scoring is two equi-joins on
-    (bigram) / (context) — broadcastable when the vocabulary is small,
-    AQE skew-splits the hot stopword-context keys otherwise; one final
-    per-doc partial agg. The vocabulary size (the smoothing constant) is
-    the only driver-side scalar."""
+    bigram counts. Shape at 100 TB: ONE bigram-count shuffle builds the
+    model — the context counts re-aggregate the bigram counts
+    (c1(w1) = sum of c2 over that context's bigrams, identical integers
+    at vocabulary cardinality, so the corpus is NOT re-tokenized for
+    them); scoring is two equi-joins on (bigram) / (context) —
+    broadcastable when the vocabulary is small, AQE skew-splits the hot
+    stopword-context keys otherwise; one final per-doc partial agg. The
+    vocabulary size (the smoothing constant) is the only driver-side
+    scalar."""
     docs = t(spark, sf_dir, "documents")
     from postgraph_spark.operators.dedup import _spread
 
@@ -457,7 +460,11 @@ def ngram_logprob_score(spark, sf_dir):
     bg = _spread(docs).select("doc_id", F.explode(TX.shingles(toks, 2)).alias("g"))
     bg = bg.withColumn("w1", F.substring_index("g", " ", 1))
     bgc = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
-    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    ctx = (
+        bgc.withColumn("w1", F.substring_index("g", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("c2").alias("c1"))
+    )
     vocab = (
         docs.select(F.explode(TX.tokens(F.col("text"))).alias("w")).distinct().count()
     )
