@@ -182,3 +182,34 @@ def inet_same_family(a: pd.Series, b: pd.Series) -> pd.Series:
             return None
 
     return pd.Series([safe(x, y) for x, y in zip(a, b)])
+
+
+@pandas_udf(T.StringType())
+def inet_merge(a: pd.Series, b: pd.Series) -> pd.Series:
+    """inet_merge(inet, inet) -> cidr — the smallest network containing
+    both (gtype_network.c:103-113 -> PG inet_merge). PG errors on a
+    family mismatch; the kit's 3VL convention is null, as for
+    unparseable input."""
+    import ipaddress
+
+    def safe(x, y):
+        if x is None or y is None:
+            return None
+        try:
+            na = ipaddress.ip_interface(x).network
+            nb = ipaddress.ip_interface(y).network
+        except ValueError:
+            return None
+        if na.version != nb.version:
+            return None
+        # walk the prefix down from the shorter of the two until the
+        # truncated network addresses agree
+        bits = na.network_address.max_prefixlen
+        pa, pb = int(na.network_address), int(nb.network_address)
+        pref = min(na.prefixlen, nb.prefixlen)
+        while pref > 0 and (pa >> (bits - pref)) != (pb >> (bits - pref)):
+            pref -= 1
+        base = ((pa >> (bits - pref)) << (bits - pref)) if pref else 0
+        return str(ipaddress.ip_network((base, pref)))
+
+    return pd.Series([safe(x, y) for x, y in zip(a, b)])

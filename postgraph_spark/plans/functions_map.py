@@ -295,10 +295,30 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
         "sin": F.sin, "cos": F.cos, "tan": F.tan, "cot": F.cot,
         "asin": F.asin, "acos": F.acos, "atan": F.atan,
         "sinh": F.sinh, "cosh": F.cosh, "tanh": F.tanh,
+        "asinh": F.asinh, "acosh": F.acosh, "atanh": F.atanh,
         "degrees": F.degrees, "radians": F.radians, "cbrt": F.cbrt,
     }
     if name in simple:
         return _num1(ctx, simple[name])
+    if name in ("gcd", "lcm"):
+        # gtype_numbers.c:142-194 — int pair = exact int64 path, any
+        # float operand = exact decimal Euclid (numeric path); numeric
+        # STRINGS coerce like the reference's convert_to_scalar
+        # (expr.out:2258-2262 gcd('10', 5) = 5)
+        from postgraph_spark.functions import numbers as NUM
+
+        a, b = ctx.gv(0), ctx.gv(1)
+
+        def eff(g):
+            i = F.coalesce(g["i"], F.when(g["t"] == G.T_STRING, g["s"].cast("long")))
+            d = F.coalesce(g["d"], F.when(g["t"] == G.T_STRING, g["s"].cast("double")))
+            return i, d
+
+        ai, ad = eff(a)
+        bi, bd = eff(b)
+        fn = NUM.gcd_num if name == "gcd" else NUM.lcm_num
+        out = fn(ai, ad, bi, bd)
+        return G.gv_num(i=out["i"], d=out["d"])
     if name == "abs":
         a = ctx.gv(0)
         num = a["t"] == G.T_NUMBER
@@ -735,6 +755,44 @@ def compile_scalar_function(compiler, e: A.FuncCall, df, scope) -> Column:
         return C.range_contains_elem(ctx.gv(0), ctx.gv(1))
 
     # ---- network kit by Cypher name (gtype_network.c, 13 fns) ----
+    if name == "trunc":
+        # gtype_trunc (gtype_network.c:180-198): macaddr zeroes its last
+        # 3 bytes, macaddr8 its last 5 — pure JVM over the canonical hex
+        from postgraph_spark.functions.casts import _mac_fmt, _mac_hex
+
+        a = ctx.gv(0)
+        hx = _mac_hex(F.when(a["t"] == G.T_STRING, a["s"]))
+        out = F.when(
+            F.length(hx) == 12, _mac_fmt(F.concat(hx.substr(1, 6), F.lit("000000")), 6)
+        ).when(
+            F.length(hx) == 16,
+            _mac_fmt(F.concat(hx.substr(1, 6), F.lit("0000000000")), 8),
+        )
+        return G.gv_str(out)
+    if name == "macaddr8_set7bit":
+        # gtype_macaddr8_set7bit (gtype_network.c:201-211 -> PG
+        # macaddr8_set7bit): first byte |= 0x02 (modified EUI-64); a
+        # 6-byte macaddr widens through the fffe midsection first
+        from postgraph_spark.functions.casts import _mac_fmt, _mac_hex
+
+        a = ctx.gv(0)
+        hx = _mac_hex(F.when(a["t"] == G.T_STRING, a["s"]))
+        hx8 = F.when(F.length(hx) == 16, hx).when(
+            F.length(hx) == 12, F.concat(hx.substr(1, 6), F.lit("fffe"), hx.substr(7, 6))
+        )
+        b0 = F.conv(hx8.substr(1, 2), 16, 10).cast("long").bitwiseOR(F.lit(2))
+        b0x = F.lpad(F.lower(F.conv(b0.cast("string"), 10, 16)), 2, "0")
+        return G.gv_str(F.when(hx8.isNotNull(), _mac_fmt(F.concat(b0x, hx8.substr(3, 14)), 8)))
+    if name == "inet_merge":
+        from postgraph_spark.functions import network as NET
+
+        a, b = ctx.gv(0), ctx.gv(1)
+        return G.gv_str(
+            NET.inet_merge(
+                F.when(a["t"] == G.T_STRING, a["s"]),
+                F.when(b["t"] == G.T_STRING, b["s"]),
+            )
+        )
     if name in _NET_FNS:
         from postgraph_spark.functions import network as NET
 

@@ -174,3 +174,76 @@ def test_subnet_contains(spark):
     )
     got = [r[0] for r in df.select(NET.subnet_contains("net", "addr")).collect()]
     assert got == [True, False, False]
+
+
+@pytest.fixture(scope="module")
+def kit_engine(spark):
+    from postgraph_spark.engine import CypherEngine
+
+    e = CypherEngine(spark)
+    e.execute("CREATE GRAPH fkit")
+    e.execute("USE GRAPH fkit")
+    return e
+
+
+def test_inverse_hyperbolics(kit_engine):
+    """expr.out:1937-1998 — asinh/acosh/atanh goldens. The reference
+    ERRORS on out-of-domain input (acosh(0), atanh(pi)); the float-math
+    analog here is NaN (the non-error engine convention)."""
+    e = kit_engine
+    assert e.fetch_values("RETURN asinh(3.1415)")[0] == pytest.approx(
+        1.86226763975997, abs=1e-12
+    )
+    assert e.fetch_values("RETURN asinh(0)") == [0.0]
+    assert e.fetch_values("RETURN asinh(1)")[0] == pytest.approx(
+        0.881373587019543, abs=1e-12
+    )
+    assert e.fetch_values("RETURN acosh(3.1415)")[0] == pytest.approx(
+        1.81149516122582, abs=1e-12
+    )
+    assert e.fetch_values("RETURN acosh(1)") == [0.0]
+    assert math.isnan(e.fetch_values("RETURN acosh(0)")[0])  # ref: error
+    assert e.fetch_values("RETURN atanh(0)") == [0.0]
+    assert e.fetch_values("RETURN atanh(1)") == [float("inf")]
+    assert math.isnan(e.fetch_values("RETURN atanh(3.1415)")[0])  # ref: error
+
+
+def test_gcd_lcm(kit_engine):
+    """expr.out:2233-2269 — gcd/lcm goldens: exact int64 path for int
+    pairs, numeric (exact decimal) path when a float joins in, numeric
+    strings coerce (gcd('10', 5) = 5)."""
+    e = kit_engine
+    assert e.fetch_values("RETURN gcd(10, 5)") == [5]
+    assert e.fetch_values("RETURN gcd(10.0, 5.0)") == [5.0]
+    assert e.fetch_values("RETURN gcd(10.0, 5)") == [5.0]
+    assert e.fetch_values("RETURN gcd('10', 5)") == [5]
+    assert e.fetch_values("RETURN lcm(10, 5)") == [10]
+    assert e.fetch_values("RETURN gcd(0, 0)") == [0]
+    assert e.fetch_values("RETURN gcd(-12, 18)") == [6]
+    assert e.fetch_values("RETURN gcd(1.5, 0.5)") == [0.5]
+    assert e.fetch_values("RETURN lcm(4, 6)") == [12]
+    assert e.fetch_values("RETURN lcm(0, 5)") == [0]
+
+
+def test_mac_trunc_set7bit_inet_merge(kit_engine):
+    """network.out:869-1085 — trunc (macaddr zeroes last 3 bytes,
+    macaddr8 last 5), macaddr8_set7bit (first byte |= 0x02, 6-byte
+    input widens through fffe), inet_merge (smallest containing cidr)."""
+    e = kit_engine
+    assert e.fetch_values("RETURN trunc(tomacaddr('12:34:56:78:90:ab'))") == [
+        "12:34:56:00:00:00"
+    ]
+    assert e.fetch_values("RETURN trunc(tomacaddr8('12:34:56:78:90:ab:cd:ef'))") == [
+        "12:34:56:00:00:00:00:00"
+    ]
+    assert e.fetch_values(
+        "RETURN macaddr8_set7bit(tomacaddr8('12:34:56:78:90:ab:cd:ef'))"
+    ) == ["12:34:56:78:90:ab:cd:ef"]
+    assert e.fetch_values(
+        "RETURN macaddr8_set7bit(tomacaddr8('00:34:56:ab:cd:ef'))"
+    ) == ["02:34:56:ff:fe:ab:cd:ef"]
+    assert e.fetch_values(
+        "RETURN inet_merge('192.168.1.5/24', '192.168.2.5/24')"
+    ) == ["192.168.0.0/22"]
+    # family mismatch: PG errors; kit convention is null
+    assert e.fetch_values("RETURN inet_merge('192.168.1.5/24', '::1')") == [None]
