@@ -45,18 +45,22 @@ _PRIORITY = [
     "cypher_with_orderby_limit", "cypher_temporal_funcs",
     "cypher_named_paths", "cypher_window_topn", "cypher_group_having",
     "cypher_quantified", "cypher_grouping_sets",
-    # multimodal + streaming
+    # multimodal + streaming (tumbling counts rotated out — the sliding
+    # row strictly covers the tumbling shape; dedup-by-watermark and the
+    # interval join keep three streaming rows under the oracle)
     "multimodal_meta",
-    "stream_windowed_counts",
+    "stream_dedup_events",
     # function kits
     "vector_distance_funcs", "json_containment_ops",
     "tsearch_match", "range_ops",
     "geometric_kit_full", "pg_expr_forms",
-    # LLM-pipeline operators
+    # LLM-pipeline operators (sim_topk_ivf rotated out: the TRAINED
+    # variant below plus the new IVF-PQ row strictly cover the
+    # probe-join shape)
     "dedup_minhash_lsh_pairs",
     "dedup_clusters",
     "dedup_jaccard_pairs",
-    "sim_topk_ivf",
+    "ivfpq_adc_topk",
     "embed_neardup_lsh",
     "decontam_overlap",
     "pii_scrub",
@@ -66,10 +70,12 @@ _PRIORITY = [
     # the driver oracle)
     "asof_view_before_click",
     # the write path (DDL + CREATE/MERGE/SET/DELETE + durable reopen),
-    # corpus boilerplate mining, the streaming interval join, and
-    # pagerank — now under an EXACT DuckDB oracle (deterministic rounds
-    # replayed as CTEs, round-7 verdict #1)
-    "cypher_write_roundtrip", "boilerplate_ngrams",
+    # the cross-doc duplicate-n-gram quality signal (boilerplate_ngrams
+    # rotated out — same explode+count+join family, this one adds the
+    # per-doc re-join), the streaming interval join, and pagerank —
+    # under an EXACT DuckDB oracle (deterministic rounds replayed as
+    # CTEs, round-7 verdict #1)
+    "cypher_write_roundtrip", "dup_ngram_fraction",
     "stream_interval_join", "pagerank_dupgraph",
     # round-8 prefix rotation (round-7 verdict #1): the four round-7
     # flagship rows move INTO the 50-row prefix for their first external
@@ -79,12 +85,13 @@ _PRIORITY = [
     "kmeans_embeddings", "sim_topk_ivf_trained",
     "window_frames_extended", "deep_order_arrays",
     "vector_ops_topk", "network_ops",
-    # the three remaining round-8-NEW rows (same lesson as verdict #1:
-    # the newest surface gets driver-checked the round it lands):
-    # consolidated expression-operator forms, the corpus bigram-LM
-    # scorer, the sliding-window streaming aggregation, and corpus
-    # TF-IDF keyword extraction
-    "expr_operator_forms", "ngram_logprob_score", "stream_sliding_counts",
+    # the remaining round-8-NEW rows (same lesson as verdict #1: the
+    # newest surface gets driver-checked the round it lands):
+    # consolidated expression-operator forms, CCNet-style perplexity
+    # bucketing (its oracle REPLAYS the whole ngram_logprob_score
+    # pipeline, so that row rotates out covered), the sliding-window
+    # streaming aggregation, corpus TF-IDF, and PQ compression
+    "expr_operator_forms", "perplexity_buckets", "stream_sliding_counts",
     "tfidf_top_terms", "pq_quantize_embeddings",
     # rotated OUT this round (still oracle-checked locally, shapes
     # driver-covered): text_stats/lang_id/token_count/rolling_hash
@@ -101,6 +108,8 @@ _PRIORITY = [
     "text_stats", "interval_overlap_join",
     "lang_id_heuristic", "token_count_bpe", "rolling_hash_fingerprint",
     "repetition_stats", "geometric_ops", "stream_sessionize",
+    "sim_topk_ivf", "boilerplate_ngrams", "ngram_logprob_score",
+    "stream_windowed_counts",
     # earlier rotations: dedup_exact_groups (md5-groupBy = stage 1 of
     # dedup_clusters), sim_topk_cosine / embed_neardup_pairs (the
     # IVF/LSH variants stay in), network funcs + kit funcs

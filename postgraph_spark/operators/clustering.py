@@ -110,32 +110,17 @@ def kmeans(
     return out, centroids
 
 
-def pq_codes(
+def pq_train(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     m: int = 4,
     ksub: int = 8,
     iters: int = 2,
-) -> DataFrame:
-    """Product quantization (PQ) — compress embeddings to m small codes
-    by running k-means independently in m disjoint subspaces (the
-    IVFPQ/Faiss layout; each dim-d vector becomes m code bytes plus a
-    shared m x ksub x (d/m) codebook).
-
-    Scale design (100 TB): training runs the kmeans() above once per
-    subspace on a SLICED projection (m is small and fixed; each
-    training round is one map-side-partial aggregation), and the
-    driver holds only the m codebooks. Encoding is then a SINGLE pure
-    projection over the input — every codebook travels as plan
-    literals, each code is a JVM struct-argmin fold over its slice,
-    and the reconstruction error is the running sum of the chosen
-    sub-distances. No join, no shuffle, no UDF anywhere.
-
-    Determinism matches kmeans(): smallest-id init per subspace,
-    left-to-right folds, lowest-index tie-breaks — so an engine
-    replaying the same rounds reproduces codes AND error bit-for-bit
-    (up to one final rounding).
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: k-means independently in m
+    disjoint subspaces (the Faiss/IVFPQ layout). Returns the m x ksub x
+    (dim/m) codebook matrix; see pq_codes for the full scale notes.
 
     Driver-job economy: the m trainings share ONE seed collect (the
     first ksub vectors by id, sliced locally into per-subspace seeds)
@@ -195,6 +180,37 @@ def pq_codes(
         codebooks = [
             [got.get((j, i), codebooks[j][i]) for i in range(ksub)] for j in range(m)
         ]
+    return codebooks
+
+
+def pq_codes(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Product quantization (PQ) — compress embeddings to m small codes
+    by running k-means independently in m disjoint subspaces (the
+    IVFPQ/Faiss layout; each dim-d vector becomes m code bytes plus a
+    shared m x ksub x (d/m) codebook).
+
+    Scale design (100 TB): training (pq_train) runs k-means once per
+    subspace on a SLICED projection (m is small and fixed; each
+    training round is one map-side-partial aggregation), and the
+    driver holds only the m codebooks. Encoding is then a SINGLE pure
+    projection over the input — every codebook travels as plan
+    literals, each code is a JVM struct-argmin fold over its slice,
+    and the reconstruction error is the running sum of the chosen
+    sub-distances. No join, no shuffle, no UDF anywhere.
+
+    Determinism matches kmeans(): smallest-id init per subspace,
+    left-to-right folds, lowest-index tie-breaks — so an engine
+    replaying the same rounds reproduces codes AND error bit-for-bit
+    (up to one final rounding)."""
+    codebooks = pq_train(df, vec_col, id_col, m=m, ksub=ksub, iters=iters)
+    sub = len(codebooks[0][0])
 
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cols = [F.col(id_col)]

@@ -308,3 +308,119 @@ def ivf_topk(
     )
     w = W.partitionBy("q").orderBy(F.col("sim").desc(), F.col("n"))
     return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+# -- IVF-PQ: coarse quantizer + product-quantized ADC scoring ---------------
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    max_broadcast_queries: int = 100_000,
+) -> DataFrame:
+    """IVF-PQ approximate nearest neighbor — the Faiss IVFPQ layout, the
+    ANN configuration that actually survives 100 TB: a trained coarse
+    quantizer prunes the corpus to nprobe inverted lists, and candidate
+    scoring reads ONLY m small PQ codes per row via asymmetric distance
+    computation (ADC: Jegou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011) — the full vectors are never touched
+    after the one-time encode.
+
+    Scale design:
+    - Encode (one-time, amortized like an index build — the batch analog
+      of the reference's IVF build, src/backend/access/ivfflat): one pure
+      projection emits (id, list, code0..code{m-1}); the codes table is
+      dim*4/m-fold smaller than the vectors (64-dim float -> 4 longs).
+    - Query: each query computes its own ADC lookup table as a plan-side
+      expression — per subspace, an array of ksub distances
+      ||q_sub - codebook[j][c]||^2 with the codebooks as literals. The
+      LUT columns are m arrays of ksub doubles per query row.
+    - Candidates: equi-join on list id (broadcast when the query set is
+      small, limit-probe-guarded); score = element_at(lut_j, code_j)
+      summed left-to-right — integer array indexing, no vector math in
+      the join. The recall dials are nprobe and m/ksub, never an
+      all-pairs pass.
+
+    Simplification vs Faiss: codes quantize the RAW vectors, not the
+    residual (v - coarse_centroid), so the LUT is list-independent and
+    each query computes it once. Residual encoding would make the LUT a
+    per-(query, probed-list) expression — same shape, m*nprobe arrays.
+
+    Determinism: both trainings are kmeans()/pq_train() (smallest-id
+    init, left-to-right folds, lowest-index ties); LUT entries fold
+    left-to-right; ADC adds subspace terms 0..m-1 in order; ties in the
+    top-k break on the neighbor id — a SQL oracle replaying the same
+    rounds reproduces every row bit-for-bit (up to one final rounding).
+    """
+    from postgraph_spark.operators.clustering import (
+        _argmin_dist,
+        _sq_dist,
+        kmeans,
+        pq_train,
+    )
+
+    assigned, cents = kmeans(corpus, vec_col, id_col, k=nlist, iters=iters)
+    codebooks = pq_train(corpus, vec_col, id_col, m=m, ksub=ksub, iters=iters)
+    sub = len(codebooks[0][0])
+
+    # corpus -> (n, list, code0..code{m-1}): ONE pure projection
+    v = _d(F.col(vec_col))
+    code_cols = [
+        _argmin_dist(F.slice(v, j * sub + 1, sub), cb)["i"].cast("int").alias(f"code{j}")
+        for j, cb in enumerate(codebooks)
+    ]
+    codes = assigned.select(
+        F.col(id_col).alias("n"), F.col("cluster").alias("list"), *code_cols
+    )
+
+    # query -> (q, list, lut0..lut{m-1}): probe lists + per-subspace ADC LUTs
+    cand = F.array(
+        *[
+            F.struct(_sq_dist(v, c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(cents)
+        ]
+    )
+    probe_lists = F.transform(F.slice(F.array_sort(cand), 1, nprobe), lambda s: s["i"])
+    def _lut(cb: list[list[float]], qsub: Column) -> Column:
+        # NOTE: the inner lambda must take exactly ONE arg — a two-arg
+        # lambda is PySpark's (element, index) form, which would bind a
+        # captured default to the index
+        cbmat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cb])
+        return F.transform(
+            cbmat,
+            lambda cv: F.aggregate(
+                F.zip_with(qsub, cv, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, val: acc + val,
+            ),
+        )
+
+    lut_cols = [
+        _lut(cb, F.slice(v, j * sub + 1, sub)).alias(f"lut{j}")
+        for j, cb in enumerate(codebooks)
+    ]
+    q = queries.select(
+        F.col(id_col).alias("q"),
+        F.explode(probe_lists).alias("list"),
+        *lut_cols,
+    )
+
+    small = queries.limit(max_broadcast_queries + 1).count() <= max_broadcast_queries
+    adc = F.lit(0.0)
+    for j in range(m):
+        adc = adc + F.element_at(F.col(f"lut{j}"), F.col(f"code{j}") + 1)
+    scored = (
+        codes.join(F.broadcast(q) if small else q, ["list"])
+        .filter(F.col("q") != F.col("n"))
+        .select("q", "n", F.round(adc, 6).alias("adc"))
+    )
+    w = W.partitionBy("q").orderBy(F.col("adc").asc(), F.col("n"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -1179,3 +1179,255 @@ def pq_quantize_embeddings(spark, sf_dir):
 
     e = t(spark, sf_dir, "embeddings")
     return pq_codes(e, "embedding", "vec_id", m=4, ksub=8, iters=2)
+
+
+def _ivfpq_oracle(
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    ksub: int = 8,
+    dim: int = 64,
+    k: int = 5,
+    n_queries: int = 10,
+) -> str:
+    """DuckDB oracle for ivfpq_adc_topk: replays BOTH deterministic
+    trainings as CTEs — the coarse k-means (sim_topk_ivf_trained's
+    CTEs verbatim) and the per-subspace PQ codebooks (_pq_oracle's) —
+    then scores candidates the ADC way: each neighbor contributes only
+    its m codes, each code looks up the squared distance between the
+    query's subvector and that codebook centroid, summed left-to-right
+    exactly like the Spark plan's element_at chain."""
+    sub = dim // m
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings)",
+        # coarse quantizer: 2 assignment rounds, smallest-id init
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv"
+        f" FROM e ORDER BY vec_id LIMIT {nlist})",
+        "d1 AS (SELECT e.vec_id, c0.c,"
+        " list_sum(list_transform(list_zip(e.v, c0.cv),"
+        " x -> (x[1]-x[2])*(x[1]-x[2]))) AS dist FROM e CROSS JOIN c0)",
+        "a1 AS (SELECT vec_id, min(c) AS c FROM ("
+        " SELECT vec_id, c, dist, min(dist) OVER (PARTITION BY vec_id) AS md FROM d1)"
+        " WHERE dist = md GROUP BY vec_id)",
+        f"c1 AS (SELECT c, list(m ORDER BY i) AS cv FROM ("
+        f" SELECT a1.c, t.i, avg(e.v[t.i + 1]) AS m"
+        f" FROM a1 JOIN e USING (vec_id) CROSS JOIN range({dim}) t(i)"
+        f" GROUP BY a1.c, t.i) GROUP BY c)",
+        "d2 AS (SELECT e.vec_id, c1.c,"
+        " list_sum(list_transform(list_zip(e.v, c1.cv),"
+        " x -> (x[1]-x[2])*(x[1]-x[2]))) AS dist FROM e CROSS JOIN c1)",
+        "lists AS (SELECT vec_id, min(c) AS list FROM ("
+        " SELECT vec_id, c, dist, min(dist) OVER (PARTITION BY vec_id) AS md FROM d2)"
+        " WHERE dist = md GROUP BY vec_id)",
+        f"probes AS (SELECT vec_id AS q, c AS list FROM ("
+        f" SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c)"
+        f" AS pr FROM d2 WHERE vec_id < {n_queries}) WHERE pr <= {nprobe})",
+    ]
+    # PQ codebooks + final codes, independently per subspace (the
+    # _pq_oracle CTE block: init -> one Lloyd update -> final assign)
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        ctes.append(f"s{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e)")
+        ctes.append(
+            f"c{j}0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv"
+            f" FROM s{j} ORDER BY vec_id LIMIT {ksub})"
+        )
+        for r, cent in ((1, f"c{j}0"), (2, f"c{j}1")):
+            ctes.append(
+                f"d{j}{r}p AS (SELECT t.vec_id, cc.c,"
+                f" list_sum(list_transform(list_zip(t.v, cc.cv),"
+                f" x -> (x[1]-x[2])*(x[1]-x[2]))) AS dist"
+                f" FROM s{j} t CROSS JOIN {cent} cc)"
+            )
+            ctes.append(
+                f"a{j}{r}p AS (SELECT vec_id, min(c) AS c FROM ("
+                f" SELECT vec_id, c, dist, min(dist) OVER (PARTITION BY vec_id) AS md"
+                f" FROM d{j}{r}p) WHERE dist = md GROUP BY vec_id)"
+            )
+            if r == 1:
+                ctes.append(
+                    f"c{j}1 AS (SELECT c, list(m ORDER BY i) AS cv FROM ("
+                    f" SELECT a.c, t.i, avg(s.v[t.i + 1]) AS m"
+                    f" FROM a{j}1p a JOIN s{j} s USING (vec_id)"
+                    f" CROSS JOIN range({sub}) t(i) GROUP BY a.c, t.i) GROUP BY c)"
+                )
+    # ADC: per subspace, the squared distance between the query's
+    # subvector and the centroid the neighbor's code names
+    dists = []
+    joins = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        joins.append(f"JOIN a{j}2p ON a{j}2p.vec_id = l.vec_id")
+        joins.append(f"JOIN c{j}1 cb{j} ON cb{j}.c = a{j}2p.c")
+        dists.append(
+            f"list_sum(list_transform(list_zip(qe.v[{lo}:{hi}], cb{j}.cv),"
+            f" x -> (x[1]-x[2])*(x[1]-x[2])))"
+        )
+    adc = dists[0]
+    for d in dists[1:]:
+        adc = f"({adc} + {d})"
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f""",
+    sims AS (
+      SELECT p.q, l.vec_id AS n, round({adc}, 6) AS adc
+      FROM probes p
+      JOIN lists l ON l.list = p.list
+      {' '.join(joins)}
+      JOIN e qe ON qe.vec_id = p.q
+      WHERE l.vec_id <> p.q)
+    SELECT q, n, adc, rn FROM (
+      SELECT q, n, adc, row_number() OVER (PARTITION BY q ORDER BY adc, n) AS rn
+      FROM sims)
+    WHERE rn <= {k}
+    """
+    )
+
+
+@register("ivfpq_adc_topk", _ivfpq_oracle())
+def ivfpq_adc_topk(spark, sf_dir):
+    """IVF-PQ approximate nearest neighbor (operators/similarity.
+    ivfpq_topk — the Faiss IVFPQ layout; reference coarse path:
+    src/backend/access/ivfflat): a trained nlist=8 coarse quantizer
+    prunes each query (vec_id < 10) to its nprobe=2 inverted lists, and
+    candidates are scored from their m=4 PQ codes alone via asymmetric
+    distance computation — the query carries per-subspace lookup tables
+    (codebooks as plan literals), the join reads no vectors. This is
+    the ANN configuration that holds at 100 TB: the scan side touches a
+    codes table ~16x smaller than the embeddings. The oracle replays
+    both deterministic trainings (coarse + per-subspace PQ) as CTEs and
+    re-derives every ADC value bit-for-bit."""
+    e = t(spark, sf_dir, "embeddings")
+    return SIM.ivfpq_topk(
+        e.filter(F.col("vec_id") < 10), e,
+        k=5, nlist=8, nprobe=2, m=4, ksub=8, iters=2,
+    )
+
+
+@register(
+    "dup_ngram_fraction",
+    f"""
+    WITH {_TOKS},
+    g3 AS (SELECT doc_id,
+                  unnest(CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+                         ELSE list_transform(generate_series(0, len(tk)-3),
+                                             j -> array_to_string(tk[j+1:j+3], ' ')) END) AS g
+           FROM toks),
+    dfq AS (SELECT g, count(*) AS df
+            FROM (SELECT DISTINCT doc_id, g FROM g3) GROUP BY g)
+    SELECT g3.doc_id,
+           round(avg(CASE WHEN df > 1 THEN 1.0 ELSE 0.0 END), 6) AS dup_ngram_frac,
+           CAST(count(*) AS BIGINT) AS n_ngrams
+    FROM g3 JOIN dfq USING (g)
+    GROUP BY g3.doc_id
+    """,
+)
+def dup_ngram_fraction(spark, sf_dir):
+    """Duplicate-n-gram fraction — the Gopher/Dolma quality signal:
+    per document, the fraction of its 3-gram OCCURRENCES whose 3-gram
+    also appears in at least one other document (cross-document
+    boilerplate/duplication pressure; complements the within-doc
+    dup_bigram_frac of repetition_stats).
+
+    Shape at 100 TB: explode is map-side; document frequency is a
+    distinct on (doc, gram) + one count shuffle on the gram key (gram-
+    cardinality, not occurrence-cardinality); the score join is
+    gram-keyed (AQE skew-splits hot boilerplate grams); the per-doc
+    fraction is one partial agg. No driver scalars at all."""
+    docs = t(spark, sf_dir, "documents")
+    from postgraph_spark.operators.dedup import _spread
+
+    toks = TX.tokens(F.col("text"))
+    g3 = _spread(docs).select("doc_id", F.explode(TX.shingles(toks, 3)).alias("g"))
+    dfq = (
+        g3.select("doc_id", "g").distinct()
+        .groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        g3.join(dfq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("df") > 1, 1.0).otherwise(0.0)), 6
+            ).alias("dup_ngram_frac"),
+            F.count(F.lit(1)).alias("n_ngrams"),
+        )
+    )
+
+
+@register(
+    "perplexity_buckets",
+    f"""
+    WITH {_TOKS},
+    bg AS (SELECT doc_id,
+                  unnest(CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+                         ELSE list_transform(generate_series(0, len(tk)-2),
+                                             j -> array_to_string(tk[j+1:j+2], ' ')) END) AS g
+           FROM toks),
+    bgc AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+    ctx AS (SELECT split_part(g, ' ', 1) AS w1, count(*) AS c1 FROM bg GROUP BY 1),
+    voc AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(tk) AS w FROM toks)),
+    scored AS (
+      SELECT bg.doc_id,
+             round(avg(log2(CAST(c2 + 1 AS DOUBLE) / (c1 + (SELECT v FROM voc)))), 4)
+               AS lp
+      FROM bg
+      JOIN bgc ON bgc.g = bg.g
+      JOIN ctx ON ctx.w1 = split_part(bg.g, ' ', 1)
+      GROUP BY bg.doc_id),
+    bucketed AS (
+      SELECT doc_id, lp,
+             ntile(3) OVER (ORDER BY lp DESC, doc_id) AS b
+      FROM scored)
+    SELECT CAST(b AS BIGINT) AS bucket,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS label,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(lp), 4) AS avg_logprob,
+           round(min(lp), 4) AS min_logprob,
+           round(max(lp), 4) AS max_logprob
+    FROM bucketed GROUP BY b
+    """,
+)
+def perplexity_buckets(spark, sf_dir):
+    """CCNet-style quality bucketing (Wenzek et al., "CCNet: Extracting
+    High Quality Monolingual Datasets from Web Crawl Data"): rank every
+    document by its corpus bigram-LM score (the ngram_logprob_score
+    pipeline — the KenLM perplexity proxy) and split the corpus into
+    head/middle/tail terciles, reporting each bucket's size and score
+    envelope — the gate a curation pipeline uses to keep head, LM-filter
+    middle, and drop tail.
+
+    Shape: the LM scoring is the ngram_logprob_score plan (one bigram
+    count shuffle + two equi-joins + one per-doc agg); bucketing uses
+    ntile over the PER-DOCUMENT score table — a global sort, but of
+    doc-cardinality 3-column rows (orders of magnitude below the
+    corpus); at extreme document counts the exact ntile swaps for
+    approx_percentile thresholds with the same output schema. ntile ties
+    break on doc_id, so bucket membership — not just the counts — is
+    deterministic across engines."""
+    from pyspark.sql import Window
+
+    scored = ngram_logprob_score(spark, sf_dir).select(
+        "doc_id", F.col("bigram_logprob").alias("lp")
+    )
+    b = F.ntile(3).over(Window.orderBy(F.desc("lp"), F.asc("doc_id")))
+    return (
+        scored.withColumn("bucket", b.cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+            F.round(F.min("lp"), 4).alias("min_logprob"),
+            F.round(F.max("lp"), 4).alias("max_logprob"),
+        )
+        .select(
+            "bucket",
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail")
+            .alias("label"),
+            "n_docs", "avg_logprob", "min_logprob", "max_logprob",
+        )
+    )
