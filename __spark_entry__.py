@@ -72,11 +72,13 @@ _PRIORITY = [
     # the write path (DDL + CREATE/MERGE/SET/DELETE + durable reopen),
     # the cross-doc duplicate-n-gram quality signal (boilerplate_ngrams
     # rotated out — same explode+count+join family, this one adds the
-    # per-doc re-join), the streaming interval join, and pagerank —
-    # under an EXACT DuckDB oracle (deterministic rounds replayed as
-    # CTEs, round-7 verdict #1)
+    # per-doc re-join), the NEW stream-static dimension-enrichment join
+    # (stream_interval_join rotated out: it went green under the r7
+    # driver check and the interval shape stays via asof + the local
+    # mirror), and pagerank — under an EXACT DuckDB oracle
+    # (deterministic rounds replayed as CTEs, round-7 verdict #1)
     "cypher_write_roundtrip", "dup_ngram_fraction",
-    "stream_interval_join", "pagerank_dupgraph",
+    "stream_dim_enrich", "pagerank_dupgraph",
     # round-8 prefix rotation (round-7 verdict #1): the four round-7
     # flagship rows move INTO the 50-row prefix for their first external
     # oracle check, plus the two NEW round-8 operator rows (vector
@@ -109,7 +111,7 @@ _PRIORITY = [
     "lang_id_heuristic", "token_count_bpe", "rolling_hash_fingerprint",
     "repetition_stats", "geometric_ops", "stream_sessionize",
     "sim_topk_ivf", "boilerplate_ngrams", "ngram_logprob_score",
-    "stream_windowed_counts",
+    "stream_windowed_counts", "stream_interval_join",
     # earlier rotations: dedup_exact_groups (md5-groupBy = stage 1 of
     # dedup_clusters), sim_topk_cosine / embed_neardup_pairs (the
     # IVF/LSH variants stay in), network funcs + kit funcs

@@ -151,3 +151,34 @@ def stream_dedup_events(spark, sf_dir):
     return S.stream_dedup(ev, keys=["user_id", "event_type"]).select(
         "user_id", "event_type"
     )
+
+
+@register(
+    "stream_dim_enrich",
+    """
+    WITH e AS (SELECT time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS ws,
+                      user_id, value
+               FROM events),
+    j AS (SELECT e.ws, c.c_nationkey, e.value
+          FROM e JOIN customer c ON c.c_custkey = e.user_id)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           c_nationkey, count(*) AS n_events, round(sum(value), 6) AS sum_value
+    FROM j GROUP BY ws, c_nationkey
+    """,
+)
+def stream_dim_enrich(spark, sf_dir):
+    """Stream-static enrichment (streaming/ops.py enrich_with_dim): the
+    event stream joins to the STATIC customer dimension (broadcast hash
+    join re-planned per micro-batch — no join state), then rolls up
+    count/sum per 5-minute tumbling window and nation. Batch form of the
+    identical plan is checked here; tests/test_streaming.py pins
+    stream == batch under the append-source guarantee."""
+    out = S.enrich_with_dim(
+        t(spark, sf_dir, "events"), t(spark, sf_dir, "customer")
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "c_nationkey",
+        "n_events",
+        "sum_value",
+    )

@@ -126,6 +126,44 @@ def interval_join(
     )
 
 
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    on_left: str = "user_id",
+    on_right: str = "c_custkey",
+    dim_cols: tuple[str, ...] = ("c_nationkey",),
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-STATIC enrichment join + windowed rollup: the event stream
+    joins to a static dimension table, then aggregates per tumbling
+    window and dimension attribute — the canonical ingest-enrichment
+    topology (fact stream x dimension broadcast).
+
+    Scale shape: a stream-static join keeps NO join state — Structured
+    Streaming re-plans the static side each micro-batch, and the
+    explicit broadcast() pins the dimension to the executors, so each
+    micro-batch is a map-side hash join; only the windowed aggregation
+    carries (watermark-bounded) state. At 100 TB/day the dimension
+    refresh is a Delta snapshot re-read; the topology is unchanged."""
+    d = dim.select(F.col(on_right).alias(on_left), *dim_cols)
+    return (
+        events.withWatermark("ts", watermark)
+        .join(F.broadcast(d), on_left)
+        .groupBy(F.window("ts", window).alias("w"), *dim_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            *dim_cols,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_dedup(events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes") -> DataFrame:
     """Exact streaming dedup on key columns within the watermark horizon.
 

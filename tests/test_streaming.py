@@ -108,3 +108,13 @@ def test_interval_join_stream_equals_batch(spark, event_dir):
         )
     )
     assert got == want and len(want) > 0
+
+
+def test_dim_enrich_stream_equals_batch(spark, event_dir):
+    dim = load_table(spark, "customer", SF_DIR)
+    stream = S.read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    S.run_to_memory(S.enrich_with_dim(stream, dim), "dim_enrich")
+    got = rows_sorted(spark.table("dim_enrich"))
+    want = rows_sorted(S.enrich_with_dim(load_table(spark, "events", SF_DIR), dim))
+    assert got == want
+    assert len(got) > 0
