@@ -62,7 +62,10 @@ _PRIORITY = [
     "dedup_jaccard_pairs",
     "ivfpq_adc_topk",
     "embed_neardup_lsh",
-    "decontam_overlap",
+    # decontam_overlap rotated out (r7-green; its shingle pipeline and
+    # guarded-broadcast shape recur in the jaccard/minhash and IVF rows)
+    # for the NEW KMV cardinality sketch
+    "kmv_distinct_ngrams",
     "pii_scrub",
     # temporal joins (as-of via union-tag window; the bucketized
     # interval-join family's second row, interval_overlap_join, rotated
@@ -111,7 +114,7 @@ _PRIORITY = [
     "lang_id_heuristic", "token_count_bpe", "rolling_hash_fingerprint",
     "repetition_stats", "geometric_ops", "stream_sessionize",
     "sim_topk_ivf", "boilerplate_ngrams", "ngram_logprob_score",
-    "stream_windowed_counts", "stream_interval_join",
+    "stream_windowed_counts", "stream_interval_join", "decontam_overlap",
     # earlier rotations: dedup_exact_groups (md5-groupBy = stage 1 of
     # dedup_clusters), sim_topk_cosine / embed_neardup_pairs (the
     # IVF/LSH variants stay in), network funcs + kit funcs

@@ -1431,3 +1431,53 @@ def perplexity_buckets(spark, sf_dir):
             "n_docs", "avg_logprob", "min_logprob", "max_logprob",
         )
     )
+
+
+@register(
+    "kmv_distinct_ngrams",
+    f"""
+    WITH {_TOKS},
+    g3 AS (SELECT doc_id,
+                  unnest(CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+                         ELSE list_transform(generate_series(0, len(tk)-3),
+                                             j -> array_to_string(tk[j+1:j+3], ' ')) END) AS g
+           FROM toks),
+    hs AS (SELECT DISTINCT md5(g) AS h FROM g3),
+    topk AS (SELECT h FROM hs ORDER BY h LIMIT 256),
+    kth AS (SELECT CAST(count(*) AS BIGINT) AS k, max(h) AS kth_hash FROM topk),
+    est AS (
+      SELECT k, kth_hash,
+             list_sum(list_transform(range(13),
+               i -> CAST(strpos('0123456789abcdef',
+                                substr(kth_hash, CAST(i + 1 AS INT), 1)) - 1
+                         AS DOUBLE) * 16.0 ** (12 - i))) / 16.0 ** 13 AS frac
+      FROM kth)
+    SELECT k, round((k - 1) / frac, 3) AS est_distinct, kth_hash,
+           (SELECT CAST(count(*) AS BIGINT) FROM hs) AS exact_distinct
+    FROM est
+    """,
+)
+def kmv_distinct_ngrams(spark, sf_dir):
+    """KMV distinct-cardinality sketch (operators/sketches.py) over the
+    corpus's 3-gram shingle space — the estimator a pipeline runs to
+    SIZE its dedup/LSH structures before paying for an exact distinct.
+    The corpus never shuffles: an Arrow mapInPandas pass emits <= k
+    unique hashes per partition, and only those move to the tiny global
+    merge. The row also carries the exact distinct count (one
+    gram-keyed shuffle — affordable at sf scale) so the estimate is
+    self-validating; at 100 TB you drop that column and keep the
+    sketch. Both engines derive the normalized k-th hash from its first
+    13 hex digits — 52 bits, exact in a double — so the estimate
+    hash-matches bit-for-bit."""
+    from postgraph_spark.operators.dedup import _spread
+    from postgraph_spark.operators.sketches import kmv_distinct_estimate
+
+    docs = t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    g3 = _spread(docs).select(F.explode(TX.shingles(toks, 3)).alias("g"))
+    est = kmv_distinct_estimate(g3, "g", k=256)
+    exact = (
+        g3.select(F.md5("g").alias("h")).distinct()
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    return est.crossJoin(exact).select("k", "est_distinct", "kth_hash", "exact_distinct")
