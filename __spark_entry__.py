@@ -66,7 +66,10 @@ _PRIORITY = [
     # guarded-broadcast shape recur in the jaccard/minhash and IVF rows)
     # for the NEW KMV cardinality sketch
     "kmv_distinct_ngrams",
-    "pii_scrub",
+    # pii_scrub rotated out (r7-green; the JVM regexp-chain shape is
+    # golden-tested and recurs in the text kit) for the NEW
+    # sliding-window chunking row
+    "doc_chunking",
     # temporal joins (as-of via union-tag window; the bucketized
     # interval-join family's second row, interval_overlap_join, rotated
     # out — stream_interval_join keeps the same bucket-grid shape under
@@ -115,6 +118,7 @@ _PRIORITY = [
     "repetition_stats", "geometric_ops", "stream_sessionize",
     "sim_topk_ivf", "boilerplate_ngrams", "ngram_logprob_score",
     "stream_windowed_counts", "stream_interval_join", "decontam_overlap",
+    "pii_scrub",
     # earlier rotations: dedup_exact_groups (md5-groupBy = stage 1 of
     # dedup_clusters), sim_topk_cosine / embed_neardup_pairs (the
     # IVF/LSH variants stay in), network funcs + kit funcs

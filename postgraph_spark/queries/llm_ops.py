@@ -1481,3 +1481,59 @@ def kmv_distinct_ngrams(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("exact_distinct"))
     )
     return est.crossJoin(exact).select("k", "est_distinct", "kth_hash", "exact_distinct")
+
+
+@register(
+    "doc_chunking",
+    f"""
+    WITH {_TOKS},
+    sized AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
+    counts AS (SELECT doc_id, tk, n,
+                      CASE WHEN n <= 32 THEN 1
+                           ELSE (n - 32 + 23) // 24 + 1 END AS n_chunks
+               FROM sized),
+    ch AS (SELECT doc_id, tk, n,
+                  unnest(generate_series(0, CAST(n_chunks - 1 AS INT))) AS chunk_id
+           FROM counts)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_tokens,
+           md5(array_to_string(tk[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')) AS chunk_fp
+    FROM ch
+    """,
+)
+def doc_chunking(spark, sf_dir):
+    """Sliding-window document chunking — the embedding-prep primitive
+    (split every document into 32-token windows with stride 24 / 8-token
+    overlap, the shape an encoder's context limit forces): emits
+    (doc_id, chunk_id, n_tokens, chunk_fp) with the chunk fingerprint
+    standing in for the text (keeps the oracle compact; the text itself
+    is array_join of the same slice).
+
+    Pure map-side at 100 TB: tokenize -> per-row chunk count (integer
+    arithmetic) -> posexplode of the start sequence -> slice + hash. No
+    shuffle, no UDF, no driver scalars; Catalyst pushes the projection
+    to the scan."""
+    docs = t(spark, sf_dir, "documents")
+    from postgraph_spark.operators.dedup import _spread
+
+    size, stride = 32, 24
+    toks = TX.tokens(F.col("text"))
+    base = _spread(docs).select("doc_id", toks.alias("tk")).select(
+        "doc_id", "tk", F.size("tk").alias("n")
+    )
+    n_chunks = F.when(F.col("n") <= size, F.lit(1)).otherwise(
+        F.floor((F.col("n") - size + (stride - 1)) / stride) + 1
+    )
+    ch = base.select(
+        "doc_id", "tk", "n",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.least(F.lit(size), F.col("n") - start).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(F.slice("tk", (start + 1).cast("int"), size), " ")).alias(
+            "chunk_fp"
+        ),
+    )
