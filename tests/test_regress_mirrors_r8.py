@@ -336,3 +336,15 @@ def test_graphid_pack_order():
     assert (g2 >> 48) == 1 and (g2 & ENTRY_ID_MASK) == 2
     # label id dominates entry id in the total order
     assert make_graphid(1, (1 << 48) - 1) < make_graphid(2, 0)
+
+
+# ------------------------------- old/regress/typecasting.out (2 queries)
+# The reference file exercises only the text<->gtype boundary casts:
+# text_to_gtype(NULL) -> gtype null, and 'Hello World'::text::gtype ->
+# the gtype string (typecasting.out:20-30). Here text IS a gtype string
+# already; the ::text spelling must round-trip it unchanged.
+
+def test_typecasting_out_mirror(engine):
+    assert val(engine, "tostring(null)") is None         # text_to_gtype(NULL)
+    assert val(engine, "'Hello World'::text") == "Hello World"
+    assert val(engine, "tostring('Hello World')") == "Hello World"
