@@ -1480,7 +1480,12 @@ def kmv_distinct_ngrams(spark, sf_dir):
         g3.select(F.md5("g").alias("h")).distinct()
         .agg(F.count(F.lit(1)).alias("exact_distinct"))
     )
-    return est.crossJoin(exact).select("k", "est_distinct", "kth_hash", "exact_distinct")
+    # deliberate 1-row x 1-row scalar combine: both inputs are global
+    # aggregates, so the nested-loop join touches exactly one pair (a
+    # constant-key hash join folds back to the same plan anyway)
+    return est.crossJoin(F.broadcast(exact)).select(
+        "k", "est_distinct", "kth_hash", "exact_distinct"
+    )
 
 
 @register(
