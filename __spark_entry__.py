@@ -70,11 +70,10 @@ _PRIORITY = [
     # golden-tested and recurs in the text kit) for the NEW
     # sliding-window chunking row
     "doc_chunking",
-    # temporal joins (as-of via union-tag window; the bucketized
-    # interval-join family's second row, interval_overlap_join, rotated
-    # out — stream_interval_join keeps the same bucket-grid shape under
-    # the driver oracle)
-    "asof_view_before_click",
+    # the training-mixture recipe table (asof_view_before_click rotated
+    # out: r7-green, and the union-tag asof shape stays oracle-mirrored
+    # locally with the bucketized interval family)
+    "mixture_weights",
     # the write path (DDL + CREATE/MERGE/SET/DELETE + durable reopen),
     # the cross-doc duplicate-n-gram quality signal (boilerplate_ngrams
     # rotated out — same explode+count+join family, this one adds the
@@ -118,7 +117,7 @@ _PRIORITY = [
     "repetition_stats", "geometric_ops", "stream_sessionize",
     "sim_topk_ivf", "boilerplate_ngrams", "ngram_logprob_score",
     "stream_windowed_counts", "stream_interval_join", "decontam_overlap",
-    "pii_scrub",
+    "pii_scrub", "asof_view_before_click",
     # earlier rotations: dedup_exact_groups (md5-groupBy = stage 1 of
     # dedup_clusters), sim_topk_cosine / embed_neardup_pairs (the
     # IVF/LSH variants stay in), network funcs + kit funcs

@@ -1542,3 +1542,59 @@ def doc_chunking(spark, sf_dir):
             "chunk_fp"
         ),
     )
+
+
+@register(
+    "mixture_weights",
+    r"""
+    WITH toks AS (
+      SELECT source, lang,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             w -> w <> '')) AS n_tok
+      FROM documents),
+    g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS n_tokens
+          FROM toks GROUP BY source, lang),
+    tot AS (SELECT sum(n_tokens) AS t FROM g)
+    SELECT source, lang, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / (SELECT t FROM tot), 6) AS token_share,
+           round(sqrt(CAST(n_tokens AS DOUBLE) / (SELECT t FROM tot)), 6)
+             AS sample_weight
+    FROM g
+    """,
+)
+def mixture_weights(spark, sf_dir):
+    """Training-mixture recipe table — per (source, language): document
+    and token counts, the corpus token share, and the alpha=0.5
+    exponentially-smoothed sampling weight (share^0.5, the multilingual
+    up/down-sampling rule of XLM/mC4-style mixing; unnormalized so every
+    value is engine-order-independent: integer counts, one exact
+    division, one IEEE sqrt).
+
+    Shape at 100 TB: per-doc token counts are map-side expressions; ONE
+    (source, lang) partial agg (tiny group cardinality); the corpus
+    total is a 1-row aggregate combined by broadcast — no window over
+    the corpus, no driver-side data."""
+    docs = t(spark, sf_dir, "documents")
+    from postgraph_spark.operators.dedup import _spread
+
+    n_tok = F.size(F.filter(TX.tokens(F.col("text")), lambda w: w != ""))
+    g = (
+        _spread(docs)
+        .select("source", "lang", n_tok.alias("n_tok"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    tot = g.agg(F.sum("n_tokens").alias("t"))
+    share = F.col("n_tokens").cast("double") / F.col("t")
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "lang", "n_docs", "n_tokens",
+            F.round(share, 6).alias("token_share"),
+            F.round(F.sqrt(share), 6).alias("sample_weight"),
+        )
+    )
