@@ -281,6 +281,12 @@ _LSH_PAIRS = f"""{_SHINGLES},
               FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
               WHERE x.doc_id < y.doc_id)"""
 
+#: same pipeline with the pair set materialized — for oracles that
+#: reference `pairs` more than once (PageRank rounds, triangle joins)
+_LSH_PAIRS_MAT = _LSH_PAIRS.replace(
+    "pairs AS (SELECT DISTINCT", "pairs AS MATERIALIZED (SELECT DISTINCT"
+)
+
 # one PageRank round as CTEs: contribution sum, dangling mass, update —
 # the exact association order the Spark side uses
 # (base = (1-d)/n + d*dang/n, then base + d*contrib)
@@ -296,10 +302,14 @@ _PR_ROUND = """
                     + 0.85 * coalesce(c.c, 0.0) AS rank
              FROM verts LEFT JOIN c{i} c ON c.v = verts.v)"""
 
+# NOTE: `pairs`/`e` are referenced by every one of the five round CTEs;
+# DuckDB 1.0 inlines CTEs per reference, so without MATERIALIZED the
+# whole minhash pipeline re-evaluates ~10x (measured 95 s -> 0.4 s at
+# sf0.01 with the hints, identical rows).
 _PAGERANK_SQL = (
     f"""
-    WITH {_LSH_PAIRS},
-    e AS (SELECT a AS src, b AS dst FROM pairs),
+    WITH {_LSH_PAIRS_MAT},
+    e AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs),
     verts AS (SELECT src AS v FROM e UNION SELECT dst AS v FROM e),
     nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
     outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
