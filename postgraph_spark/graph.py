@@ -488,9 +488,21 @@ class Graph:
         """
         if label not in self.label_ids:
             raise ValueError(f'label "{label}" does not exist')
-        key = self._unique_key_col(prop)
-        for attr in ("vertices", "edges"):
+        kind = self.label_kinds.get(label)
+        tables = ("vertices", "edges") if kind is None else (
+            ("vertices",) if kind == "vertex" else ("edges",)
+        )
+        key = None
+        for attr in tables:
             tbl = getattr(self, attr).filter(F.col("label") == label)
+            # the canonical-key dup plan is expensive to even COMPILE
+            # (codegen over the variant canon expressions); the common
+            # DDL-then-load order hits an empty label — probe that with
+            # a trivial plan first
+            if tbl.limit(1).isEmpty():
+                continue
+            if key is None:
+                key = self._unique_key_col(prop)
             dup = (
                 tbl.select(key.alias("__k"))
                 .filter(F.col("__k").isNotNull())
