@@ -538,10 +538,24 @@ class Graph:
                 .filter(F.col("__k").isNotNull())
             )
             what = f'{c["label"]}.{c["property"]}' if c["property"] else f'{c["label"]}.properties'
-            if not newk.groupBy("__k").count().filter(F.col("count") > 1).isEmpty():
-                raise ValueError(f"duplicate key value violates unique constraint on {what}")
             existing = table.filter(F.col("label") == c["label"]).select(key.alias("__k"))
-            if not existing.join(newk, "__k", "left_semi").isEmpty():
+            # both checks in ONE job: a key violates if the batch carries
+            # it twice, or once while the stored partition already has it
+            # (stored nulls group under the null key, where the batch
+            # contributes nothing — nulls never violate, PG btree
+            # semantics)
+            viol = (
+                newk.withColumn("__n", F.lit(1)).withColumn("__o", F.lit(0))
+                .unionByName(
+                    existing.withColumn("__n", F.lit(0)).withColumn("__o", F.lit(1))
+                )
+                .groupBy("__k")
+                .agg(F.sum("__n").alias("__nn"), F.sum("__o").alias("__oo"))
+                .filter(
+                    (F.col("__nn") > 1) | ((F.col("__nn") >= 1) & (F.col("__oo") >= 1))
+                )
+            )
+            if not viol.isEmpty():
                 raise ValueError(f"duplicate key value violates unique constraint on {what}")
 
     def _vector_prop_col(self, prop: str) -> F.Column:
