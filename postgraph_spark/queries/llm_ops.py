@@ -929,12 +929,35 @@ def multimodal_resize(spark, sf_dir):
     return out.select("media_id", "width", "height", "resized")
 
 
-@register("multimodal_decode")  # no SQL oracle: stubbed codec features (rows-only check)
+@register(
+    "multimodal_decode",
+    """
+    WITH pos AS (
+      SELECT doc_id, text, unnest(generate_series(1, len(text))) AS i
+      FROM documents),
+    chars AS (
+      SELECT doc_id, (i - 1) % 8 AS f, ord(substr(text, CAST(i AS INT), 1)) AS b
+      FROM pos),
+    feats AS (
+      SELECT doc_id, f, round(avg(CAST(b AS DOUBLE)) / 255.0, 6) AS v
+      FROM chars GROUP BY doc_id, f)
+    SELECT doc_id AS media_id,
+           ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
+           list(v ORDER BY f) AS features,
+           false AS decode_ok
+    FROM feats GROUP BY doc_id
+    """,
+)
 def multimodal_decode(spark, sf_dir):
     """Decode + feature-extract via Arrow-batched mapInPandas. The codec
     is stubbed (no image/audio libs in this container) behind a
     deterministic byte-moment fake; the Spark plumbing — batch iterator,
-    schema, payload-column drop — is the real production shape."""
+    schema, payload-column drop — is the real production shape.
+
+    The stub IS oracle-able (closing the registry's one no-oracle row):
+    the synthetic payload is the utf-8 bytes of the pure-ASCII text, so
+    feature i = avg of code points at positions congruent to i (mod 8),
+    / 255, rounded — DuckDB re-derives it from the text directly."""
     media = MM.documents_as_media(t(spark, sf_dir, "documents"))
     return MM.decode_media(media, n_features=8)
 
