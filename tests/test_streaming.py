@@ -118,3 +118,13 @@ def test_dim_enrich_stream_equals_batch(spark, event_dir):
     want = rows_sorted(S.enrich_with_dim(load_table(spark, "events", SF_DIR), dim))
     assert got == want
     assert len(got) > 0
+
+
+def test_dim_enrich_is_broadcast_join(spark):
+    # the static dimension must broadcast — a shuffle join would
+    # re-shuffle the stream every micro-batch
+    dim = load_table(spark, "customer", SF_DIR)
+    out = S.enrich_with_dim(load_table(spark, "events", SF_DIR), dim)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
