@@ -286,6 +286,10 @@ _LSH_PAIRS = f"""{_SHINGLES},
 _LSH_PAIRS_MAT = _LSH_PAIRS.replace(
     "pairs AS (SELECT DISTINCT", "pairs AS MATERIALIZED (SELECT DISTINCT"
 )
+# If _LSH_PAIRS is ever reformatted the .replace silently no-ops and the
+# multi-reference oracles (PageRank, triangles) regress to the ~10x
+# re-inlined plan with no test failing — fail loudly instead.
+assert _LSH_PAIRS_MAT != _LSH_PAIRS, "MATERIALIZED substitution did not apply"
 
 # one PageRank round as CTEs: contribution sum, dangling mass, update —
 # the exact association order the Spark side uses
@@ -980,12 +984,15 @@ def multimodal_decode(spark, sf_dir):
       SELECT vec_id, min(c) AS c FROM (
         SELECT vec_id, c, dist, min(dist) OVER (PARTITION BY vec_id) AS md FROM d1)
       WHERE dist = md GROUP BY vec_id),
-    c1 AS (
+    c1n AS (
       SELECT c, list(m ORDER BY i) AS cv FROM (
         SELECT a1.c, t.i, avg(e.v[t.i + 1]) AS m
         FROM a1 JOIN e USING (vec_id) CROSS JOIN range(64) t(i)
         GROUP BY a1.c, t.i)
       GROUP BY c),
+    c1 AS (
+      SELECT c0.c, coalesce(c1n.cv, c0.cv) AS cv
+      FROM c0 LEFT JOIN c1n ON c1n.c = c0.c),
     d2 AS (
       SELECT e.vec_id, c1.c,
              list_sum(list_transform(list_zip(e.v, c1.cv),
@@ -1041,12 +1048,15 @@ def kmeans_embeddings(spark, sf_dir):
       SELECT vec_id, min(c) AS c FROM (
         SELECT vec_id, c, dist, min(dist) OVER (PARTITION BY vec_id) AS md FROM d1)
       WHERE dist = md GROUP BY vec_id),
-    c1 AS (
+    c1n AS (
       SELECT c, list(m ORDER BY i) AS cv FROM (
         SELECT a1.c, t.i, avg(e.v[t.i + 1]) AS m
         FROM a1 JOIN e USING (vec_id) CROSS JOIN range(64) t(i)
         GROUP BY a1.c, t.i)
       GROUP BY c),
+    c1 AS (
+      SELECT c0.c, coalesce(c1n.cv, c0.cv) AS cv
+      FROM c0 LEFT JOIN c1n ON c1n.c = c0.c),
     d2 AS (
       SELECT e.vec_id, c1.c,
              list_sum(list_transform(list_zip(e.v, c1.cv),
@@ -1182,11 +1192,17 @@ def _pq_oracle(m: int = 4, dim: int = 64, ksub: int = 8) -> str:
                 f" FROM d{j}{r}) WHERE dist = md GROUP BY vec_id)"
             )
             if r == 1:
+                # hold-position rule on emptied clusters, mirroring
+                # clustering.py's got.get(i, centroids[i])
                 ctes.append(
-                    f"c{j}1 AS (SELECT c, list(m ORDER BY i) AS cv FROM ("
+                    f"c{j}1n AS (SELECT c, list(m ORDER BY i) AS cv FROM ("
                     f" SELECT a.c, t.i, avg(s.v[t.i + 1]) AS m"
                     f" FROM a{j}1 a JOIN s{j} s USING (vec_id)"
                     f" CROSS JOIN range({sub}) t(i) GROUP BY a.c, t.i) GROUP BY c)"
+                )
+                ctes.append(
+                    f"c{j}1 AS (SELECT c{j}0.c, coalesce(n.cv, c{j}0.cv) AS cv"
+                    f" FROM c{j}0 LEFT JOIN c{j}1n n ON n.c = c{j}0.c)"
                 )
     codes = ", ".join(f"a{j}2.c AS code{j}" for j in range(m))
     errsum = "a02.d"
@@ -1243,10 +1259,14 @@ def _ivfpq_oracle(
         "a1 AS (SELECT vec_id, min(c) AS c FROM ("
         " SELECT vec_id, c, dist, min(dist) OVER (PARTITION BY vec_id) AS md FROM d1)"
         " WHERE dist = md GROUP BY vec_id)",
-        f"c1 AS (SELECT c, list(m ORDER BY i) AS cv FROM ("
+        # hold-position rule on emptied clusters (clustering.py's
+        # got.get(i, centroids[i])), coarse quantizer
+        f"c1n AS (SELECT c, list(m ORDER BY i) AS cv FROM ("
         f" SELECT a1.c, t.i, avg(e.v[t.i + 1]) AS m"
         f" FROM a1 JOIN e USING (vec_id) CROSS JOIN range({dim}) t(i)"
         f" GROUP BY a1.c, t.i) GROUP BY c)",
+        "c1 AS (SELECT c0.c, coalesce(c1n.cv, c0.cv) AS cv"
+        " FROM c0 LEFT JOIN c1n ON c1n.c = c0.c)",
         "d2 AS (SELECT e.vec_id, c1.c,"
         " list_sum(list_transform(list_zip(e.v, c1.cv),"
         " x -> (x[1]-x[2])*(x[1]-x[2]))) AS dist FROM e CROSS JOIN c1)",
@@ -1279,11 +1299,16 @@ def _ivfpq_oracle(
                 f" FROM d{j}{r}p) WHERE dist = md GROUP BY vec_id)"
             )
             if r == 1:
+                # hold-position rule, per-subspace PQ codebooks
                 ctes.append(
-                    f"c{j}1 AS (SELECT c, list(m ORDER BY i) AS cv FROM ("
+                    f"c{j}1n AS (SELECT c, list(m ORDER BY i) AS cv FROM ("
                     f" SELECT a.c, t.i, avg(s.v[t.i + 1]) AS m"
                     f" FROM a{j}1p a JOIN s{j} s USING (vec_id)"
                     f" CROSS JOIN range({sub}) t(i) GROUP BY a.c, t.i) GROUP BY c)"
+                )
+                ctes.append(
+                    f"c{j}1 AS (SELECT c{j}0.c, coalesce(n.cv, c{j}0.cv) AS cv"
+                    f" FROM c{j}0 LEFT JOIN c{j}1n n ON n.c = c{j}0.c)"
                 )
     # ADC: per subspace, the squared distance between the query's
     # subvector and the centroid the neighbor's code names
@@ -1423,7 +1448,7 @@ def dup_ngram_fraction(spark, sf_dir):
     FROM bucketed GROUP BY b
     """,
 )
-def perplexity_buckets(spark, sf_dir):
+def perplexity_buckets(spark, sf_dir, exact_max=50_000_000):
     """CCNet-style quality bucketing (Wenzek et al., "CCNet: Extracting
     High Quality Monolingual Datasets from Web Crawl Data"): rank every
     document by its corpus bigram-LM score (the ngram_logprob_score
@@ -1433,19 +1458,40 @@ def perplexity_buckets(spark, sf_dir):
     middle, and drop tail.
 
     Shape: the LM scoring is the ngram_logprob_score plan (one bigram
-    count shuffle + two equi-joins + one per-doc agg); bucketing uses
-    ntile over the PER-DOCUMENT score table — a global sort, but of
-    doc-cardinality 3-column rows (orders of magnitude below the
-    corpus); at extreme document counts the exact ntile swaps for
-    approx_percentile thresholds with the same output schema. ntile ties
-    break on doc_id, so bucket membership — not just the counts — is
-    deterministic across engines."""
+    count shuffle + two equi-joins + one per-doc agg). Bucketing is
+    two-path: ONE probe aggregation computes the doc count and the
+    approx tercile thresholds together; corpora at or below `exact_max`
+    docs use exact ntile (a global sort of the doc-cardinality score
+    table — fine at that size, and bit-deterministic for the DuckDB
+    oracle since ties break on doc_id), while larger corpora bucket by
+    threshold COMPARISON against the approx_percentile cutoffs — a pure
+    projection, no global sort, no single-task window, so the plan
+    holds at 10^9+ documents (the CCNet scale this operator cites).
+    Both paths emit the identical output schema
+    (tests/test_perplexity_paths.py pins this)."""
     from pyspark.sql import Window
 
     scored = ngram_logprob_score(spark, sf_dir).select(
         "doc_id", F.col("bigram_logprob").alias("lp")
     )
-    b = F.ntile(3).over(Window.orderBy(F.desc("lp"), F.asc("doc_id")))
+    # One probe job: doc count + approx tercile cutoffs of lp (DESC
+    # ranking, so the head cutoff is the 2/3 quantile). Two scalars to
+    # the driver — same accepted pattern as the k-means centroid fetch.
+    probe = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("lp", [2.0 / 3.0, 1.0 / 3.0]).alias("th"),
+    ).collect()[0]
+    if probe["n"] > exact_max:
+        # Scale path: comparison bucketing against the approx cutoffs —
+        # map-side projection, then the same tiny 3-group aggregation.
+        t_head, t_mid = probe["th"][0], probe["th"][1]
+        b = (
+            F.when(F.col("lp") >= F.lit(t_head), F.lit(1))
+            .when(F.col("lp") >= F.lit(t_mid), F.lit(2))
+            .otherwise(F.lit(3))
+        )
+    else:
+        b = F.ntile(3).over(Window.orderBy(F.desc("lp"), F.asc("doc_id")))
     return (
         scored.withColumn("bucket", b.cast("long"))
         .groupBy("bucket")
