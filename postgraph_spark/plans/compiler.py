@@ -42,6 +42,15 @@ WINDOW_FNS = {
     "ntile", "lag", "lead", "first_value", "last_value",
 }
 
+#: two-column statistical aggregates (PG arg order: fn(Y, X)) — usable
+#: in GROUP BY contexts and over windows alike
+_TWO_COL_AGGS = {
+    "corr": F.corr, "covar_pop": F.covar_pop, "covar_samp": F.covar_samp,
+    "regr_slope": F.regr_slope, "regr_intercept": F.regr_intercept,
+    "regr_r2": F.regr_r2, "regr_avgx": F.regr_avgx, "regr_avgy": F.regr_avgy,
+    "regr_sxx": F.regr_sxx, "regr_syy": F.regr_syy, "regr_sxy": F.regr_sxy,
+}
+
 _CAST_FN = {
     "timestamp": "totimestamp", "timestamptz": "totimestamptz",
     "date": "todate", "time": "totime", "timetz": "totimetz",
@@ -1496,15 +1505,9 @@ class Compiler:
             n = F.size(vals)
             idx = F.greatest(F.ceil(p * n), F.lit(1)).cast("int")
             return G.gv_float(F.when(n > 0, F.get(vals, idx - 1)))
-        two_arg = {
-            "corr": F.corr, "covar_pop": F.covar_pop, "covar_samp": F.covar_samp,
-            "regr_slope": F.regr_slope, "regr_intercept": F.regr_intercept,
-            "regr_r2": F.regr_r2, "regr_avgx": F.regr_avgx, "regr_avgy": F.regr_avgy,
-            "regr_sxx": F.regr_sxx, "regr_syy": F.regr_syy, "regr_sxy": F.regr_sxy,
-        }
-        if name in two_arg:
+        if name in _TWO_COL_AGGS:
             b = self.compile_expr(e.args[1], df, scope)["d"]
-            return G.gv_float(two_arg[name](d, b))
+            return G.gv_float(_TWO_COL_AGGS[name](d, b))
         if name == "regr_count":
             b = self.compile_expr(e.args[1], df, scope)["d"]
             return G.gv_int(F.regr_count(d, b))
@@ -2071,8 +2074,11 @@ class Compiler:
         if excl is not None:
             if name in ("count", "sum", "avg"):
                 return self._compile_excluded_agg(e, w, excl, df, scope)
-            if name in ("min", "max", "stdev", "stdevp"):
+            if name in ("min", "max", "stdev", "stdevp", "collect"):
                 return self._compile_excluded_collect_agg(e, w, excl, df, scope)
+            if name in _TWO_COL_AGGS or name == "regr_count":
+                return self._compile_excluded_two_agg(e, w, excl, df, scope)
+            # ranking/navigation functions have no EXCLUDE semantics
             raise CompileError(f"EXCLUDE is unsupported for {name}()")
 
         if name == "row_number":
@@ -2130,6 +2136,35 @@ class Compiler:
             return G.gv_float(F.stddev_samp(d).over(w))
         if name == "stdevp":
             return G.gv_float(F.stddev_pop(d).over(w))
+        if name == "collect":
+            # same surface as the group-agg collect (json-text list),
+            # gathered in frame order
+            valid = arg["t"] != G.T_NULL
+            texts = F.collect_list(
+                F.when(valid, G.to_json_text(arg)).otherwise(F.lit("null"))
+            ).over(w)
+            if e.distinct:
+                texts = F.array_distinct(texts)
+            if len(e.args) > 1:
+                limit = self.compile_expr(e.args[1], df, scope)["i"]
+                texts = F.slice(texts, 1, limit.cast("int"))
+            return G.gv_array_json(
+                F.concat(F.lit("["), F.array_join(texts, ","), F.lit("]"))
+            )
+        if name in _TWO_COL_AGGS:
+            # the reference reuses PG's windowagg for every ordinary
+            # aggregate (sql/postgraph-aggregation.sql.in:353-533) —
+            # Spark's corr/covar/regr_* are window-capable too. NaN
+            # (zero-variance / n-below-threshold frames) -> NULL, PG's
+            # float8 kernel policy.
+            b = self.compile_expr(e.args[1], df, scope)["d"]
+            c = _TWO_COL_AGGS[name](d, b).over(w)
+            return G.gv_float(
+                F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
+            )
+        if name == "regr_count":
+            b = self.compile_expr(e.args[1], df, scope)["d"]
+            return G.gv_int(F.regr_count(d, b).over(w))
         raise CompileError(f"unsupported window function {name}")
 
     def _compile_excluded_agg(self, e: A.FuncCall, w, excl, df, scope) -> Column:
@@ -2192,18 +2227,38 @@ class Compiler:
         kind, rn, pg = excl["kind"], excl["rn"], excl["pg"]
         name = e.name
         arg = self._maybe_let(self.compile_expr(e.args[0], df, scope), e.args[0], df)
-        items = F.collect_list(
-            F.struct(
-                rn.alias("rn"), pg.alias("pg"),
-                arg["d"].alias("d"), arg["s"].alias("s"),
-            )
-        ).over(w)
         if kind == "current":
             keep = lambda x: x["rn"] != rn
         elif kind == "group":
             keep = lambda x: x["pg"] != pg
         else:  # ties: drop peers other than the current row
             keep = lambda x: (x["pg"] != pg) | (x["rn"] == rn)
+        if name == "collect":
+            # frame-ordered json-text list (the group-collect surface),
+            # minus the excluded rows
+            valid = arg["t"] != G.T_NULL
+            items = F.collect_list(
+                F.struct(
+                    rn.alias("rn"), pg.alias("pg"),
+                    F.when(valid, G.to_json_text(arg))
+                    .otherwise(F.lit("null")).alias("j"),
+                )
+            ).over(w)
+            texts = F.transform(F.filter(items, keep), lambda x: x["j"])
+            if e.distinct:
+                texts = F.array_distinct(texts)
+            if len(e.args) > 1:
+                limit = self.compile_expr(e.args[1], df, scope)["i"]
+                texts = F.slice(texts, 1, limit.cast("int"))
+            return G.gv_array_json(
+                F.concat(F.lit("["), F.array_join(texts, ","), F.lit("]"))
+            )
+        items = F.collect_list(
+            F.struct(
+                rn.alias("rn"), pg.alias("pg"),
+                arg["d"].alias("d"), arg["s"].alias("s"),
+            )
+        ).over(w)
         kept = F.filter(items, keep)
         if name in ("min", "max"):
             # numeric/string payloads, same surface as the non-EXCLUDE
@@ -2228,3 +2283,76 @@ class Compiler:
         if name == "stdev":
             return G.gv_float(F.when(n >= 2, F.sqrt(ss / (n - 1))))
         return G.gv_float(F.when(n >= 1, F.sqrt(ss / n)))
+
+    def _compile_excluded_two_agg(self, e: A.FuncCall, w, excl, df, scope) -> Column:
+        """corr/covar_*/regr_* with a frame EXCLUDE clause — the
+        two-column analog of the collect path: collect (rn, pg, y, x)
+        structs over the frame, array-filter the exclusion, drop pairs
+        with a NULL on either side, and fold the sufficient statistics
+        (n, Σx, Σy, Σxy, Σx², Σy²) with JVM array folds. NULL policy
+        matches PG's float8 regr kernels (NULL below the aggregate's n
+        threshold or on a zero denominator). Reference: the windowable
+        ordinary aggregates of sql/postgraph-aggregation.sql.in:353-533
+        under cypher_gram.y:17545-17565's EXCLUDE grammar."""
+        kind, rn, pg = excl["kind"], excl["rn"], excl["pg"]
+        name = e.name
+        y = self._maybe_let(self.compile_expr(e.args[0], df, scope), e.args[0], df)["d"]
+        x = self._maybe_let(self.compile_expr(e.args[1], df, scope), e.args[1], df)["d"]
+        items = F.collect_list(
+            F.struct(rn.alias("rn"), pg.alias("pg"), y.alias("y"), x.alias("x"))
+        ).over(w)
+        if kind == "current":
+            keep = lambda p: p["rn"] != rn
+        elif kind == "group":
+            keep = lambda p: p["pg"] != pg
+        else:  # ties
+            keep = lambda p: (p["pg"] != pg) | (p["rn"] == rn)
+        pairs = F.filter(
+            F.filter(items, keep),
+            lambda p: p["y"].isNotNull() & p["x"].isNotNull(),
+        )
+        if name == "regr_count":
+            return G.gv_int(F.size(pairs).cast("long"))
+        n = F.size(pairs).cast("double")
+
+        def fold(fn):
+            return F.aggregate(pairs, F.lit(0.0), lambda a, p: a + fn(p))
+
+        sx, sy = fold(lambda p: p["x"]), fold(lambda p: p["y"])
+        if name == "regr_avgx":
+            return G.gv_float(F.when(n > 0, sx / n))
+        if name == "regr_avgy":
+            return G.gv_float(F.when(n > 0, sy / n))
+        sxy = fold(lambda p: p["x"] * p["y"])
+        sxx = fold(lambda p: p["x"] * p["x"])
+        syy = fold(lambda p: p["y"] * p["y"])
+        cxx = sxx - sx * sx / n
+        cyy = syy - sy * sy / n
+        cxy = sxy - sx * sy / n
+        if name == "regr_sxx":
+            return G.gv_float(F.when(n > 0, cxx))
+        if name == "regr_syy":
+            return G.gv_float(F.when(n > 0, cyy))
+        if name == "regr_sxy":
+            return G.gv_float(F.when(n > 0, cxy))
+        if name == "covar_pop":
+            return G.gv_float(F.when(n > 0, cxy / n))
+        if name == "covar_samp":
+            return G.gv_float(F.when(n > 1, cxy / (n - 1)))
+        if name == "corr":
+            return G.gv_float(
+                F.when((n > 1) & (cxx > 0) & (cyy > 0), cxy / F.sqrt(cxx * cyy))
+            )
+        if name == "regr_slope":
+            return G.gv_float(F.when((n > 0) & (cxx > 0), cxy / cxx))
+        if name == "regr_intercept":
+            return G.gv_float(
+                F.when((n > 0) & (cxx > 0), (sy - sx * (cxy / cxx)) / n)
+            )
+        if name == "regr_r2":
+            # PG: NULL when sxx is 0; 1.0 when syy is 0 (perfect fit)
+            return G.gv_float(
+                F.when((n > 0) & (cxx > 0) & (cyy > 0), cxy * cxy / (cxx * cyy))
+                .when((n > 0) & (cxx > 0), F.lit(1.0))
+            )
+        raise CompileError(f"EXCLUDE is unsupported for {name}()")

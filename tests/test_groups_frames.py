@@ -304,3 +304,108 @@ def _groups_exclude_oracle(frame, excl):
 def test_groups_frame_exclude(engine, frame, excl):
     got = run(engine, f"{frame} EXCLUDE {excl}")
     assert got == _groups_exclude_oracle(frame, excl)
+
+
+# ---------------------------------------------- two-column + collect
+# corr/covar_*/regr_* and collect are ordinary aggregates in the
+# reference (sql/postgraph-aggregation.sql.in:353-533) and therefore
+# window + EXCLUDE capable via PG's windowagg. Oracle: DuckDB on the
+# same rows (frames here always contain the current row, where DuckDB
+# agrees with PG).
+
+_TWO_COL = [
+    ("corr(n.v, n.k)", "corr(v, k)"),
+    ("covar_pop(n.v, n.k)", "covar_pop(v, k)"),
+    ("covar_samp(n.v, n.k)", "covar_samp(v, k)"),
+    ("regr_slope(n.v, n.k)", "regr_slope(v, k)"),
+    ("regr_intercept(n.v, n.k)", "regr_intercept(v, k)"),
+    ("regr_r2(n.v, n.k)", "regr_r2(v, k)"),
+    ("regr_avgx(n.v, n.k)", "regr_avgx(v, k)"),
+    ("regr_avgy(n.v, n.k)", "regr_avgy(v, k)"),
+    ("regr_count(n.v, n.k)", "regr_count(v, k)"),
+    ("regr_sxx(n.v, n.k)", "regr_sxx(v, k)"),
+    ("regr_syy(n.v, n.k)", "regr_syy(v, k)"),
+    ("regr_sxy(n.v, n.k)", "regr_sxy(v, k)"),
+]
+
+
+def _num_eq(a, b):
+    import math
+
+    def norm(x):
+        # PG's float kernels return NULL where DuckDB can emit NaN
+        # (zero-variance frames) — treat them as the same "no value"
+        if isinstance(x, float) and math.isnan(x):
+            return None
+        return x
+
+    a, b = norm(a), norm(b)
+    if a is None or b is None:
+        return a is None and b is None
+    return abs(a - b) < 1e-9
+
+
+@pytest.mark.parametrize(
+    "excl", ["", "EXCLUDE CURRENT ROW", "EXCLUDE GROUP", "EXCLUDE TIES"]
+)
+@pytest.mark.parametrize("cy,du", _TWO_COL)
+def test_two_col_window_aggs(engine, cy, du, excl):
+    frame = f"ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING {excl}".strip()
+    q = (
+        "MATCH (n:r) "
+        "RETURN n.g AS g, n.k AS k, n.v AS v, "
+        f"{cy} OVER (PARTITION BY n.g ORDER BY n.k {frame}) AS s "
+        "ORDER BY g, k, v"
+    )
+    got = [tuple(r) for r in engine.fetch(q)]
+    want = duck_exclude(du, frame)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        assert _num_eq(g[3], w[3]), (cy, excl, g, w)
+
+
+@pytest.mark.parametrize(
+    "excl", ["", "EXCLUDE CURRENT ROW", "EXCLUDE GROUP", "EXCLUDE TIES"]
+)
+def test_collect_window(engine, excl):
+    frame = f"ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING {excl}".strip()
+    q = (
+        "MATCH (n:r) "
+        "RETURN n.g AS g, n.k AS k, n.v AS v, "
+        f"collect(n.v) OVER (PARTITION BY n.g ORDER BY n.k {frame}) AS s "
+        "ORDER BY g, k, v"
+    )
+    got = [tuple(r) for r in engine.fetch(q)]
+    want = duck_exclude("list(v)", frame)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        # window-tie order can differ between engines: compare as bags
+        assert sorted(g[3] or []) == sorted(w[3] or []), (excl, g, w)
+
+
+def test_two_col_exclude_over_groups_frame(engine):
+    # the GROUPS rewrite composes with the two-column EXCLUDE path
+    q = (
+        "MATCH (n:r) "
+        "RETURN n.g AS g, n.k AS k, n.v AS v, "
+        "regr_count(n.v, n.k) OVER (PARTITION BY n.g ORDER BY n.k "
+        "GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS s "
+        "ORDER BY g, k, v"
+    )
+    got = [tuple(r) for r in engine.fetch(q)]
+    # direct SQL:2011 evaluation: peer-group span minus the current group
+    want = []
+    for g in sorted({r[0] for r in ROWS}):
+        part = sorted([r for r in ROWS if r[0] == g], key=lambda r: r[1])
+        ks = sorted({r[1] for r in part})
+        gidx = {k: i for i, k in enumerate(ks)}
+        for r in part:
+            gi = gidx[r[1]]
+            n = sum(
+                1 for x in part
+                if gi - 1 <= gidx[x[1]] <= gi + 1 and x[1] != r[1]
+            )
+            want.append((r[0], r[1], r[2], n))
+    assert got == sorted(want)
