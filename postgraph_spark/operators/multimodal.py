@@ -9,12 +9,16 @@ Arrow-batched ``mapInPandas`` pipeline (decode / feature-extract /
 frame-sample) so the Python boundary is crossed once per batch, never
 per row.
 
-The actual codec step (JPEG decode, audio resample, video demux) needs
-libraries not present in this container, so ``decode_payload`` is a
-STUB: it tries the real libraries and otherwise produces a
-deterministic fake "decode" derived from the payload bytes. Everything
-Spark-side — schema, partitioning, UDF signatures, Arrow batch shape,
-row expansion for frame sampling — is real and tested.
+Image and audio rows carry REAL container formats — PGM (P5, the
+netpbm binary grayscale header) and WAV (RIFF/PCM unsigned 8-bit) —
+written by ``encode_containers`` and decoded by pure byte arithmetic
+inside ``decode_media`` (``decode_ok=true``), no codec libraries
+needed. Video has no dependency-free container, so its decode remains
+a STUB: it tries the real demux library and otherwise produces a
+deterministic fake "decode" derived from the payload bytes
+(``decode_ok=false``). Everything Spark-side — schema, partitioning,
+UDF signatures, Arrow batch shape, row expansion for frame sampling —
+is real and tested.
 
 Scale notes: media tables at 100 TB are dominated by payload bytes.
 ``media_stats``/metadata queries never deserialize payloads into Python
@@ -105,16 +109,107 @@ def media_stats(media: DataFrame) -> DataFrame:
     )
 
 
-# ------------------------------------------------------------- decode stub
+# ----------------------------------------- real containers + decode
+
+
+def pgm_encode(raw: bytes) -> bytes:
+    """netpbm P5 (binary grayscale): header 'P5\\n<w> <h>\\n255\\n' then
+    w*h raw bytes. One pixel row of width len(raw) — exact fit, no
+    padding, a file any netpbm reader opens."""
+    return b"P5\n%d 1\n255\n" % len(raw) + raw
+
+
+def pgm_decode(data: bytes) -> bytes | None:
+    """Parse a binary PGM: magic, then 3 whitespace-separated ints
+    (width, height, maxval; '#' comments legal), then w*h pixel bytes."""
+    if data[:2] != b"P5":
+        return None
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and data[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            return None
+        vals.append(int(data[start:pos]))
+    pos += 1  # single whitespace byte after maxval
+    w, h, maxval = vals
+    if maxval > 255:
+        return None
+    px = data[pos : pos + w * h]
+    return px if len(px) == w * h else None
+
+
+def wav_encode(raw: bytes, sample_rate: int = 16000) -> bytes:
+    """RIFF/WAVE, PCM unsigned 8-bit mono: each raw byte is one sample —
+    exact fit, standard 44-byte header."""
+    import struct
+
+    n = len(raw)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate, 1, 8)
+        + b"data" + struct.pack("<I", n) + raw
+    )
+
+
+def wav_decode(data: bytes) -> bytes | None:
+    """Walk RIFF chunks to the 'data' chunk and return its payload."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        if cid == b"data":
+            chunk = data[pos + 8 : pos + 8 + size]
+            return chunk if len(chunk) == size else None
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    return None
+
+
+def encode_containers(media: DataFrame) -> DataFrame:
+    """Wrap raw payloads into real container formats in ONE mapInPandas
+    pass: image -> PGM (P5), audio -> WAV (RIFF/PCM-u8); video passes
+    through (no dependency-free video container exists). Pure byte
+    arithmetic, embarrassingly parallel, no shuffle."""
+
+    def encode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for modality, payload in zip(pdf["modality"], pdf["payload"]):
+                raw = bytes(payload)
+                if modality == "image":
+                    out.append(pgm_encode(raw))
+                elif modality == "audio":
+                    out.append(wav_encode(raw))
+                else:
+                    out.append(raw)
+            pdf = pdf.copy()
+            pdf["payload"] = out
+            yield pdf
+
+    return media.mapInPandas(encode_batches, media.schema)
 
 
 def decode_media(media: DataFrame, n_features: int = 8) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
     Output: (media_id, modality, features array<double>, decode_ok).
-    Falls back to the deterministic fake when codecs are unavailable, so
-    the pipeline shape (batch iterator in, batch iterator out, payload
-    column dropped on output to shed the heavy bytes) is fully exercised.
+    PGM and WAV payloads are REALLY decoded (container header parsed,
+    pixel/sample bytes extracted — pure byte arithmetic, decode_ok=true)
+    and featurized from the decoded bytes. Payloads in no parseable
+    container (video here) fall back to the deterministic fake over the
+    raw bytes (decode_ok=false), so the pipeline shape (batch iterator
+    in, batch iterator out, payload column dropped on output to shed the
+    heavy bytes) is exercised either way.
     """
     out_schema = T.StructType(
         [
@@ -125,15 +220,22 @@ def decode_media(media: DataFrame, n_features: int = 8) -> DataFrame:
         ]
     )
 
-    # nested defs (not module refs) so cloudpickle ships them BY VALUE —
-    # executor Python workers never need this package importable
-    def try_real_decode(modality: str, payload: bytes):
-        if modality == "image":
-            import PIL.Image  # noqa: F401  (not installed here)
-        elif modality == "audio":
-            import soundfile  # noqa: F401
-        else:
-            import av  # noqa: F401
+    # the container parsers are plain module-level byte functions (unit-
+    # tested directly); the featurizer stays a nested def so cloudpickle
+    # ships it by value
+    pgm, wav = pgm_decode, wav_decode
+
+    def try_real_decode(modality: str, payload: bytes) -> bytes:
+        if payload[:2] == b"P5":
+            px = pgm(payload)
+            if px is not None:
+                return px
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            samples = wav(payload)
+            if samples is not None:
+                return samples
+        if modality == "video":
+            import av  # noqa: F401  (not installed here)
         raise NotImplementedError("real media decode not wired up in this container")
 
     def fake_decode(payload: bytes) -> list[float]:
@@ -152,11 +254,12 @@ def decode_media(media: DataFrame, n_features: int = 8) -> DataFrame:
             feats, oks = [], []
             for modality, payload in zip(pdf["modality"], pdf["payload"]):
                 try:
-                    try_real_decode(modality, bytes(payload))
-                    oks.append(True)  # pragma: no cover (no codecs here)
+                    raw = try_real_decode(modality, bytes(payload))
+                    oks.append(True)
                 except (ImportError, NotImplementedError):
+                    raw = bytes(payload)
                     oks.append(False)
-                feats.append(fake_decode(bytes(payload)))
+                feats.append(fake_decode(raw))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

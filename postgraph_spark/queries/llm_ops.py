@@ -936,34 +936,48 @@ def multimodal_resize(spark, sf_dir):
 @register(
     "multimodal_decode",
     """
-    WITH pos AS (
-      SELECT doc_id, text, unnest(generate_series(1, len(text))) AS i
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
       FROM documents),
-    chars AS (
-      SELECT doc_id, (i - 1) % 8 AS f, ord(substr(text, CAST(i AS INT), 1)) AS b
+    pos AS (
+      SELECT doc_id, hx, unnest(generate_series(1, n)) AS j
+      FROM b WHERE n > 0),
+    bytes AS (
+      SELECT doc_id, (j - 1) % 8 AS f,
+             CAST(('0x' || substr(hx, CAST(j * 2 - 1 AS INT), 2)) AS INT) AS v
       FROM pos),
+    slot AS (
+      SELECT doc_id, f, avg(CAST(v AS DOUBLE)) AS m
+      FROM bytes GROUP BY doc_id, f),
+    docs8 AS (
+      SELECT doc_id, unnest(generate_series(0, 7)) AS f FROM documents),
     feats AS (
-      SELECT doc_id, f, round(avg(CAST(b AS DOUBLE)) / 255.0, 6) AS v
-      FROM chars GROUP BY doc_id, f)
+      SELECT d8.doc_id, d8.f, round(coalesce(s.m, 0.0) / 255.0, 6) AS v
+      FROM docs8 d8 LEFT JOIN slot s ON s.doc_id = d8.doc_id AND s.f = d8.f)
     SELECT doc_id AS media_id,
            ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
            list(v ORDER BY f) AS features,
-           false AS decode_ok
+           CAST(doc_id % 3 AS INT) IN (0, 1) AS decode_ok
     FROM feats GROUP BY doc_id
     """,
 )
 def multimodal_decode(spark, sf_dir):
-    """Decode + feature-extract via Arrow-batched mapInPandas. The codec
-    is stubbed (no image/audio libs in this container) behind a
-    deterministic byte-moment fake; the Spark plumbing — batch iterator,
-    schema, payload-column drop — is the real production shape.
+    """Container decode + feature-extract via Arrow-batched mapInPandas.
+    Image rows are wrapped in REAL PGM (P5) containers and audio rows in
+    REAL WAV (RIFF/PCM-u8) by encode_containers; decode_media parses the
+    headers back with pure byte arithmetic (no codec libs) and featurizes
+    the DECODED pixel/sample bytes — decode_ok=true. Video has no
+    dependency-free container, so it keeps the documented stub: the
+    byte-moment fake over the raw payload, decode_ok=false.
 
-    The stub IS oracle-able (closing the registry's one no-oracle row):
-    the synthetic payload is the utf-8 bytes of the pure-ASCII text, so
-    feature i = avg of code points at positions congruent to i (mod 8),
-    / 255, rounded — DuckDB re-derives it from the text directly."""
+    The oracle is BYTE-exact for any utf-8 text (not just ASCII): PGM
+    and WAV round-trip the original payload bytes exactly, so feature i
+    = avg of utf-8 BYTE values at byte positions congruent to i (mod 8),
+    / 255 — DuckDB re-derives the byte values from hex(encode(text)).
+    All 8 slots always emit (missing strides coalesce to 0.0, matching
+    fake_decode's padding), one row per document even for empty text."""
     media = MM.documents_as_media(t(spark, sf_dir, "documents"))
-    return MM.decode_media(media, n_features=8)
+    return MM.decode_media(MM.encode_containers(media), n_features=8)
 
 
 @register(

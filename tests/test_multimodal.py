@@ -68,3 +68,55 @@ def test_resize_stub_contract(spark, media):
     rows = out.collect()
     assert len(rows) == media.filter(F.col("modality") == "image").count()
     assert all(r.width == 64 and r.height == 48 and not r.resized for r in rows)
+
+
+# ------------------------------------------- real PGM / WAV containers
+
+
+def test_pgm_roundtrip_bytes():
+    for raw in [b"", b"x", b"hello world" * 10, bytes(range(256))]:
+        assert MM.pgm_decode(MM.pgm_encode(raw)) == raw
+
+
+def test_pgm_parses_foreign_writer():
+    # a 2x2 grayscale PGM written by hand, with a comment line
+    data = b"P5\n# made elsewhere\n2 2\n255\n\x00\x7f\xff\x10"
+    assert MM.pgm_decode(data) == b"\x00\x7f\xff\x10"
+    assert MM.pgm_decode(b"P6\n1 1\n255\nxxx") is None  # not P5
+    assert MM.pgm_decode(b"P5\n4 4\n255\nshort") is None  # truncated
+
+
+def test_wav_roundtrip_bytes():
+    for raw in [b"", b"a", b"pcm samples" * 33]:
+        enc = MM.wav_encode(raw)
+        assert enc[:4] == b"RIFF" and enc[8:12] == b"WAVE"
+        assert len(enc) == 44 + len(raw)
+        assert MM.wav_decode(enc) == raw
+
+
+def test_wav_decode_skips_extra_chunks():
+    import struct
+
+    raw = b"\x01\x02\x03"
+    enc = MM.wav_encode(raw)
+    # splice a LIST chunk between fmt and data (word-aligned odd size)
+    head, data_chunk = enc[:36], enc[36:]
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    assert MM.wav_decode(head + extra + data_chunk) == raw
+    assert MM.wav_decode(b"RIFX" + enc[4:]) is None
+
+
+def test_encode_containers_and_real_decode(spark, media):
+    enc = MM.encode_containers(media)
+    out = {r.media_id: r for r in MM.decode_media(enc, n_features=8).collect()}
+    raw = {r.media_id: r for r in MM.decode_media(media, n_features=8).collect()}
+    mods = {r.media_id: r.modality for r in media.collect()}
+    assert set(out) == set(raw)
+    for mid, r in out.items():
+        if mods[mid] in ("image", "audio"):
+            # container really decoded, features computed from the
+            # decoded bytes == the original payload bytes
+            assert r.decode_ok, mid
+        else:
+            assert not r.decode_ok, mid
+        assert r.features == raw[mid].features, mid
