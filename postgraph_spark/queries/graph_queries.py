@@ -115,6 +115,74 @@ def graph_vle_paths(spark, sf_dir):
     )
 
 
+#: 2^48 — the graphid entry-id span (graph.py ENTRY_ID_BITS)
+_B = 1 << 48
+
+_VLE_DEEP_ORACLE = f"""
+    WITH ed AS (
+      SELECT 6*{_B} + o_orderkey AS id, 1*{_B} + o_custkey AS s,
+             2*{_B} + o_orderkey AS t
+      FROM orders
+      UNION ALL
+      SELECT 7*{_B} + l_orderkey*8 + l_linenumber, 2*{_B} + l_orderkey,
+             3*{_B} + l_partkey
+      FROM lineitem
+      UNION ALL
+      SELECT 8*{_B} + c_custkey, 1*{_B} + c_custkey, 5*{_B} + c_nationkey
+      FROM customer
+      UNION ALL
+      SELECT 8*{_B} + {1 << 40} + s_suppkey, 4*{_B} + s_suppkey,
+             5*{_B} + s_nationkey
+      FROM supplier),
+    u AS (SELECT DISTINCT id, s, t
+          FROM (SELECT id, s, t FROM ed UNION ALL SELECT id, t AS s, s AS t FROM ed)),
+    seeds AS (SELECT 1*{_B} + c_custkey AS v FROM customer WHERE c_custkey < 5),
+    p1 AS (SELECT e1.id AS i1, e1.t AS v1 FROM seeds JOIN u e1 ON e1.s = seeds.v),
+    p2 AS (SELECT p1.i1, e2.id AS i2, e2.t AS v2
+           FROM p1 JOIN u e2 ON e2.s = p1.v1 AND e2.id <> p1.i1),
+    p3 AS (SELECT e3.t AS v3
+           FROM p2 JOIN u e3 ON e3.s = p2.v2 AND e3.id <> p2.i1 AND e3.id <> p2.i2),
+    lab AS (
+      SELECT 1 AS hops, v1 // {_B} AS lid FROM p1
+      UNION ALL SELECT 2, v2 // {_B} FROM p2
+      UNION ALL SELECT 3, v3 // {_B} FROM p3)
+    SELECT hops,
+           CASE lid WHEN 1 THEN 'customer' WHEN 2 THEN 'orders'
+                WHEN 3 THEN 'part' WHEN 4 THEN 'supplier'
+                ELSE 'nation' END AS end_label,
+           count(*) AS n_paths
+    FROM lab GROUP BY hops, lid
+"""
+
+
+@register("graph_vle_deep", _VLE_DEEP_ORACLE)
+def graph_vle_deep(spark, sf_dir):
+    """MATCH (c:customer)-[*1..3]-(x) WHERE c.c_custkey < 5 RETURN hops,
+    label(x), count(*) — the UNDIRECTED variable-length traversal in full
+    path mode with pairwise edge-uniqueness (dfs.c:48-663 relationship
+    isomorphism) over the entire sf graph, not a fixture: every hop is a
+    frontier-vs-edge-table equi-join and the union-of-orientations edge
+    set doubles the scan. Exercises the iterative expansion machinery on
+    600 k-row data (round-8 verdict #7). Oracle: the three hop levels
+    replayed as explicit self-joins over the same oriented edge union
+    with the same pairwise edge-id inequalities."""
+    from postgraph_spark.operators.vle import vle
+
+    g = tpch_graph(spark, sf_dir)
+    starts = (
+        g.vertices_with_label("customer")
+        .filter(F.try_variant_get(F.col("pv"), "$.c_custkey", "long") < 5)
+        .select("id")
+    )
+    paths = vle(g, lo=1, hi=3, direction="both", start_ids=starts)
+    ends = g.vertices.select(F.col("id").alias("end_id"), F.col("label").alias("end_label"))
+    return (
+        paths.join(ends, "end_id")
+        .groupBy("hops", "end_label")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+
+
 # ------- queries executed through the FULL Cypher surface (parse ->
 # clause IR -> DataFrame compile, SURVEY §3) — the engine itself is what
 # the oracle checks here, not a hand-built DataFrame
