@@ -153,6 +153,19 @@ def jaccard_pairs(
     sorted shingle arrays. This kills the freq^2 blow-up of a plain
     inverted-index join on ubiquitous stop-shingles: the most frequent
     shingles sort LAST and never enter a prefix.
+
+    Two further PPJoin filters run ON the prefix-matched rows, before
+    the candidate dedup + array re-attach (each prefix row carries just
+    2 extra ints):
+      length filter  — jac >= t forces min(|A|,|B|) >= t*max(|A|,|B|);
+      positional     — a match at 0-based prefix positions (pa, pb)
+                       bounds the intersection by 1 + min(|A|-pa-1,
+                       |B|-pb-1), which must reach ceil(t/(1+t) *
+                       (|A|+|B|)) (the jac>=t overlap requirement).
+    Both bounds are epsilon-relaxed so exact-threshold pairs are never
+    pruned by float rounding; a pair survives if ANY shared prefix
+    element passes (a superset of textbook PPJoin's first-match rule —
+    sound, never drops a true pair).
     """
     # 64-bit shingle hashes, not text: same equality classes (collisions
     # negligible at 2^-64), far smaller shuffle rows.
@@ -177,11 +190,31 @@ def jaccard_pairs(
     # the whole array); instead candidates dedup as bare (a, b) pairs
     # and the arrays re-attach afterwards with two narrow equi-joins on
     # id — the arrays move once per doc, not once per prefix element.
-    pre = arrs.select(F.col("id"), F.explode(F.slice("arr", 1, plen)).alias("pshingle"))
+    pre = arrs.select(
+        F.col("id"), sz.alias("sz"),
+        F.posexplode(F.slice("arr", 1, plen)).alias("pos", "pshingle"),
+    )
+    eps = 1e-9
+    sza, szb = F.col("sza"), F.col("szb")
+    overlap_min = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (sza + szb) - eps
+    )
+    overlap_ub = 1 + F.least(sza - F.col("pa") - 1, szb - F.col("pb") - 1)
     cands = (
-        pre.select(F.col("id").alias("a"), "pshingle")
-        .join(pre.select(F.col("id").alias("b"), "pshingle"), "pshingle")
+        pre.select(
+            F.col("id").alias("a"), F.col("sz").alias("sza"),
+            F.col("pos").alias("pa"), "pshingle",
+        )
+        .join(
+            pre.select(
+                F.col("id").alias("b"), F.col("sz").alias("szb"),
+                F.col("pos").alias("pb"), "pshingle",
+            ),
+            "pshingle",
+        )
         .filter(F.col("a") < F.col("b"))
+        .filter(F.least(sza, szb) >= F.lit(threshold) * F.greatest(sza, szb) - eps)
+        .filter(overlap_ub >= overlap_min)
         .select("a", "b")
         .distinct()
         .join(arrs.select(F.col("id").alias("a"), F.col("arr").alias("arr_a")), "a")
