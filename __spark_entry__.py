@@ -37,8 +37,11 @@ _PRIORITY = [
     "q1_pricing_summary",
     "agg_stats", "regr_family",
     "percentile_quantiles",
-    # graph pattern operators (hand-planned)
-    "graph_match_2hop", "graph_vle_paths", "graph_reach_pairs",
+    # graph pattern operators (hand-planned). graph_vle_deep is NEW
+    # (round-8 verdict #7): undirected *1..3 path-mode VLE with edge
+    # uniqueness over the full sf graph, not the fixture
+    "graph_match_2hop", "graph_vle_paths", "graph_vle_deep",
+    "graph_reach_pairs",
     # the FULL Cypher engine path
     "cypher_match_agg", "cypher_optional_match",
     "cypher_union_labels", "cypher_unwind_collect", "cypher_exists_pattern",
@@ -50,10 +53,16 @@ _PRIORITY = [
     # interval join keep three streaming rows under the oracle)
     "multimodal_meta",
     "stream_dedup_events",
-    # function kits
+    # function kits (range_ops + geometric_kit_full rotated out this
+    # round — both multi-round green, their families stay locally
+    # oracled — to make prefix room for the two never-driver-checked
+    # rows below, round-8 verdict #4)
     "vector_distance_funcs", "json_containment_ops",
-    "tsearch_match", "range_ops",
-    "geometric_kit_full", "pg_expr_forms",
+    "tsearch_match", "pg_expr_forms",
+    # the ONLY two rows never externally checked in any round — both
+    # freshly reworked this round (real PGM/WAV container decode with a
+    # byte-exact oracle; the bigram-LM scoring pipeline)
+    "multimodal_decode", "ngram_logprob_score",
     # LLM-pipeline operators (sim_topk_ivf rotated out: the TRAINED
     # variant below plus the new IVF-PQ row strictly cover the
     # probe-join shape)
@@ -98,8 +107,10 @@ _PRIORITY = [
     # bucketing (its oracle REPLAYS the whole ngram_logprob_score
     # pipeline, so that row rotates out covered), the sliding-window
     # streaming aggregation, corpus TF-IDF, and PQ compression
-    "expr_operator_forms", "perplexity_buckets", "stream_sliding_counts",
-    "tfidf_top_terms", "pq_quantize_embeddings",
+    # perplexity_buckets stays in: its bucketing path was rewritten this
+    # round (approx_percentile thresholds at scale, round-8 verdict #1)
+    "expr_operator_forms", "perplexity_buckets",
+    "pq_quantize_embeddings",
     # rotated OUT this round (still oracle-checked locally, shapes
     # driver-covered): text_stats/lang_id/token_count/rolling_hash
     # (pure-expression and JVM-regexp families stay via pii_scrub,
@@ -111,11 +122,18 @@ _PRIORITY = [
     # repetition_stats (Gopher family stays via boilerplate_ngrams),
     # geometric_ops (geometric_kit_full stays), stream_sessionize (two
     # streaming rows stay)
+    # tfidf_top_terms sits at slot 50: the prefix self-fills to 50 rows,
+    # and it is the most recently green of the demoted set
+    "tfidf_top_terms",
+    # round-9 rotations OUT (all r8-driver-green, shapes still covered):
+    # sliding counts (two streaming rows stay), range/geometric kits
+    # (multi-round green, locally oracled every run)
+    "stream_sliding_counts", "range_ops", "geometric_kit_full",
     "simhash_fingerprints", "dup_triangles", "sample_stratified",
     "text_stats", "interval_overlap_join",
     "lang_id_heuristic", "token_count_bpe", "rolling_hash_fingerprint",
     "repetition_stats", "geometric_ops", "stream_sessionize",
-    "sim_topk_ivf", "boilerplate_ngrams", "ngram_logprob_score",
+    "sim_topk_ivf", "boilerplate_ngrams",
     "stream_windowed_counts", "stream_interval_join", "decontam_overlap",
     "pii_scrub", "asof_view_before_click",
     # earlier rotations: dedup_exact_groups (md5-groupBy = stage 1 of
@@ -125,7 +143,6 @@ _PRIORITY = [
     # recur in cypher_temporal_funcs)
     "dedup_exact_groups", "sim_topk_cosine", "embed_neardup_pairs",
     "network_funcs", "cypher_extended_casts", "cypher_kit_funcs",
-    "multimodal_decode",
     # previously-demoted shapes (see round-6 notes): q5's multi-join =
     # entry()'s flagship smoke check; setop-ALL / match_where /
     # quantified / null-handling semantics recur in prefix rows
