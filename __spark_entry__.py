@@ -92,6 +92,8 @@ _PRIORITY = [
     # mirror), and pagerank — under an EXACT DuckDB oracle
     # (deterministic rounds replayed as CTEs, round-7 verdict #1)
     "cypher_write_roundtrip", "dup_ngram_fraction",
+    # NEW round 9: BM25 top-k retrieval (query-term-filtered postings)
+    "bm25_topk",
     "stream_dim_enrich", "pagerank_dupgraph",
     # round-8 prefix rotation (round-7 verdict #1): the four round-7
     # flagship rows move INTO the 50-row prefix for their first external

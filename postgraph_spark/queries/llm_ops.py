@@ -1113,6 +1113,112 @@ def sim_topk_ivf_trained(spark, sf_dir):
     )
 
 
+#: BM25 retrieval bench queries (terms from the synthetic vocabulary)
+_BM25_QUERIES = {
+    0: ["fast", "query", "scan"],
+    1: ["stream", "window", "join"],
+    2: ["merge", "sort", "batch"],
+}
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 10
+
+
+def _bm25_oracle() -> str:
+    terms = sorted({w for ws in _BM25_QUERIES.values() for w in ws})
+    in_list = ", ".join(f"'{w}'" for w in terms)
+    qvals = ", ".join(
+        f"({qid}, '{w}')" for qid, ws in sorted(_BM25_QUERIES.items()) for w in ws
+    )
+    k1, b, topk = _BM25_K1, _BM25_B, _BM25_TOPK
+    return rf"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+                  FROM documents),
+    stats AS (SELECT count(*) AS n, avg(CAST(len(tk) AS DOUBLE)) AS avgdl FROM toks),
+    dl AS (SELECT doc_id, len(tk) AS dl FROM toks),
+    posts AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM posts
+           WHERE w IN ({in_list}) GROUP BY doc_id, w),
+    dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    q(query_id, w) AS (VALUES {qvals}),
+    sc AS (
+      SELECT q.query_id, tf.doc_id,
+             round(sum(
+               ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+               * tf.tf * ({k1} + 1)
+               / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+             ), 6) AS score
+      FROM tf JOIN dfq USING (w) JOIN q USING (w) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id)
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS rnk
+          FROM sc)
+    WHERE rnk <= {topk}
+    """
+
+
+@register("bm25_topk", _bm25_oracle())
+def bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval (Robertson/Sparck-Jones; the Lucene
+    practical-scoring idf variant ln((N-df+0.5)/(df+0.5)+1)) for a small
+    query set over the documents corpus — the retrieval primitive of a
+    RAG / data-curation pipeline, complementing tsearch's boolean match
+    and ts_rank.
+
+    Shape at 100 TB: the term filter (isin on the literal query-term
+    set) applies ON the exploded token stream map-side, so only
+    query-term postings ever shuffle — tf is one partial agg over that
+    tiny filtered set, df re-aggregates tf's output, and the per-doc
+    length table is a map-side projection (size(tokens), no explode)
+    joined doc-keyed. N and avgdl are the only driver scalars (one
+    1-row agg). Top-k is a query-partitioned window over the scored
+    rows (query-cardinality x candidate docs, far below the corpus).
+    Ranking uses the ROUNDED score with doc_id tie-breaks on both
+    engines, so the cutoff is deterministic."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    from postgraph_spark.operators.dedup import _spread
+
+    base = _spread(docs).select("doc_id", TX.tokens(F.col("text")).alias("tk"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size("tk").cast("double")).alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
+    qterms = sorted({w for ws in _BM25_QUERIES.values() for w in ws})
+    dl = base.select("doc_id", F.size("tk").alias("dl"))
+    posts = base.select("doc_id", F.explode("tk").alias("w")).filter(
+        F.col("w").isin(qterms)
+    )
+    tf = posts.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    qdf = spark.createDataFrame(
+        [(qid, w) for qid, ws in sorted(_BM25_QUERIES.items()) for w in ws],
+        "query_id long, w string",
+    )
+    idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl)
+    )
+    term_score = idf * F.col("tf") * (_BM25_K1 + 1) / denom
+    scored = (
+        tf.join(dfreq, "w")
+        .join(F.broadcast(qdf), "w")
+        .join(dl, "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("score"))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rnk") <= _BM25_TOPK)
+        .select("query_id", "doc_id", "score", "rnk")
+    )
+
+
 @register(
     "tfidf_top_terms",
     r"""
