@@ -16,6 +16,15 @@ Scale notes: every operator keys its state (user_id / window / dedup key)
 so state is hash-partitioned across executors; watermarks bound state
 size; no driver-side state anywhere. At 100 TB/day the same topology runs
 with a Kafka source instead of files — the transformations are unchanged.
+
+Shared rounding convention (all sum-of-doubles outputs here and in their
+oracles): ``round(sum(value), 6)`` on BOTH engines. Spark's partial-agg
+summation order is nondeterministic and differs from DuckDB's
+sequential fold; 6-decimal rounding absorbs the reassociation error at
+these magnitudes. If a group's sum ever lands within ~1 ulp of a
+rounding boundary and flakes the oracle hash, the documented escalation
+is to sum as DECIMAL(38,12) on both sides (cast before aggregation) —
+exact, order-independent, slower.
 """
 
 from __future__ import annotations
