@@ -93,7 +93,9 @@ _PRIORITY = [
     # (deterministic rounds replayed as CTEs, round-7 verdict #1)
     "cypher_write_roundtrip", "dup_ngram_fraction",
     # NEW round 9: BM25 top-k retrieval (query-term-filtered postings)
-    "bm25_topk",
+    # and synchronous label-propagation communities (deterministic
+    # min-label tie-break, rounds replayed as oracle CTEs)
+    "bm25_topk", "label_prop_communities",
     "stream_dim_enrich", "pagerank_dupgraph",
     # round-8 prefix rotation (round-7 verdict #1): the four round-7
     # flagship rows move INTO the 50-row prefix for their first external

@@ -102,3 +102,50 @@ def triangle_count(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFram
         .union(tri.select(F.col("z").alias("v")))
     )
     return member.groupBy("v").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    num_iter: int = 4,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, the GraphX LPA variant made DETERMINISTIC): labels init to
+    the vertex id; each round every vertex adopts the most frequent
+    label among its neighbors, ties broken by the SMALLEST label, all
+    vertices updating simultaneously from the previous round's labels.
+    A fixed round count + deterministic tie-break means the result is a
+    pure function of the edge list — exactly replayable as SQL CTEs by
+    the oracle. Returns (v, lbl).
+
+    Scale shape: per round one join of the oriented edge list against
+    the label table (both keyed on vertex id) + two partial-agg
+    shuffles (neighbor-label counts, per-vertex argmin pick); labels
+    checkpoint per round to cut lineage. Isolated vertices keep their
+    own label (LEFT join + coalesce)."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    und = e.union(
+        e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    ).localCheckpoint(eager=True)
+    verts = und.select(F.col("s").alias("v")).distinct()
+    labels = verts.select("v", F.col("v").alias("lbl")).localCheckpoint(eager=True)
+    for _ in range(num_iter):
+        cnt = (
+            und.join(labels.withColumnRenamed("v", "s"), "s")
+            .groupBy(F.col("t").alias("v"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax count with min-label tie-break == lexicographic min of
+        # (-count, label)
+        pick = cnt.groupBy("v").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("lbl")))
+            .getField("lbl")
+            .alias("new_lbl")
+        )
+        labels = (
+            labels.join(pick, "v", "left")
+            .select("v", F.coalesce("new_lbl", "lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

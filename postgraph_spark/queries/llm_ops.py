@@ -342,6 +342,55 @@ def pagerank_dupgraph(spark, sf_dir):
     )
 
 
+# one synchronous LPA round: neighbor-label counts -> per-vertex pick
+# (max count, min label) -> coalesce with the previous labels
+_LPA_ROUND = """
+    cnt{i} AS (SELECT u.t AS v, l.lbl, count(*) AS c
+               FROM u JOIN l{p} l ON l.v = u.s GROUP BY u.t, l.lbl),
+    pk{i} AS (SELECT v, lbl FROM (
+                SELECT v, lbl,
+                       row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+                FROM cnt{i}) WHERE rn = 1),
+    l{i} AS (SELECT l.v, coalesce(p.lbl, l.lbl) AS lbl
+             FROM l{p} l LEFT JOIN pk{i} p ON p.v = l.v)"""
+
+_LPA_SQL = (
+    f"""
+    WITH {_LSH_PAIRS_MAT},
+    u AS MATERIALIZED (SELECT a AS s, b AS t FROM pairs
+                       UNION ALL SELECT b AS s, a AS t FROM pairs),
+    verts AS (SELECT DISTINCT s AS v FROM u),
+    l0 AS (SELECT v, v AS lbl FROM verts),"""
+    + ",".join(_LPA_ROUND.format(i=i, p=i - 1) for i in range(1, 5))
+    + """
+    SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+           min(v) AS min_member
+    FROM l4 GROUP BY lbl
+"""
+)
+
+
+@register("label_prop_communities", _LPA_SQL)
+def label_prop_communities(spark, sf_dir):
+    """Community detection over the near-dup pair graph via synchronous
+    label propagation (operators/pagerank.label_propagation — 4
+    deterministic rounds, min-label tie-break): the cluster-granularity
+    view of duplicate structure that complements dedup_clusters' exact
+    connected components (LPA splits weakly-joined near-dup blobs that
+    CC merges). The oracle replays the identical rounds as DuckDB CTEs
+    (the pagerank_dupgraph technique)."""
+    from postgraph_spark.operators import pagerank as PR
+
+    pairs = DD.lsh_candidate_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, bands=4, k=3
+    )
+    labels = PR.label_propagation(pairs, "a", "b", num_iter=4)
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("v").alias("min_member"),
+    )
+
+
 @register(
     "dup_triangles",
     f"""

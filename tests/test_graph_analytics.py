@@ -38,3 +38,25 @@ def test_triangle_count_orientation_dedup(spark):
     )
     t = {row.v: row.triangles for row in triangle_count(e).collect()}
     assert t == {0: 1, 1: 1, 2: 1}
+
+
+def test_label_propagation_disjoint_cliques(spark):
+    from postgraph_spark.operators.pagerank import label_propagation
+
+    # two disjoint triangles: each converges to its min vertex id
+    tri1 = [(0, 1), (1, 2), (0, 2)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    e = spark.createDataFrame(tri1 + tri2, ["src", "dst"])
+    got = {r.v: r.lbl for r in label_propagation(e, num_iter=4).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+
+
+def test_label_propagation_deterministic(spark):
+    from postgraph_spark.operators.pagerank import label_propagation
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (2, 5), (5, 6)], ["src", "dst"]
+    )
+    a = sorted(map(tuple, label_propagation(e, num_iter=3).collect()))
+    b = sorted(map(tuple, label_propagation(e, num_iter=3).collect()))
+    assert a == b
