@@ -59,3 +59,46 @@ def test_values_and_results_match(engine):
     assert engine.fetch_values(
         "MATCH (n:a) WHERE n.x >= 0 AND NOT (n.missing = 1) RETURN count(*) AS c"
     ) == [0]
+
+
+# ------------------------- round-9 operator plan shapes (sf0.001 data)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bm25_plan_shape(spark):
+    """bm25: the query-term table joins BROADCAST (never shuffles the
+    postings on it) and no CartesianProduct appears anywhere."""
+    from postgraph_spark.queries.llm_ops import bm25_topk
+
+    plan = _physical(bm25_topk(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_label_prop_no_cartesian(spark):
+    from postgraph_spark.queries.llm_ops import label_prop_communities
+
+    plan = _physical(label_prop_communities(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_vle_deep_no_cartesian(spark):
+    from postgraph_spark.queries.graph_queries import graph_vle_deep
+
+    plan = _physical(graph_vle_deep(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_perplexity_threshold_path_no_global_window(spark):
+    """the scale path must contain NO partitionless window (the global
+    ntile was the tree's only one; round-8 verdict #1)."""
+    from postgraph_spark.queries.llm_ops import perplexity_buckets
+
+    plan = _physical(perplexity_buckets(spark, SF, exact_max=0))
+    assert "Window" not in plan, plan
