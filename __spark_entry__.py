@@ -52,7 +52,11 @@ _PRIORITY = [
     # row strictly covers the tumbling shape; dedup-by-watermark and the
     # interval join keep three streaming rows under the oracle)
     "multimodal_meta",
-    "stream_dedup_events",
+    # NEW round 9: stream-stream LEFT OUTER interval join (watermark-
+    # driven null emission — the outer variant of the attribution join).
+    # stream_dedup_events rotates out for it (r8-green; dedup-by-
+    # watermark stays pinned stream==batch locally)
+    "stream_interval_left_join",
     # function kits (range_ops + geometric_kit_full rotated out this
     # round — both multi-round green, their families stay locally
     # oracled — to make prefix room for the two never-driver-checked
@@ -131,8 +135,9 @@ _PRIORITY = [
     "tfidf_top_terms",
     # round-9 rotations OUT (all r8-driver-green, shapes still covered):
     # sliding counts (two streaming rows stay), range/geometric kits
-    # (multi-round green, locally oracled every run)
+    # (multi-round green, locally oracled every run), dedup-by-watermark
     "stream_sliding_counts", "range_ops", "geometric_kit_full",
+    "stream_dedup_events",
     "simhash_fingerprints", "dup_triangles", "sample_stratified",
     "text_stats", "interval_overlap_join",
     "lang_id_heuristic", "token_count_bpe", "rolling_hash_fingerprint",

@@ -107,6 +107,42 @@ def stream_interval_join(spark, sf_dir):
 
 
 @register(
+    "stream_interval_left_join",
+    """
+    WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id,
+           round(p.value, 6) AS purchase_value
+    FROM c LEFT JOIN p ON p.user_id = c.user_id
+               AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
+)
+def stream_interval_left_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join: every click paired with
+    same-user purchases in the next 10 minutes, UN-attributed clicks
+    emitted with NULL purchase columns — the outer variant Structured
+    Streaming supports because the watermark + time-range condition
+    prove when no future match can arrive (state expires, null row
+    emits). Identical batch program under the oracle; stream == batch
+    pinned in tests/test_streaming.py with a watermark-flush sentinel."""
+    e = t(spark, sf_dir, "events")
+    out = S.interval_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+        how="left_outer",
+    )
+    return out.select(
+        F.col("l_id").alias("click_id"),
+        F.col("r_id").alias("purchase_id"),
+        F.col("l_key").alias("user_id"),
+        F.round("r_value", 6).alias("purchase_value"),
+    )
+
+
+@register(
     "stream_sliding_counts",
     """
     WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

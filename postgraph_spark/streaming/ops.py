@@ -106,6 +106,7 @@ def interval_join(
     key: str = "user_id",
     horizon: str = "10 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream INTERVAL join: pair each left event with the right
     events of the same key whose timestamp falls in
@@ -114,7 +115,16 @@ def interval_join(
     can expire buffered rows once the watermark passes the horizon —
     bounded state, the canonical attribution-join shape (click ->
     purchase within N minutes). Works identically on batch DataFrames
-    (the watermark is a no-op there)."""
+    (the watermark is a no-op there).
+
+    how='left_outer' emits null-padded rows for UNMATCHED left events —
+    the un-attributed-click shape. Streaming caveat (Structured
+    Streaming semantics, not ours): an outer row is emitted only once
+    the watermark proves no future match can arrive, so a drained
+    finite stream holds back outer rows near its end unless a later
+    event advances the watermark past max(l_ts) + horizon
+    (tests/test_streaming.py pins stream == batch with such a
+    sentinel)."""
     l = left.withWatermark("ts", watermark).select(
         F.col(key).alias("l_key"),
         F.col("ts").alias("l_ts"),
@@ -132,6 +142,7 @@ def interval_join(
         (F.col("l_key") == F.col("r_key"))
         & (F.col("r_ts") > F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}")),
+        how,
     )
 
 

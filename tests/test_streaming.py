@@ -128,3 +128,51 @@ def test_dim_enrich_is_broadcast_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_interval_left_join_stream_equals_batch(spark, event_dir, tmp_path):
+    """LEFT OUTER stream-stream interval join: outer (null-padded) rows
+    emit only when the watermark proves no match can arrive, so the
+    stream gets a far-future sentinel event that pushes the watermark
+    past every click's horizon before the drain ends."""
+    d = str(tmp_path / "events_with_sentinel")
+    ev = load_table(spark, "events", SF_DIR)
+    ev.coalesce(1).write.mode("append").parquet(d)
+    # TWO sentinel files: the first advances the watermark past every
+    # click's horizon; the second triggers one more micro-batch in which
+    # the (already advanced) watermark evicts state and emits the
+    # remaining outer rows. The sentinels must be CLICKS — the watermark
+    # is tracked per join input AFTER the event_type filter, so a
+    # foreign-typed sentinel would never reach the watermark node.
+    for days in (10, 20):
+        sentinel = ev.agg(
+            F.lit(-days).alias("event_id"),
+            (F.max("ts") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            F.lit(-1).alias("user_id"),
+            F.lit("click").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        sentinel = ev.sparkSession.createDataFrame(sentinel.collect(), ev.schema)
+        sentinel.coalesce(1).write.mode("append").parquet(d)
+
+    stream = S.read_event_stream(spark, d, max_files_per_trigger=1)
+    clicks = stream.filter(F.col("event_type") == "click")
+    buys = stream.filter(F.col("event_type") == "purchase")
+    S.run_to_memory(
+        S.interval_join(clicks, buys, how="left_outer"), "lij_out",
+        output_mode="append",
+    )
+    # drop the sentinel clicks (negative ids) — the batch side has none
+    got = [r for r in rows_sorted(spark.table("lij_out")) if r[0] >= 0]
+    batch = load_table(spark, "events", SF_DIR)
+    want = rows_sorted(
+        S.interval_join(
+            batch.filter(F.col("event_type") == "click"),
+            batch.filter(F.col("event_type") == "purchase"),
+            how="left_outer",
+        )
+    )
+    assert got == want
+    # the outer rows are the point: some clicks must be unmatched
+    assert any(r[5] is None for r in want), "fixture has no unmatched clicks"
