@@ -57,11 +57,12 @@ _PRIORITY = [
     # stream_dedup_events rotates out for it (r8-green; dedup-by-
     # watermark stays pinned stream==batch locally)
     "stream_interval_left_join",
-    # function kits (range_ops + geometric_kit_full rotated out this
-    # round — both multi-round green, their families stay locally
-    # oracled — to make prefix room for the two never-driver-checked
-    # rows below, round-8 verdict #4)
-    "vector_distance_funcs", "json_containment_ops",
+    # function kits (range_ops, geometric_kit_full + vector_distance
+    # rotated out this round — all multi-round green, families stay
+    # locally oracled and the vector family stays externally covered by
+    # vector_ops_topk + the IVF rows — to make prefix room for the two
+    # never-driver-checked rows below, round-8 verdict #4)
+    "json_containment_ops",
     "tsearch_match", "pg_expr_forms",
     # the ONLY two rows never externally checked in any round — both
     # freshly reworked this round (real PGM/WAV container decode with a
@@ -95,7 +96,9 @@ _PRIORITY = [
     # driver check and the interval shape stays via asof + the local
     # mirror), and pagerank — under an EXACT DuckDB oracle
     # (deterministic rounds replayed as CTEs, round-7 verdict #1)
-    "cypher_write_roundtrip", "dup_ngram_fraction",
+    # dup_span_fraction is NEW round 9: the Lee-et-al duplicated-SPAN
+    # signal (gaps-and-islands merge of cross-doc 5-gram occurrences)
+    "cypher_write_roundtrip", "dup_ngram_fraction", "dup_span_fraction",
     # NEW round 9: BM25 top-k retrieval (query-term-filtered postings)
     # and synchronous label-propagation communities (deterministic
     # min-label tie-break, rounds replayed as oracle CTEs)

@@ -1534,6 +1534,95 @@ def ivfpq_adc_topk(spark, sf_dir):
 
 
 @register(
+    "dup_span_fraction",
+    f"""
+    WITH {_TOKS},
+    g5 AS (SELECT doc_id, j AS i, array_to_string(tk[j+1:j+5], ' ') AS g
+           FROM (SELECT doc_id, tk, unnest(generate_series(0, len(tk)-5)) AS j
+                 FROM toks WHERE len(tk) >= 5)),
+    dfq AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM g5)
+            GROUP BY g HAVING count(*) > 1),
+    dup AS (SELECT doc_id, i FROM g5 JOIN dfq USING (g)),
+    isl AS (SELECT doc_id, i,
+                   CASE WHEN i <= max(i + 4) OVER (
+                          PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        THEN 0 ELSE 1 END AS ni
+            FROM dup),
+    isl2 AS (SELECT doc_id, i,
+                    sum(ni) OVER (PARTITION BY doc_id ORDER BY i) AS island
+             FROM isl),
+    cov AS (SELECT doc_id, island, max(i) - min(i) + 5 AS span
+            FROM isl2 GROUP BY doc_id, island),
+    per AS (SELECT doc_id, sum(span) AS dup_tokens FROM cov GROUP BY doc_id),
+    nt AS (SELECT doc_id, len(tk) AS n_tokens FROM toks)
+    SELECT nt.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           round(coalesce(dup_tokens, 0) / CAST(n_tokens AS DOUBLE), 6)
+             AS dup_span_frac
+    FROM nt LEFT JOIN per USING (doc_id)
+    """,
+)
+def dup_span_fraction(spark, sf_dir):
+    """Duplicated-SPAN fraction — the exact-substring dedup signal of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", at 5-gram granularity: per document, the fraction of its
+    tokens covered by the UNION of all 5-gram occurrences that also
+    appear in another document. Differs from dup_ngram_fraction
+    (occurrence counting) by merging overlapping duplicated grams into
+    maximal spans — the quantity a span-removal pass would actually cut.
+
+    Shape at 100 TB: gram explode is map-side; the >1-doc gram set is a
+    distinct + one gram-keyed count shuffle; the mark join is gram-keyed
+    (AQE skew-splits boilerplate); span merging is the classic
+    gaps-and-islands rewrite — DOC-partitioned windows (running max of
+    span ends, island ids by running sum), never a global window; the
+    final fraction is one per-doc agg. Integer arithmetic end-to-end, so
+    the oracle is exact with no float-rounding surface except the final
+    division."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    from postgraph_spark.operators.dedup import _spread
+
+    L = 5
+    base = _spread(docs).select(
+        "doc_id", TX.tokens(F.col("text")).alias("tk")
+    )
+    g5 = base.select(
+        "doc_id", F.posexplode(TX.shingles(F.col("tk"), L)).alias("i", "g")
+    )
+    dupg = (
+        g5.select("doc_id", "g").distinct()
+        .groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 1)
+        .select("g")
+    )
+    dup = g5.join(dupg, "g").select("doc_id", "i")
+    w_ord = Window.partitionBy("doc_id").orderBy("i")
+    prev_end = F.max(F.col("i") + (L - 1)).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ni = F.when(prev_end.isNull() | (F.col("i") > prev_end), 1).otherwise(0)
+    islands = dup.withColumn("island", F.sum(ni).over(w_ord))
+    per = (
+        islands.groupBy("doc_id", "island")
+        .agg((F.max("i") - F.min("i") + L).alias("span"))
+        .groupBy("doc_id")
+        .agg(F.sum("span").alias("dup_tokens"))
+    )
+    nt = base.select("doc_id", F.size("tk").cast("long").alias("n_tokens"))
+    return nt.join(per, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens").cast("double"), 6
+        ).alias("dup_span_frac"),
+    )
+
+
+@register(
     "dup_ngram_fraction",
     f"""
     WITH {_TOKS},
