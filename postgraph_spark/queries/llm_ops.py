@@ -1219,13 +1219,14 @@ def bm25_topk(spark, sf_dir):
     Shape at 100 TB: the term filter (isin on the literal query-term
     set) applies ON the exploded token stream map-side, so only
     query-term postings ever shuffle — tf is one partial agg over that
-    tiny filtered set, df re-aggregates tf's output, and the per-doc
-    length table is a map-side projection (size(tokens), no explode)
-    joined doc-keyed. N and avgdl are the only driver scalars (one
-    1-row agg). Top-k is a query-partitioned window over the scored
-    rows (query-cardinality x candidate docs, far below the corpus).
-    Ranking uses the ROUNDED score with doc_id tie-breaks on both
-    engines, so the cutoff is deterministic."""
+    tiny filtered set with the doc length riding along as a
+    functionally-dependent group key (no separate doc-length scan or
+    doc-keyed join), and df re-aggregates tf's output. N and avgdl are
+    the only driver scalars (one 1-row agg). Top-k is a
+    query-partitioned window over the scored rows (query-cardinality x
+    candidate docs, far below the corpus). Ranking uses the ROUNDED
+    score with doc_id tie-breaks on both engines, so the cutoff is
+    deterministic."""
     from pyspark.sql import Window
 
     docs = t(spark, sf_dir, "documents")
@@ -1238,11 +1239,13 @@ def bm25_topk(spark, sf_dir):
     ).collect()[0]
     n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
     qterms = sorted({w for ws in _BM25_QUERIES.values() for w in ws})
-    dl = base.select("doc_id", F.size("tk").alias("dl"))
-    posts = base.select("doc_id", F.explode("tk").alias("w")).filter(
-        F.col("w").isin(qterms)
-    )
-    tf = posts.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    # dl rides the exploded postings as a group key (functionally
+    # dependent on doc_id): ONE corpus pass yields tf AND dl, no
+    # separate doc-length scan or doc-keyed join
+    posts = base.select(
+        "doc_id", F.size("tk").alias("dl"), F.explode("tk").alias("w")
+    ).filter(F.col("w").isin(qterms))
+    tf = posts.groupBy("doc_id", "dl", "w").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     qdf = spark.createDataFrame(
         [(qid, w) for qid, ws in sorted(_BM25_QUERIES.items()) for w in ws],
@@ -1256,7 +1259,6 @@ def bm25_topk(spark, sf_dir):
     scored = (
         tf.join(dfreq, "w")
         .join(F.broadcast(qdf), "w")
-        .join(dl, "doc_id")
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum(term_score), 6).alias("score"))
     )
