@@ -79,6 +79,68 @@ def bag_fingerprint(text: Column | str) -> Column:
     return F.md5(F.array_join(F.sort_array(F.array_distinct(tokens(text))), " "))
 
 
+#: the Gopher/MassiveText "stop word" presence list (Rae et al. 2021,
+#: App. A.1.1): a document must contain at least 2 of these to pass
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(text: Column | str, min_stop_words: int = 2) -> dict[str, Column]:
+    """The document-level Gopher/MassiveText quality-filter rules (Rae
+    et al. 2021, Appendix A.1.1) as pure JVM Column expressions — the
+    per-document keep/drop gate a curation pipeline runs before
+    repetition filters. Returns named boolean rule columns plus n_words;
+    `keep` is their conjunction.
+
+    Every rule is a narrow projection (no shuffle, no UDF): word rules
+    fold over the whitespace token array, line rules over the
+    newline-split array, the symbol rule counts regexp matches."""
+    c = F.col(text) if isinstance(text, str) else text
+    tk = tokens(c)
+    n = F.size(tk)
+    nz = F.greatest(n, F.lit(1))
+    mean_wl = F.aggregate(tk, F.lit(0), lambda a, w: a + F.length(w)) / nz
+    symbols = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\."), 0))
+    lines = F.split(c, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("-")
+            | F.ltrim(l).startswith("*")
+            | F.ltrim(l).startswith("•"),
+        )
+    )
+    ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+        )
+    )
+    alpha = F.size(F.filter(tk, lambda w: w.rlike("[a-z]")))
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.filter(stops, lambda s: F.array_contains(tk, s)))
+    rules = {
+        "n_words": n.cast("long"),
+        "r_word_count": (n >= 50) & (n <= 100_000),
+        "r_mean_word_len": (mean_wl >= 3) & (mean_wl <= 10),
+        "r_symbol_ratio": (symbols / nz) <= 0.1,
+        "r_bullet_lines": (bullet / n_lines) <= 0.9,
+        "r_ellipsis_lines": (ellipsis / n_lines) <= 0.3,
+        "r_alpha_words": (alpha / nz) >= 0.8,
+        "r_stopwords": stop_hits >= min_stop_words,
+    }
+    rules["keep"] = (
+        rules["r_word_count"]
+        & rules["r_mean_word_len"]
+        & rules["r_symbol_ratio"]
+        & rules["r_bullet_lines"]
+        & rules["r_ellipsis_lines"]
+        & rules["r_alpha_words"]
+        & rules["r_stopwords"]
+    )
+    return rules
+
+
 #: (pattern, replacement) in APPLICATION ORDER — email before the digit
 #: rules so the local part's digits don't half-match, IP before phone so
 #: dotted quads don't read as number runs. Patterns avoid lookarounds on

@@ -229,6 +229,54 @@ def lsh_assign(
     return df.mapInPandas(gen, schema)
 
 
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    iters: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster embeddings
+    with k-means, then inside each cluster drop every vector that has a
+    LOWER-id neighbor with cosine >= threshold — semantic duplicates
+    that exact/MinHash dedup cannot see. Deterministic keeper rule
+    (min id survives) instead of the paper's random representative so
+    both engines agree row-for-row.
+
+    Returns (id_col, cluster, keep): one row per input vector.
+
+    Scale design (100 TB): k-means assignment is a pure projection
+    (clustering.py — centroids travel as plan literals); the quadratic
+    pair scan is confined within a cluster (the SemDeDup premise: k
+    grows with the corpus so cluster sizes stay bounded) and rides the
+    same one-shuffle applyInPandas pair matrix as neardup_pairs_cosine
+    — each vector moves once, pairs never shuffle. The final keep flag
+    is a cluster-key-partitioned left-anti lookup of the dropped-id
+    set, which is at most one id per duplicate pair."""
+    from postgraph_spark.operators.clustering import kmeans
+
+    clustered, _cent = kmeans(df, vec_col, id_col, k=k, iters=iters)
+    pairs = neardup_pairs_cosine(
+        clustered, id_col=id_col, vec_col=vec_col, bucket_col="cluster",
+        threshold=threshold,
+    )
+    # pairs emit a < b, so the dropped set is exactly the distinct b side
+    dropped = pairs.select(F.col("b").alias(id_col)).distinct().withColumn(
+        "__dropped", F.lit(True)
+    )
+    return (
+        clustered.select(F.col(id_col), F.col("cluster").cast("long").alias("cluster"))
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.col("__dropped").isNull().alias("keep"),
+        )
+    )
+
+
 def neardup_pairs_lsh(
     df: DataFrame,
     id_col: str = "vec_id",

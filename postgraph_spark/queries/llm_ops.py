@@ -482,6 +482,71 @@ def repetition_stats(spark, sf_dir):
 
 
 @register(
+    "gopher_quality_filter",
+    f"""
+    WITH {_TOKS},
+    base AS (
+      SELECT d.doc_id, d.text, t.tk,
+             greatest(len(t.tk), 1) AS nz,
+             str_split(d.text, chr(10)) AS lines
+      FROM documents d JOIN toks t USING (doc_id)),
+    r AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             len(tk) >= 50 AND len(tk) <= 100000 AS r_word_count,
+             list_sum(list_transform(tk, w -> len(w))) / nz >= 3
+               AND list_sum(list_transform(tk, w -> len(w))) / nz <= 10
+               AS r_mean_word_len,
+             len(regexp_extract_all(text, '#|\\.\\.\\.')) / nz <= 0.1
+               AS r_symbol_ratio,
+             len(list_filter(lines, l -> ltrim(l) LIKE '-%'
+                                      OR ltrim(l) LIKE '*%'
+                                      OR ltrim(l) LIKE '•%'))
+               / greatest(len(lines), 1) <= 0.9 AS r_bullet_lines,
+             len(list_filter(lines, l -> rtrim(l) LIKE '%...'
+                                      OR rtrim(l) LIKE '%…'))
+               / greatest(len(lines), 1) <= 0.3 AS r_ellipsis_lines,
+             len(list_filter(tk, w -> regexp_matches(w, '[a-z]'))) / nz >= 0.8
+               AS r_alpha_words,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+                             s -> list_contains(tk, s))) >= 1 AS r_stopwords
+      FROM base)
+    SELECT doc_id, n_words, r_word_count, r_mean_word_len, r_symbol_ratio,
+           r_bullet_lines, r_ellipsis_lines, r_alpha_words, r_stopwords,
+           r_word_count AND r_mean_word_len AND r_symbol_ratio
+             AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+             AND r_stopwords AS keep
+    FROM r
+    """,
+)
+def gopher_quality_filter(spark, sf_dir):
+    """The document-level Gopher/MassiveText quality-filter gate (Rae et
+    al. 2021, Appendix A.1.1): per document, every named rule verdict —
+    word-count bounds (50..100k), mean word length in [3,10],
+    symbol-to-word ratio (#/ellipsis) <= 0.1, bullet-started lines
+    <= 90%, ellipsis-ended lines <= 30%, >= 80% of words containing an
+    alphabetic character, and the Gopher stop-word presence rule —
+    plus the conjunction `keep`. The rule-level booleans (not just the
+    verdict) are what a curation pipeline logs for filter-rate audits.
+    The published stop-word minimum is 2; this corpus's synthetic
+    vocabulary holds only "the" from the list, so the row registers
+    min_stop_words=1 (the same convention as the 0.4 cosine threshold
+    standing in for the production 0.95 on embed_neardup_*).
+
+    Shape at 100 TB: a single narrow projection — every rule is a JVM
+    array fold / regexp count over the token or line array; no shuffle,
+    no UDF, no driver scalars. Catalyst prunes the scan to (doc_id,
+    text)."""
+    docs = t(spark, sf_dir, "documents")
+    from postgraph_spark.operators.dedup import _spread
+
+    rules = TX.gopher_rules(F.col("text"), min_stop_words=1)
+    return _spread(docs).select(
+        "doc_id", *[c.alias(name) for name, c in rules.items()]
+    )
+
+
+@register(
     "ngram_logprob_score",
     f"""
     WITH {_TOKS},
@@ -1029,10 +1094,11 @@ def multimodal_decode(spark, sf_dir):
     return MM.decode_media(MM.encode_containers(media), n_features=8)
 
 
-@register(
-    "kmeans_embeddings",
-    """
-    WITH e AS (
+# the k=10 / iters=2 Lloyd replay (smallest-id init, hold-position rule
+# for emptied clusters) ending in per-vector assignments `a2(vec_id, c)`
+# — shared by kmeans_embeddings and semdedup_prune
+_KM_A2_CTES = """
+    e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings),
     c0 AS (
@@ -1065,6 +1131,13 @@ def multimodal_decode(spark, sf_dir):
       SELECT vec_id, min(c) AS c FROM (
         SELECT vec_id, c, dist, min(dist) OVER (PARTITION BY vec_id) AS md FROM d2)
       WHERE dist = md GROUP BY vec_id)
+"""
+
+
+@register(
+    "kmeans_embeddings",
+    f"""
+    WITH {_KM_A2_CTES}
     SELECT a2.c AS cluster, CAST(count(*) AS BIGINT) AS n,
            round(sum(list_sum(e.v)) / count(*), 3) AS centroid_mass
     FROM a2 JOIN e USING (vec_id) GROUP BY a2.c
@@ -1090,6 +1163,44 @@ def kmeans_embeddings(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("__s") / F.count(F.lit(1)), 3).alias("centroid_mass"),
         )
+    )
+
+
+@register(
+    "semdedup_prune",
+    f"""
+    WITH {_KM_A2_CTES},
+    pairs AS (
+      SELECT b.vec_id AS dropped
+      FROM a2 a JOIN a2 b ON a.c = b.c AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE round(list_dot_product(ea.v, eb.v)
+                  / (sqrt(list_dot_product(ea.v, ea.v))
+                     * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.4),
+    drops AS (SELECT DISTINCT dropped AS vec_id FROM pairs)
+    SELECT a2.vec_id, CAST(a2.c AS BIGINT) AS cluster,
+           drops.vec_id IS NULL AS keep
+    FROM a2 LEFT JOIN drops USING (vec_id)
+    """,
+)
+def semdedup_prune(spark, sf_dir):
+    """SemDeDup semantic deduplication (Abbas et al. 2023): k-means the
+    embeddings (k=10, 2 assignment rounds — the exact kmeans_embeddings
+    replay), then inside each cluster drop every vector with a LOWER-id
+    neighbor at round(cosine,6) >= 0.4 (production ~0.95; 0.4 fires on
+    this synthetic corpus, same convention as embed_neardup_*). One row
+    per vector: (vec_id, cluster, keep) with the min-id representative
+    kept — duplicates that token-level dedup cannot see.
+
+    Scale: assignment is a pure projection (plan-literal centroids);
+    the quadratic scan is confined within clusters (the SemDeDup
+    premise — k grows with the corpus) and uses the one-shuffle
+    applyInPandas pair matrix; keep is a left-anti-style lookup of the
+    at-most-one-id-per-pair dropped set. The oracle replays the same
+    two Lloyd rounds as CTEs and the same left-associated float folds."""
+    return SIM.semdedup(
+        t(spark, sf_dir, "embeddings"), k=10, iters=2, threshold=0.4
     )
 
 

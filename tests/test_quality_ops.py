@@ -1,0 +1,98 @@
+"""SemDeDup semantic dedup + Gopher document-filter rule semantics."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from postgraph_spark.functions import text as TX
+from postgraph_spark.operators import similarity as SIM
+from tests.conftest import SF_DIR
+
+
+def test_semdedup_keep_iff_no_smaller_neighbor(spark):
+    """keep=false exactly for vectors with a LOWER-id same-cluster
+    neighbor at round(cos,6) >= t; the min id of every dup group
+    survives."""
+    from postgraph_spark.operators.clustering import kmeans
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = SIM.semdedup(emb, k=10, iters=2, threshold=0.4)
+    clustered, _ = kmeans(emb, "embedding", "vec_id", k=10, iters=2)
+    pairs = SIM.neardup_pairs_cosine(
+        clustered, bucket_col="cluster", threshold=0.4
+    ).collect()
+    dropped = {r["b"] for r in pairs}
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert r["keep"] == (r["vec_id"] not in dropped), r
+    # at least one pair fires on this corpus so the rule is exercised
+    assert dropped
+    # the smaller side of every pair is kept unless itself dominated
+    smaller = {r["a"] for r in pairs} - dropped
+    kept = {r["vec_id"] for r in rows if r["keep"]}
+    assert smaller <= kept
+
+
+def test_semdedup_schema_and_clusters(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = SIM.semdedup(emb, k=10, iters=2, threshold=0.4)
+    assert out.columns == ["vec_id", "cluster", "keep"]
+    assert dict(out.dtypes)["cluster"] == "bigint"
+    n_clusters = out.select("cluster").distinct().count()
+    assert 1 < n_clusters <= 10
+
+
+@pytest.fixture(scope="module")
+def gopher_df(spark):
+    rows = [
+        # id, text
+        (0, " ".join(["the analyse word"] * 20)),        # passes everything
+        (1, "too short the"),                             # fails word count
+        (2, " ".join(["the"] + ["antidisestablishmentarianism"] * 60)),  # long words
+        (3, " ".join(["the 123 456 789"] * 15)),          # <80% alphabetic
+        (4, "- the one\n- the two\n- the three"),          # all bullet lines
+        (5, ("the trail off... \n" * 10).strip()),         # ellipsis lines
+        (6, " ".join(["the ###### word word"] * 15)),      # symbol ratio
+        (7, " ".join(["word alone here"] * 20)),           # no stop words
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_gopher_rule_verdicts(spark, gopher_df):
+    rules = TX.gopher_rules(F.col("text"), min_stop_words=1)
+    got = {
+        r["doc_id"]: r
+        for r in gopher_df.select(
+            "doc_id", *[c.alias(n) for n, c in rules.items()]
+        ).collect()
+    }
+    assert got[0]["keep"]
+    assert not got[1]["r_word_count"] and not got[1]["keep"]
+    assert not got[2]["r_mean_word_len"]
+    assert not got[3]["r_alpha_words"]
+    assert not got[4]["r_bullet_lines"]
+    assert not got[5]["r_ellipsis_lines"]
+    assert not got[6]["r_symbol_ratio"]
+    assert not got[7]["r_stopwords"]
+    # keep is exactly the conjunction of the named rules
+    for r in got.values():
+        names = [
+            "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+            "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+            "r_stopwords",
+        ]
+        assert r["keep"] == all(r[n] for n in names)
+
+
+def test_gopher_published_stop_minimum(spark):
+    """With the published min of 2 distinct stop words, a 'the'-only
+    document fails; adding a second list word passes."""
+    df = spark.createDataFrame(
+        [(0, " ".join(["the word data"] * 20)),
+         (1, " ".join(["the word with"] * 20))],
+        ["doc_id", "text"],
+    )
+    rules = TX.gopher_rules(F.col("text"))  # default min_stop_words=2
+    got = {r["doc_id"]: r["r_stopwords"] for r in
+           df.select("doc_id", rules["r_stopwords"].alias("r_stopwords")).collect()}
+    assert got == {0: False, 1: True}
