@@ -1071,25 +1071,27 @@ def multimodal_resize(spark, sf_dir):
     SELECT doc_id AS media_id,
            ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
            list(v ORDER BY f) AS features,
-           CAST(doc_id % 3 AS INT) IN (0, 1) AS decode_ok
+           true AS decode_ok
     FROM feats GROUP BY doc_id
     """,
 )
 def multimodal_decode(spark, sf_dir):
     """Container decode + feature-extract via Arrow-batched mapInPandas.
-    Image rows are wrapped in REAL PGM (P5) containers and audio rows in
-    REAL WAV (RIFF/PCM-u8) by encode_containers; decode_media parses the
-    headers back with pure byte arithmetic (no codec libs) and featurizes
-    the DECODED pixel/sample bytes — decode_ok=true. Video has no
-    dependency-free container, so it keeps the documented stub: the
-    byte-moment fake over the raw payload, decode_ok=false.
+    Every modality is wrapped in a REAL container by encode_containers —
+    image -> PGM (P5), audio -> WAV (RIFF/PCM-u8), video -> uncompressed
+    AVI (RIFF 'AVI ', '00db' DIB frame chunks) — and decode_media parses
+    the headers back with pure byte arithmetic (no codec libs),
+    featurizing the DECODED pixel/sample/frame bytes: decode_ok=true on
+    all rows. Unparseable foreign blobs fall back to the deterministic
+    byte-moment fake with decode_ok=false (exercised in tests).
 
-    The oracle is BYTE-exact for any utf-8 text (not just ASCII): PGM
-    and WAV round-trip the original payload bytes exactly, so feature i
-    = avg of utf-8 BYTE values at byte positions congruent to i (mod 8),
-    / 255 — DuckDB re-derives the byte values from hex(encode(text)).
-    All 8 slots always emit (missing strides coalesce to 0.0, matching
-    fake_decode's padding), one row per document even for empty text."""
+    The oracle is BYTE-exact for any utf-8 text (not just ASCII): PGM,
+    WAV, and AVI all round-trip the original payload bytes exactly, so
+    feature i = avg of utf-8 BYTE values at byte positions congruent to
+    i (mod 8), / 255 — DuckDB re-derives the byte values from
+    hex(encode(text)). All 8 slots always emit (missing strides coalesce
+    to 0.0, matching fake_decode's padding), one row per document even
+    for empty text."""
     media = MM.documents_as_media(t(spark, sf_dir, "documents"))
     return MM.decode_media(MM.encode_containers(media), n_features=8)
 

@@ -1,6 +1,6 @@
 """Multimodal binary-column plumbing: schema, Arrow batch shape, row
-expansion, and determinism of the stubbed decode path (the codec libs are
-absent by design — the Spark-side pipeline is what's under test)."""
+expansion, the real PGM/WAV/AVI container round-trips, and determinism
+of the fallback fake-decode path for unparseable foreign blobs."""
 
 import os
 
@@ -44,7 +44,7 @@ def test_decode_deterministic_and_complete(spark, media):
     assert out1.columns == ["media_id", "modality", "features", "decode_ok"]
     rows = {r.media_id: r for r in out1.collect()}
     assert len(rows) == media.count()  # 1 row out per row in
-    # codecs absent in this container -> stub path, flagged honestly
+    # raw (un-containered) payloads parse as nothing -> honest fallback
     assert all(not r.decode_ok for r in rows.values())
     assert all(len(r.features) == 8 for r in rows.values())
     # deterministic across runs (fake decode is a pure function of bytes)
@@ -70,7 +70,7 @@ def test_resize_stub_contract(spark, media):
     assert all(r.width == 64 and r.height == 48 and not r.resized for r in rows)
 
 
-# ------------------------------------------- real PGM / WAV containers
+# -------------------------------------- real PGM / WAV / AVI containers
 
 
 def test_pgm_roundtrip_bytes():
@@ -106,17 +106,35 @@ def test_wav_decode_skips_extra_chunks():
     assert MM.wav_decode(b"RIFX" + enc[4:]) is None
 
 
+def test_avi_roundtrip_bytes():
+    for raw, n in [(b"", 3), (b"x", 1), (b"frame bytes " * 40, 24),
+                   (bytes(range(256)), 7)]:
+        enc = MM.avi_encode(raw, n)
+        assert enc[:4] == b"RIFF" and enc[8:12] == b"AVI "
+        assert MM.avi_decode(enc) == raw
+
+
+def test_avi_decode_walks_foreign_chunks():
+    import struct
+
+    enc = MM.avi_encode(b"payload", 2)
+    junk = b"JUNK" + struct.pack("<I", 5) + b"zzzzz" + b"\x00"  # word-aligned
+    spliced = enc[:12] + junk + enc[12:]
+    assert MM.avi_decode(spliced) == b"payload"
+    assert MM.avi_decode(b"RIFF\x04\x00\x00\x00WAVE") is None  # not AVI
+    # truncated movi chunk -> refuse, don't mis-decode
+    cut = enc[: len(enc) - 3]
+    assert MM.avi_decode(cut) is None
+
+
 def test_encode_containers_and_real_decode(spark, media):
     enc = MM.encode_containers(media)
     out = {r.media_id: r for r in MM.decode_media(enc, n_features=8).collect()}
     raw = {r.media_id: r for r in MM.decode_media(media, n_features=8).collect()}
-    mods = {r.media_id: r.modality for r in media.collect()}
     assert set(out) == set(raw)
     for mid, r in out.items():
-        if mods[mid] in ("image", "audio"):
-            # container really decoded, features computed from the
-            # decoded bytes == the original payload bytes
-            assert r.decode_ok, mid
-        else:
-            assert not r.decode_ok, mid
+        # every modality's container really decodes, and the features
+        # computed from the decoded bytes == those from the original
+        # payload bytes (the containers round-trip exactly)
+        assert r.decode_ok, mid
         assert r.features == raw[mid].features, mid
