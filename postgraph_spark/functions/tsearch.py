@@ -624,6 +624,37 @@ def ts_match_py(tsv_text: str, node) -> bool:
     return ev(node)
 
 
+def tsquery_rpn(text: str) -> list[str]:
+    """Flatten a tsquery into postfix (RPN) tokens for the JVM column-
+    path evaluator: "V:<lex>" presence test, "P:<lex>" prefix test,
+    "!", "&", "|" operators. Queries using constructs the JVM fold does
+    not evaluate (phrase distance, weight restrictions) return the
+    sentinel ["X"], routing that row to the Arrow fallback."""
+    node = parse_tsquery(text)
+    out: list[str] = []
+
+    def walk(n) -> bool:
+        if n[0] == "val":
+            _, lex, weights, prefix = n
+            if weights:
+                return False
+            out.append(("P:" if prefix else "V:") + lex)
+            return True
+        if n[0] == "not":
+            if not walk(n[1]):
+                return False
+            out.append("!")
+            return True
+        if n[0] in ("and", "or"):
+            if not (walk(n[1]) and walk(n[2])):
+                return False
+            out.append("&" if n[0] == "and" else "|")
+            return True
+        return False  # phrase
+
+    return out if walk(node) else ["X"]
+
+
 # -------------------------------------------------------- spark columns
 #
 # The gval subtype markers live in `j` (see module docstring).
@@ -648,7 +679,7 @@ def _udfs():
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    def _mk1(fn):
+    def _mk1(fn, ret=T.StringType()):
         def run(s: pd.Series) -> pd.Series:
             def safe(v):
                 if v is None:
@@ -660,7 +691,7 @@ def _udfs():
             return s.map(safe)
 
         run.__annotations__ = {"s": pd.Series, "return": pd.Series}
-        return pandas_udf(T.StringType())(run)
+        return pandas_udf(ret)(run)
 
     def _mk2(fn, ret=T.StringType()):
         def run(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -677,6 +708,7 @@ def _udfs():
         return pandas_udf(ret)(run)
 
     return {
+        "rpn": _mk1(tsquery_rpn, T.ArrayType(T.StringType())),
         "tsvector_in": _mk1(tsvector_in),
         "tsquery_in": _mk1(tsquery_in),
         "to_tsvector": _mk1(to_tsvector),
@@ -782,10 +814,47 @@ def ast_ts_literal(e):
     return None
 
 
+def rpn_match(entry_map: Column, rpn: Column) -> Column:
+    """Evaluate a postfix tsquery token array (tsquery_rpn) against a
+    tsvector entry map ENTIRELY JVM-side: one F.aggregate fold over the
+    tokens maintaining a boolean stack (array<boolean>). "V:lex" pushes
+    presence, "P:lex" pushes a prefix-key existence test, "!"/"&"/"|"
+    pop-and-push. A well-formed query leaves exactly one value; anything
+    else (the "X" unsupported sentinel included) yields NULL so the
+    caller can route to the Arrow fallback."""
+    def step(acc: Column, tok: Column) -> Column:
+        lex = tok.substr(F.lit(3), F.length(tok))
+        top = F.element_at(acc, -1)
+        top2 = F.element_at(acc, -2)
+        pop1 = F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0)))
+        pop2 = F.slice(acc, 1, F.greatest(F.size(acc) - 2, F.lit(0)))
+        present = F.element_at(entry_map, lex).isNotNull()
+        prefix_hit = F.exists(F.map_keys(entry_map), lambda k: k.startswith(lex))
+        return (
+            F.when(tok.startswith("V:"), F.concat(acc, F.array(present)))
+            .when(tok.startswith("P:"), F.concat(acc, F.array(prefix_hit)))
+            .when(tok == "!", F.concat(pop1, F.array(~top)))
+            .when(tok == "&", F.concat(pop2, F.array(top2 & top)))
+            .when(tok == "|", F.concat(pop2, F.array(top2 | top)))
+            # unknown token: poison the stack so the final size test fails
+            .otherwise(F.array().cast("array<boolean>"))
+        )
+
+    stack = F.aggregate(rpn, F.array().cast("array<boolean>"), step)
+    return F.when(F.size(stack) == 1, F.element_at(stack, 1))
+
+
 def op_match(left_gv: Column, left_ast, right_gv_fn, right_ast) -> Column:
     """`tsv @@ tsq` (also accepts the operands reversed, like PG).
     Literal query -> JVM boolean algebra over the vector's entry map
-    (codegen, no Python); otherwise an Arrow-batched UDF pair."""
+    (codegen, no Python). A column-valued query splits the work: a tiny
+    Arrow UDF flattens the QUERY string to postfix tokens (query-
+    proportional — never the corpus side), the boolean evaluation runs
+    as a JVM fold over the vector's entry map (rpn_match), and only
+    rows whose query uses phrase distance / weight restrictions ship
+    their tsvector through the full Arrow fallback (inputs to it are
+    masked NULL for JVM-handled rows, so the corpus strings don't cross
+    the Python boundary)."""
     r_lit = ast_ts_literal(right_ast)
     l_lit = ast_ts_literal(left_ast)
     ls = F.when(left_gv["t"] == G.T_STRING, left_gv["s"])
@@ -812,7 +881,17 @@ def op_match(left_gv: Column, left_ast, right_gv_fn, right_ast) -> Column:
     left_is_q = left_gv["j"] == _MARK_TSQ
     v = F.when(left_is_q, rs).otherwise(ls)
     q = F.when(left_is_q, ls).otherwise(rs)
-    return G.gv_bool(_udfs()["match"](v, q))
+    rpn = _udfs()["rpn"](q)
+    jvm = rpn_match(tsv_entry_map(v), rpn)
+    # fallback rows: parse failure (rpn null with non-null q) or the
+    # unsupported-construct sentinel; mask the inputs elsewhere so the
+    # corpus-side tsvector never reaches Python for JVM-handled rows
+    fallback = q.isNotNull() & (rpn.isNull() | F.array_contains(rpn, "X"))
+    py = _udfs()["match"](
+        F.when(fallback, v), F.when(fallback, q)
+    )
+    res = F.when(v.isNotNull() & q.isNotNull(), F.when(fallback, py).otherwise(jvm))
+    return G.gv_bool(res)
 
 
 def _lit_or(kind_fn, a_lit, b_lit):

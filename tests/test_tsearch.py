@@ -204,3 +204,60 @@ def test_plain_string_concat_still_works(eng):
     # integer & stays bitwise
     assert one(eng, "RETURN 6 & 3") == 2
     assert one(eng, "RETURN 6 | 3") == 7
+
+
+# ---------------------------------------- @@ with a COLUMN-valued query
+#
+# ast_ts_literal can't see a runtime variable, so these exercise the
+# rpn_match JVM fold (boolean/prefix queries) and the masked Arrow
+# fallback (phrase / weight / malformed queries).
+
+COLUMN_QUERY_MATRIX = [
+    "fat & cat", "fat & dog", "fat & !dog", "dog | mat", "cat:*",
+    "(fat | dog) & !cow", "!(fat & dog)", "f:*", "zzz:*",
+    "fat <-> cat", "cat <-> fat", "fat <2> rat", "!fat <-> cat",
+    "fat:A", "fat:AB | cat",
+]
+
+
+def test_match_column_query_agrees_with_python_eval(eng):
+    from postgraph_spark.functions.tsearch import (
+        parse_tsquery, ts_match_py, tsquery_in, tsvector_in,
+    )
+
+    doc_text = "fat:1,11 cat:2 rat:3 mat:7A"
+    doc = f"totsvector('{doc_text}')"
+    tsv = tsvector_in(doc_text)
+    arr = ", ".join(f"'{q}'" for q in COLUMN_QUERY_MATRIX)
+    cols = eng.fetch(
+        f"UNWIND [{arr}] AS s RETURN s, {doc} @@ totsquery(s) AS m"
+    )
+    got = {s: m for s, m in cols}
+    for q in COLUMN_QUERY_MATRIX:
+        want = ts_match_py(tsv, parse_tsquery(tsquery_in(q)))
+        assert got[q] == want, (q, got[q], want)
+    # the JVM fold and the literal compile path agree on every
+    # UNWEIGHTED query (weighted terms are the literal path's documented
+    # presence-only divergence; the column path keeps exact semantics)
+    for q in COLUMN_QUERY_MATRIX:
+        if ":A" in q:
+            continue
+        lit = one(eng, f"RETURN {doc} @@ totsquery('{q}')")
+        assert got[q] == lit, (q, got[q], lit)
+    # both match orders and a malformed query (null, not an error)
+    assert eng.fetch_values(
+        f"UNWIND ['fat'] AS s RETURN totsquery(s) @@ {doc}"
+    ) == [True]
+    assert eng.fetch_values(
+        f"UNWIND ['bad ( query'] AS s RETURN {doc} @@ totsquery(s)"
+    ) == [None]
+
+
+def test_tsquery_rpn_tokens():
+    from postgraph_spark.functions.tsearch import tsquery_in, tsquery_rpn
+
+    assert tsquery_rpn(tsquery_in("fat & !dog")) == ["V:fat", "V:dog", "!", "&"]
+    assert tsquery_rpn(tsquery_in("a | b & c:*")) == ["V:a", "V:b", "P:c", "&", "|"]
+    # unsupported constructs route to the Arrow fallback
+    assert tsquery_rpn(tsquery_in("a <-> b")) == ["X"]
+    assert tsquery_rpn(tsquery_in("a:A")) == ["X"]
