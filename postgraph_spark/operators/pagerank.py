@@ -104,6 +104,62 @@ def triangle_count(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFram
     return member.groupBy("v").agg(F.count(F.lit(1)).alias("triangles"))
 
 
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    num_iter: int = 3,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the directed edge
+    list, UNNORMALIZED: hub/auth init to 1; each round auth(v) = sum of
+    hub over in-neighbors, then hub(u) = sum of the JUST-updated auth
+    over out-neighbors (the classic update order). Skipping the per-round
+    scalar normalization keeps every score an exact INTEGER (sums of
+    integers — per-round rankings are identical to normalized HITS,
+    which only divides by a round-constant), so an oracle replaying the
+    rounds matches bit-for-bit with no float-ordering exposure at all.
+    Returns (v, hub, auth) as longs.
+
+    Scale shape: two vertex-keyed join+partial-agg shuffles per round
+    (the PageRank contribution pattern); the edge list checkpoints once;
+    scores checkpoint per round to cut lineage. Values grow like the
+    principal eigenvalue^rounds — num_iter stays small (3 here), and at
+    int64 that bounds degree^(2*rounds) fan-in, plenty for dup graphs."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = verts.select("v", F.lit(1).cast("long").alias("hub"))
+    auth = None
+    for _ in range(num_iter):
+        a_sum = (
+            e.join(hub.withColumnRenamed("v", "src"), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum("hub").alias("s"))
+        )
+        auth = (
+            verts.join(a_sum, "v", "left")
+            .select("v", F.coalesce("s", F.lit(0)).cast("long").alias("auth"))
+            .localCheckpoint(eager=True)
+        )
+        h_sum = (
+            e.join(auth.withColumnRenamed("v", "dst"), "dst")
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.sum("auth").alias("s"))
+        )
+        hub = (
+            verts.join(h_sum, "v", "left")
+            .select("v", F.coalesce("s", F.lit(0)).cast("long").alias("hub"))
+            .localCheckpoint(eager=True)
+        )
+    return hub.join(auth, "v")
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",

@@ -391,6 +391,51 @@ def label_prop_communities(spark, sf_dir):
     )
 
 
+# one HITS round: auth from the previous hubs, hubs from the JUST-
+# updated auths — all integer sums, so the replay is bit-exact
+_HITS_ROUND = """
+    a{i} AS (SELECT verts.v, coalesce(s.s, 0) AS auth FROM verts
+             LEFT JOIN (SELECT e.dst AS v, sum(h.hub) AS s
+                        FROM e JOIN h{p} h ON h.v = e.src GROUP BY e.dst) s
+             ON s.v = verts.v),
+    h{i} AS (SELECT verts.v, coalesce(s.s, 0) AS hub FROM verts
+             LEFT JOIN (SELECT e.src AS v, sum(a.auth) AS s
+                        FROM e JOIN a{i} a ON a.v = e.dst GROUP BY e.src) s
+             ON s.v = verts.v)"""
+
+_HITS_SQL = (
+    f"""
+    WITH {_LSH_PAIRS_MAT},
+    e AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs),
+    verts AS (SELECT src AS v FROM e UNION SELECT dst AS v FROM e),
+    h0 AS (SELECT v, 1 AS hub FROM verts),"""
+    + ",".join(_HITS_ROUND.format(i=i, p=i - 1) for i in range(1, 4))
+    + """
+    SELECT h3.v, CAST(h3.hub AS BIGINT) AS hub, CAST(a3.auth AS BIGINT) AS auth
+    FROM h3 JOIN a3 ON a3.v = h3.v
+"""
+)
+
+
+@register("hits_dupgraph", _HITS_SQL)
+def hits_dupgraph(spark, sf_dir):
+    """HITS hubs & authorities (operators/pagerank.hits) over the
+    near-dup pair graph: hub-heavy documents link INTO many duplicate
+    targets (template sources), authority-heavy ones are linked into
+    (template sinks) — the directional complement to PageRank's single
+    importance score on the same graph. Unnormalized integer power
+    iteration (3 rounds, init 1): per-round rankings equal normalized
+    HITS, every score stays an exact int64, and the oracle replays the
+    rounds as CTEs with NO float-ordering exposure (unlike
+    pagerank_dupgraph's round-6 absorption)."""
+    from postgraph_spark.operators import pagerank as PR
+
+    pairs = DD.lsh_candidate_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, bands=4, k=3
+    )
+    return PR.hits(pairs, "a", "b", num_iter=3)
+
+
 @register(
     "dup_triangles",
     f"""
@@ -477,6 +522,70 @@ def repetition_stats(spark, sf_dir):
             F.round(1.0 - F.col("distinct_c") / F.col("total_c"), 6).alias(
                 "dup_bigram_frac"
             ),
+        )
+    )
+
+
+@register(
+    "pmi_cooccurrence",
+    f"""
+    WITH {_TOKS},
+    dt AS (SELECT DISTINCT doc_id, unnest(list_distinct(tk)) AS term FROM toks),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY term),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    co AS (SELECT x.term AS t1, y.term AS t2, CAST(count(*) AS BIGINT) AS n12
+           FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.term < y.term
+           GROUP BY x.term, y.term
+           HAVING count(*) >= 5)
+    SELECT co.t1, co.t2, co.n12,
+           round(log2(CAST(co.n12 AS DOUBLE) * (SELECT n FROM nn)
+                      / (d1.df * d2.df)), 6) AS pmi
+    FROM co JOIN dfreq d1 ON d1.term = co.t1 JOIN dfreq d2 ON d2.term = co.t2
+    """,
+)
+def pmi_cooccurrence(spark, sf_dir):
+    """Pointwise mutual information over document-level term
+    co-occurrence (Church & Hanks 1990) — the word-association table a
+    corpus-analysis pass derives for collocation mining and embedding
+    pre-filters: for term pairs co-occurring in >= 5 documents,
+    PMI = log2(n12 * N / (df1 * df2)) with document frequencies as the
+    marginals.
+
+    Shape at 100 TB: distinct (doc, term) is one explode + dedup; the
+    pair generation self-joins ON doc_id (quadratic only within a
+    document's distinct-term set, bounded by document length); df is a
+    small vocabulary-keyed table joined broadcast; all counts are exact
+    integers, so the single log2 + round(6) is the only float step."""
+    docs = t(spark, sf_dir, "documents")
+    from postgraph_spark.operators.dedup import _spread
+
+    dt = (
+        _spread(docs)
+        .select("doc_id", F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("term"))
+        .distinct()
+    )
+    dfreq = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nn = docs.agg(F.count(F.lit(1)).alias("n"))
+    co = (
+        dt.alias("x")
+        .join(dt.alias("y"), (F.col("x.doc_id") == F.col("y.doc_id"))
+              & (F.col("x.term") < F.col("y.term")))
+        .groupBy(F.col("x.term").alias("t1"), F.col("y.term").alias("t2"))
+        .agg(F.count(F.lit(1)).alias("n12"))
+        .filter(F.col("n12") >= 5)
+    )
+    return (
+        co.join(F.broadcast(dfreq.withColumnRenamed("term", "t1")
+                            .withColumnRenamed("df", "df1")), "t1")
+        .join(F.broadcast(dfreq.withColumnRenamed("term", "t2")
+                          .withColumnRenamed("df", "df2")), "t2")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "t1", "t2", "n12",
+            F.round(
+                F.log2(F.col("n12").cast("double") * F.col("n")
+                       / (F.col("df1") * F.col("df2"))), 6
+            ).alias("pmi"),
         )
     )
 

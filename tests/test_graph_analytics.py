@@ -60,3 +60,35 @@ def test_label_propagation_deterministic(spark):
     a = sorted(map(tuple, label_propagation(e, num_iter=3).collect()))
     b = sorted(map(tuple, label_propagation(e, num_iter=3).collect()))
     assert a == b
+
+
+def test_hits_star_in_and_out(spark):
+    from postgraph_spark.operators.pagerank import hits
+
+    # in-star: every spoke points at the center -> the center is the
+    # authority (spokes are the hubs); integer scores, exact values:
+    # round1 a(c)=3 h(s)=3; round2 a(c)=9 h(s)=9; round3 a(c)=27 h(s)=27
+    e = spark.createDataFrame([(1, 0), (2, 0), (3, 0)], ["src", "dst"])
+    got = {r.v: (r.hub, r.auth) for r in hits(e, num_iter=3).collect()}
+    assert got[0] == (0, 27)
+    assert got[1] == got[2] == got[3] == (27, 0)
+    # out-star: roles flip (spoke auth reads the PREVIOUS round's hub,
+    # so after round 3 it holds h2(center) = 9, while the center's hub
+    # reads the just-updated spoke auths: 3 * 9 = 27)
+    e2 = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], ["src", "dst"])
+    got2 = {r.v: (r.hub, r.auth) for r in hits(e2, num_iter=3).collect()}
+    assert got2[0] == (27, 0)
+    assert got2[1] == got2[2] == got2[3] == (0, 9)
+
+
+def test_hits_deterministic_and_long(spark):
+    from postgraph_spark.operators.pagerank import hits
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 2), (3, 2)], ["src", "dst"]
+    )
+    a = sorted(map(tuple, hits(e, num_iter=3).collect()))
+    b = sorted(map(tuple, hits(e, num_iter=3).collect()))
+    assert a == b
+    df = hits(e, num_iter=3)
+    assert dict(df.dtypes) == {"v": "bigint", "hub": "bigint", "auth": "bigint"}

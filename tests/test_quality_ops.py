@@ -96,3 +96,31 @@ def test_gopher_published_stop_minimum(spark):
     got = {r["doc_id"]: r["r_stopwords"] for r in
            df.select("doc_id", rules["r_stopwords"].alias("r_stopwords")).collect()}
     assert got == {0: False, 1: True}
+
+
+def test_pmi_cooccurrence_semantics(spark, tmp_path):
+    """PMI of a pair present in every doc with half-frequency marginals
+    is exactly log2(N * n12 / (df1 * df2))."""
+    import math
+
+    rows = []
+    # 'alpha beta' co-occur in all 10 docs; 'gamma' in 5 of them
+    for i in range(10):
+        text = "alpha beta" + (" gamma" if i % 2 == 0 else "")
+        rows.append((i, text, "en", "s", len(text)))
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/documents.parquet")
+    from postgraph_spark.queries import QUERIES
+
+    got = {(r.t1, r.t2): r for r in QUERIES["pmi_cooccurrence"](spark, sf).collect()}
+    ab = got[("alpha", "beta")]
+    assert ab.n12 == 10
+    assert ab.pmi == round(math.log2(10 * 10 / (10 * 10)), 6) == 0.0
+    ag = got[("alpha", "gamma")]
+    assert ag.n12 == 5
+    assert ag.pmi == round(math.log2(5 * 10 / (10 * 5)), 6) == 0.0
+    # and a positively-associated pair: beta+gamma same as alpha+gamma
+    assert ("beta", "gamma") in got
