@@ -76,18 +76,15 @@ _PRIORITY = [
     "dedup_jaccard_pairs",
     "ivfpq_adc_topk",
     "embed_neardup_lsh",
-    # decontam_overlap rotated out (r7-green; its shingle pipeline and
-    # guarded-broadcast shape recur in the jaccard/minhash and IVF rows)
-    # for the NEW KMV cardinality sketch
-    "kmv_distinct_ngrams",
-    # pii_scrub rotated out (r7-green; the JVM regexp-chain shape is
-    # golden-tested and recurs in the text kit) for the NEW
-    # sliding-window chunking row
-    "doc_chunking",
-    # the training-mixture recipe table (asof_view_before_click rotated
-    # out: r7-green, and the union-tag asof shape stays oracle-mirrored
-    # locally with the bucketized interval family)
-    "mixture_weights",
+    # NEW round 9 (late): SemDeDup semantic dedup (k-means + within-
+    # cluster cosine pruning, min-id keeper) and the Gopher document-
+    # filter gate (per-rule boolean verdicts + conjunction) — the newest
+    # surface gets driver-checked the round it lands. Rotated out for
+    # them: kmv_distinct_ngrams + doc_chunking (both r8-driver-green;
+    # the zero-shuffle sketch and pure-map-side chunking shapes stay
+    # locally oracled every run)
+    "semdedup_prune",
+    "gopher_quality_filter",
     # the write path (DDL + CREATE/MERGE/SET/DELETE + durable reopen),
     # the cross-doc duplicate-n-gram quality signal (boilerplate_ngrams
     # rotated out — same explode+count+join family, this one adds the
@@ -98,11 +95,19 @@ _PRIORITY = [
     # (deterministic rounds replayed as CTEs, round-7 verdict #1)
     # dup_span_fraction is NEW round 9: the Lee-et-al duplicated-SPAN
     # signal (gaps-and-islands merge of cross-doc 5-gram occurrences)
-    "cypher_write_roundtrip", "dup_ngram_fraction", "dup_span_fraction",
+    # dup_ngram_fraction rotates out (r8-driver-green; dup_span_fraction
+    # supersets its explode+count+join family with the gaps-and-islands
+    # span merge) for the NEW r9 PMI word-association row
+    "cypher_write_roundtrip", "dup_span_fraction",
     # NEW round 9: BM25 top-k retrieval (query-term-filtered postings)
     # and synchronous label-propagation communities (deterministic
     # min-label tie-break, rounds replayed as oracle CTEs)
     "bm25_topk", "label_prop_communities",
+    # NEW round 9 (late): PMI co-occurrence (doc-keyed pair join +
+    # broadcast marginals) and HITS hubs/authorities (integer power
+    # iteration, bit-exact round-replay oracle; mixture_weights rotates
+    # out — r8-driver-green 1-row-scalar-combine shape, kmv covers it)
+    "pmi_cooccurrence", "hits_dupgraph",
     "stream_dim_enrich", "pagerank_dupgraph",
     # round-8 prefix rotation (round-7 verdict #1): the four round-7
     # flagship rows move INTO the 50-row prefix for their first external
@@ -141,6 +146,8 @@ _PRIORITY = [
     # (multi-round green, locally oracled every run), dedup-by-watermark
     "stream_sliding_counts", "range_ops", "geometric_kit_full",
     "stream_dedup_events",
+    "kmv_distinct_ngrams", "doc_chunking", "mixture_weights",
+    "dup_ngram_fraction",
     "simhash_fingerprints", "dup_triangles", "sample_stratified",
     "text_stats", "interval_overlap_join",
     "lang_id_heuristic", "token_count_bpe", "rolling_hash_fingerprint",
