@@ -125,7 +125,13 @@ _PRIORITY = [
     # streaming aggregation, corpus TF-IDF, and PQ compression
     # perplexity_buckets stays in: its bucketing path was rewritten this
     # round (approx_percentile thresholds at scale, round-8 verdict #1)
-    "expr_operator_forms", "perplexity_buckets",
+    # pack_sequences is NEW late round 9 (GPT-style concat-and-cut
+    # packing, source-partitioned window cumsum); expr_operator_forms
+    # rotates out (r8-driver-green; its consolidated operator surfaces
+    # recur in deep_order_arrays + pg_expr_forms, and it stays locally
+    # oracled every run)
+    "pack_sequences", "perplexity_buckets",
+    "expr_operator_forms",
     "pq_quantize_embeddings",
     # rotated OUT this round (still oracle-checked locally, shapes
     # driver-covered): text_stats/lang_id/token_count/rolling_hash

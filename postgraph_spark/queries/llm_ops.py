@@ -527,6 +527,60 @@ def repetition_stats(spark, sf_dir):
 
 
 @register(
+    "pack_sequences",
+    f"""
+    WITH {_TOKS},
+    sized AS (SELECT t.doc_id, d.source, len(t.tk) AS n_tok
+              FROM toks t JOIN documents d USING (doc_id)),
+    pos AS (SELECT doc_id, source, n_tok,
+                   coalesce(sum(n_tok) OVER (PARTITION BY source
+                                             ORDER BY doc_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), 0) AS start_tok
+            FROM sized)
+    SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(start_tok // 256 AS BIGINT) AS bin_id
+    FROM pos
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Sequence packing for training batches (the GPT-style concat-and-
+    cut packing pass): per source stream, documents concatenate in
+    doc_id order and each document is assigned the fixed-budget bin
+    (256 tokens) its START offset falls into — the map from documents
+    to packed context windows a dataloader materializes. Emits
+    (doc_id, source, n_tok, start_tok, bin_id).
+
+    Shape at 100 TB: one window cumsum PARTITIONED by the stream key
+    (source here; a production run sub-shards sources by hash so every
+    partition is bounded — the partitioned window keeps Spark's
+    single-task global-sort trap out, cf. perplexity_buckets round 9).
+    Integer arithmetic end-to-end: bit-exact cross-engine."""
+    docs = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    from postgraph_spark.operators.dedup import _spread
+
+    sized = _spread(docs).select(
+        "doc_id", "source", F.size(TX.tokens(F.col("text"))).alias("n_tok")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return sized.select(
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        start.cast("long").alias("start_tok"),
+        F.floor(start / 256).cast("long").alias("bin_id"),
+    )
+
+
+@register(
     "pmi_cooccurrence",
     f"""
     WITH {_TOKS},

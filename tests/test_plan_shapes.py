@@ -102,3 +102,49 @@ def test_perplexity_threshold_path_no_global_window(spark):
 
     plan = _physical(perplexity_buckets(spark, SF, exact_max=0))
     assert "Window" not in plan, plan
+
+
+def test_gopher_filter_pure_projection(spark):
+    """the rule gate is one narrow map-side projection: no key shuffle
+    (the only allowed Exchange is _spread's round-robin widening of a
+    single-file local input — a no-op at scale), no Python."""
+    from postgraph_spark.queries.llm_ops import gopher_quality_filter
+
+    plan = _physical(gopher_quality_filter(spark, SF))
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pack_sequences_partitioned_window(spark):
+    """the packing cumsum must be a PARTITIONED window (a partitionless
+    one funnels the corpus through a single task)."""
+    from postgraph_spark.queries.llm_ops import pack_sequences
+
+    df = pack_sequences(spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "source" in line, line  # partition key present
+
+
+def test_pmi_no_cartesian_and_broadcast_marginals(spark):
+    from postgraph_spark.queries.llm_ops import pmi_cooccurrence
+
+    plan = _physical(pmi_cooccurrence(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_hits_no_cartesian(spark):
+    from postgraph_spark.queries.llm_ops import hits_dupgraph
+
+    plan = _physical(hits_dupgraph(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_no_cartesian(spark):
+    from postgraph_spark.queries.llm_ops import semdedup_prune
+
+    plan = _physical(semdedup_prune(spark, SF))
+    assert "CartesianProduct" not in plan

@@ -124,3 +124,20 @@ def test_pmi_cooccurrence_semantics(spark, tmp_path):
     assert ag.pmi == round(math.log2(5 * 10 / (10 * 5)), 6) == 0.0
     # and a positively-associated pair: beta+gamma same as alpha+gamma
     assert ("beta", "gamma") in got
+
+
+def test_pack_sequences_is_gapless_per_source(spark):
+    from postgraph_spark.queries import QUERIES
+
+    rows = QUERIES["pack_sequences"](spark, SF_DIR).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert by_src
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.start_tok == cum, (src, r)
+            assert r.bin_id == cum // 256
+            cum += r.n_tok
