@@ -62,7 +62,11 @@ _PRIORITY = [
     # locally oracled and the vector family stays externally covered by
     # vector_ops_topk + the IVF rows — to make prefix room for the two
     # never-driver-checked rows below, round-8 verdict #4)
-    "json_containment_ops",
+    # cms_token_freq is NEW late round 9 (count-min frequency sketch,
+    # the KMV complement); json_containment_ops rotates out (r8-driver-
+    # green; the @>/<@/?/?| surfaces stay golden-tested locally in
+    # test_containment_jvm + test_entity_ops and oracled every run)
+    "cms_token_freq",
     "tsearch_match", "pg_expr_forms",
     # the ONLY two rows never externally checked in any round — both
     # freshly reworked this round (real PGM/WAV container decode with a
@@ -153,7 +157,7 @@ _PRIORITY = [
     "stream_sliding_counts", "range_ops", "geometric_kit_full",
     "stream_dedup_events",
     "kmv_distinct_ngrams", "doc_chunking", "mixture_weights",
-    "dup_ngram_fraction",
+    "dup_ngram_fraction", "json_containment_ops",
     "simhash_fingerprints", "dup_triangles", "sample_stratified",
     "text_stats", "interval_overlap_join",
     "lang_id_heuristic", "token_count_bpe", "rolling_hash_fingerprint",

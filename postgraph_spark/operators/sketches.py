@@ -1,4 +1,4 @@
-"""Distributed cardinality sketches.
+"""Distributed cardinality and frequency sketches.
 
 KMV (k-minimum-values) distinct-count estimation — the sketch a corpus
 pipeline uses to size shingle space / dedup structures BEFORE paying for
@@ -6,6 +6,12 @@ an exact distinct (Bar-Yossef et al., "Counting distinct elements in a
 data stream", RANDOM 2002): hash every element, keep the k smallest
 distinct hashes; if the k-th smallest normalized hash is U, the distinct
 count is ~ (k-1)/U.
+
+Count-min sketch (Cormode & Muthukrishnan 2005) — fixed-size frequency
+estimation: d hash rows x w counters; an item's estimate is the MIN of
+its d counters (always an overestimate, never under). Deterministic
+md5-derived bucket hashing means two engines build IDENTICAL counter
+tables — the sketch is exactly replayable in SQL.
 
 Scale design (100 TB):
 - The corpus NEVER shuffles: an Arrow-batched mapInPandas pass emits at
@@ -53,6 +59,59 @@ def _hash_fraction(h: Column, digits: int = 13) -> Column:
     conv to decimal (< 2^52 -> exact in double) / 16^digits (a power of
     two -> exact exponent shift)."""
     return F.conv(F.substring(h, 1, digits), 16, 10).cast("double") / float(16 ** digits)
+
+
+def cms_bucket(value: Column, row: int, width: int = 1024) -> Column:
+    """Deterministic count-min bucket for hash row `row`: first 8 hex
+    chars of md5('<row>:' || value) as an int, mod width. Exactly
+    reproducible in any engine with md5 (the minhash convention)."""
+    h = F.md5(F.concat(F.lit(f"{row}:"), value))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width).cast("int")
+
+
+def cms_sketch(
+    values: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Build the d x w counter table: (row, bucket, cnt). ONE map-side
+    explode (each element emits its d (row, bucket) cells) + ONE partial
+    aggregation on a key space of at most d*w cells — the shuffle moves
+    bounded partial sums regardless of corpus size, and the result is a
+    tiny table (4k cells here) that broadcasts to probes."""
+    cells = values.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    cms_bucket(F.col(col), r, width).alias("bucket"),
+                )
+                for r in range(depth)
+            ])
+        ).alias("c")
+    ).select("c.row", "c.bucket")
+    return cells.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Point-query the sketch for every probe value: min over the d
+    counters (0 when a cell is empty). The sketch side broadcasts."""
+    keyed = probes.select(
+        F.col(col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    cms_bucket(F.col(col), r, width).alias("bucket"),
+                )
+                for r in range(depth)
+            ])
+        ).alias("c"),
+    ).select(col, "c.row", "c.bucket")
+    joined = keyed.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return joined.groupBy(col).agg(
+        F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("cms_n")
+    )
 
 
 def kmv_distinct_estimate(values: DataFrame, col: str, k: int = 256) -> DataFrame:

@@ -527,6 +527,62 @@ def repetition_stats(spark, sf_dir):
 
 
 @register(
+    "cms_token_freq",
+    f"""
+    WITH {_TOKS},
+    tok AS (SELECT unnest(tk) AS term FROM toks),
+    cells AS (SELECT t.r,
+                     CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || term), 1, 8))
+                          AS BIGINT) % 1024 AS bucket
+              FROM tok CROSS JOIN range(4) t(r)),
+    sketch AS (SELECT r, bucket, count(*) AS cnt FROM cells GROUP BY r, bucket),
+    exact AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_n
+              FROM tok GROUP BY term),
+    top AS (SELECT term, exact_n FROM exact
+            ORDER BY exact_n DESC, term LIMIT 20),
+    probe AS (SELECT top.term, top.exact_n, t.r,
+                     CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || top.term), 1, 8))
+                          AS BIGINT) % 1024 AS bucket
+              FROM top CROSS JOIN range(4) t(r))
+    SELECT p.term, p.exact_n,
+           CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cms_n,
+           CAST(min(coalesce(s.cnt, 0)) - p.exact_n AS BIGINT) AS overcount
+    FROM probe p LEFT JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
+    GROUP BY p.term, p.exact_n
+    """,
+)
+def cms_token_freq(spark, sf_dir):
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    2005; operators/sketches.cms_*) over the corpus token stream — the
+    fixed-memory frequency complement to the KMV distinct sketch: a
+    4 x 1024 counter table built in ONE bounded-key partial aggregation
+    (the shuffle moves at most d*w partial sums per task, never
+    token-proportional data), then point-queried for the 20 most
+    frequent exact tokens. Output (term, exact_n, cms_n, overcount)
+    pins the CMS guarantee cms_n >= exact_n; the exact side exists for
+    cross-checking at test scale — production uses the sketch alone.
+    md5-derived bucket hashing makes both engines build IDENTICAL
+    counters (all integers, zero float exposure)."""
+    docs = t(spark, sf_dir, "documents")
+    from postgraph_spark.operators import sketches as SK
+    from postgraph_spark.operators.dedup import _spread
+
+    tok = _spread(docs).select(
+        F.explode(TX.tokens(F.col("text"))).alias("term")
+    )
+    sketch = SK.cms_sketch(tok, "term", depth=4, width=1024)
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), F.asc("term")).limit(20)
+    est = SK.cms_estimate(sketch, top.select("term"), "term", depth=4, width=1024)
+    return top.join(est, "term").select(
+        "term",
+        F.col("exact_n").cast("long").alias("exact_n"),
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).cast("long").alias("overcount"),
+    )
+
+
+@register(
     "pack_sequences",
     f"""
     WITH {_TOKS},

@@ -43,3 +43,36 @@ def test_small_domain_underflows_k(spark):
     df = spark.createDataFrame([(str(i % 7),) for i in range(100)], "v string")
     est = kmv_distinct_estimate(df, "v", k=64).collect()[0]
     assert est["k"] == 7
+
+
+def test_cms_never_undercounts_and_bounds_cells(spark):
+    from postgraph_spark.operators import sketches as SK
+
+    vals = spark.createDataFrame(
+        [(w,) for w in ["a"] * 50 + ["b"] * 20 + ["c"] * 5 + list("defghij")],
+        ["v"],
+    )
+    sk = SK.cms_sketch(vals, "v", depth=4, width=32)
+    assert sk.count() <= 4 * 32
+    probes = spark.createDataFrame([("a",), ("b",), ("c",), ("zzz",)], ["v"])
+    got = {r.v: r.cms_n for r in SK.cms_estimate(sk, probes, "v", depth=4, width=32).collect()}
+    assert got["a"] >= 50 and got["b"] >= 20 and got["c"] >= 5
+    # an absent key can only collide upward, never negative
+    assert got["zzz"] >= 0
+    # total mass conservation per hash row: every row sums to n items
+    rows = sk.groupBy("row").sum("cnt").collect()
+    n = vals.count()
+    assert all(r["sum(cnt)"] == n for r in rows)
+
+
+def test_cms_forced_collision_overcounts(spark):
+    from postgraph_spark.operators import sketches as SK
+
+    # width=1: every key shares the single counter per row -> estimate
+    # equals the total stream length for every probe
+    vals = spark.createDataFrame([("x",)] * 7 + [("y",)] * 3, ["v"])
+    sk = SK.cms_sketch(vals, "v", depth=2, width=1)
+    got = {r.v: r.cms_n for r in SK.cms_estimate(
+        sk, spark.createDataFrame([("x",), ("y",)], ["v"]), "v", depth=2, width=1
+    ).collect()}
+    assert got == {"x": 10, "y": 10}
