@@ -112,7 +112,12 @@ _PRIORITY = [
     # iteration, bit-exact round-replay oracle; mixture_weights rotates
     # out — r8-driver-green 1-row-scalar-combine shape, kmv covers it)
     "pmi_cooccurrence", "hits_dupgraph",
-    "stream_dim_enrich", "pagerank_dupgraph",
+    # bpe_learn_merges is NEW late round 9 (the tokenizer merge-table
+    # trainer); stream_dim_enrich rotates out (r8-driver-green, the
+    # broadcast stream-static shape stays stream==batch-pinned locally
+    # and two streaming rows remain in the prefix)
+    "bpe_learn_merges",
+    "pagerank_dupgraph",
     # round-8 prefix rotation (round-7 verdict #1): the four round-7
     # flagship rows move INTO the 50-row prefix for their first external
     # oracle check, plus the two NEW round-8 operator rows (vector
@@ -157,7 +162,7 @@ _PRIORITY = [
     "stream_sliding_counts", "range_ops", "geometric_kit_full",
     "stream_dedup_events",
     "kmv_distinct_ngrams", "doc_chunking", "mixture_weights",
-    "dup_ngram_fraction", "json_containment_ops",
+    "dup_ngram_fraction", "json_containment_ops", "stream_dim_enrich",
     "simhash_fingerprints", "dup_triangles", "sample_stratified",
     "text_stats", "interval_overlap_join",
     "lang_id_heuristic", "token_count_bpe", "rolling_hash_fingerprint",

@@ -526,6 +526,76 @@ def repetition_stats(spark, sf_dir):
     )
 
 
+# one BPE round: weighted adjacent-pair counts -> argmax pair (count
+# desc, lexicographic tie-break) -> left-to-right fold merge in every
+# word (list_reduce with a list accumulator; slices are INCLUSIVE in
+# DuckDB, so [:-2] drops the last element)
+_BPE_ROUND = """
+    pr{i} AS (SELECT cnt,
+                     unnest(list_transform(range(1, len(syms)),
+                                           j -> {{'l': syms[j], 'r': syms[j+1]}})) AS p
+              FROM v{p} WHERE len(syms) > 1),
+    p{i} AS (SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS c
+             FROM pr{i} GROUP BY p.l, p.r
+             ORDER BY c DESC, l, r LIMIT 1),
+    v{i} AS (SELECT word, cnt,
+                    list_reduce(list_transform(syms, x -> [x]),
+                      (acc, x) -> CASE WHEN len(acc) > 0
+                                        AND acc[-1] = p.l AND x[1] = p.r
+                                  THEN acc[:-2] || [p.l || p.r]
+                                  ELSE acc || x END) AS syms
+             FROM v{p} CROSS JOIN p{i} p)"""
+
+_BPE_SQL = (
+    f"""
+    WITH {_TOKS},
+    w AS (SELECT unnest(tk) AS word FROM toks),
+    words AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+              FROM w WHERE len(word) > 0 GROUP BY word),
+    v0 AS (SELECT word, cnt,
+                  list_transform(range(1, len(word) + 1), i -> word[i:i])
+                    || ['</w>'] AS syms
+           FROM words),"""
+    + ",".join(_BPE_ROUND.format(i=i, p=i - 1) for i in range(1, 9))
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, l AS left_sym, r AS right_sym,"
+        f" l || r AS merged, c AS pair_count FROM p{i}"
+        for i in range(1, 9)
+    )
+)
+
+
+@register("bpe_learn_merges", _BPE_SQL)
+def bpe_learn_merges(spark, sf_dir):
+    """BPE vocabulary training (Sennrich et al. 2016;
+    operators/bpe.py): learn the first 8 merge rules from the corpus —
+    per round, the most frequent adjacent symbol pair (weighted by word
+    frequency, lexicographic tie-break) merges left-to-right in every
+    vocabulary word. Emits the merge table (step, left_sym, right_sym,
+    merged, pair_count) — the tokenizer artifact itself.
+
+    Shape at 100 TB: the corpus is touched ONCE (the word-count
+    shuffle); every training round then iterates the VOCABULARY table
+    (orders of magnitude smaller — the fastBPE observation) with one
+    explode + one bounded partial agg, the argmax pair being the only
+    driver scalar per round (the kmeans-centroid pattern). Merge
+    application is a pure JVM fold projection. All counts integer; the
+    oracle replays the identical rounds as CTEs."""
+    from postgraph_spark.operators import bpe as BPE
+    from postgraph_spark.operators.dedup import _spread
+
+    docs = t(spark, sf_dir, "documents")
+    _vocab, merges = BPE.bpe_train(_spread(docs), "text", rounds=8)
+    rows = [
+        (i + 1, left, right, left + right, c)
+        for i, (left, right, c) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "step long, left_sym string, right_sym string, merged string, pair_count long"
+    )
+
+
 @register(
     "cms_token_freq",
     f"""
