@@ -123,9 +123,16 @@ _PRIORITY = [
     # oracle check, plus the two NEW round-8 operator rows (vector
     # distance OPERATOR spellings <-> / <=> / <#>; inet subnet
     # operators << <<= >> >>= &&)
-    "kmeans_embeddings", "sim_topk_ivf_trained",
+    # cohort_retention + kcore_dupgraph are NEW late round 9 (event
+    # cohort analytics; degeneracy peeling over the dup graph).
+    # sim_topk_ivf_trained rotates out (r8-driver-green; ivfpq_adc_topk
+    # strictly covers the trained probe-join shape) and network_ops
+    # rotates out (r8-driver-green; the inet operator family stays
+    # golden-tested in test_vector_network_operators.py and locally
+    # oracled every run)
+    "kmeans_embeddings", "cohort_retention",
     "window_frames_extended", "deep_order_arrays",
-    "vector_ops_topk", "network_ops",
+    "vector_ops_topk", "kcore_dupgraph",
     # the remaining round-8-NEW rows (same lesson as verdict #1: the
     # newest surface gets driver-checked the round it lands):
     # consolidated expression-operator forms, CCNet-style perplexity
@@ -163,6 +170,7 @@ _PRIORITY = [
     "stream_dedup_events",
     "kmv_distinct_ngrams", "doc_chunking", "mixture_weights",
     "dup_ngram_fraction", "json_containment_ops", "stream_dim_enrich",
+    "sim_topk_ivf_trained", "network_ops",
     "simhash_fingerprints", "dup_triangles", "sample_stratified",
     "text_stats", "interval_overlap_join",
     "lang_id_heuristic", "token_count_bpe", "rolling_hash_fingerprint",

@@ -104,6 +104,43 @@ def triangle_count(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFram
     return member.groupBy("v").agg(F.count(F.lit(1)).alias("triangles"))
 
 
+def kcore(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    rounds: int = 4,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983; the
+    Batagelj-Zaversnik bulk variant): each round removes every vertex
+    whose degree in the REMAINING undirected graph is < k, together
+    with its edges. A FIXED round count keeps the computation a pure
+    function of the edge list (replayable as SQL CTEs); on graphs whose
+    peeling converges within `rounds` the result IS the k-core (tests
+    assert the fixpoint). Returns (v, core_degree) for surviving
+    vertices.
+
+    Scale shape: per round one degree partial-agg + two semi-join-style
+    vertex filters, all keyed on vertex id; the edge set only shrinks;
+    per-round lineage cut via checkpoint."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    und = e.union(
+        e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+        keep = deg.filter(F.col("c") >= k).select("s")
+        und = (
+            und.join(keep, "s")
+            .join(keep.withColumnRenamed("s", "t"), "t")
+            .select("s", "t")
+            .localCheckpoint(eager=True)
+        )
+    return und.groupBy(F.col("s").alias("v")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
+
+
 def hits(
     edges: DataFrame,
     src: str = "src",

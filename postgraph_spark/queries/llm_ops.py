@@ -436,6 +436,45 @@ def hits_dupgraph(spark, sf_dir):
     return PR.hits(pairs, "a", "b", num_iter=3)
 
 
+# one k-core peel round: degrees over the remaining edges -> keep
+# vertices with degree >= 2 -> both endpoints must survive
+_KCORE_ROUND = """
+    d{i} AS (SELECT s, count(*) AS c FROM u{p} GROUP BY s),
+    k{i} AS (SELECT s FROM d{i} WHERE c >= 2),
+    u{i} AS (SELECT u.s, u.t FROM u{p} u
+             JOIN k{i} x ON x.s = u.s JOIN k{i} y ON y.s = u.t)"""
+
+_KCORE_SQL = (
+    f"""
+    WITH {_LSH_PAIRS_MAT},
+    u0 AS (SELECT a AS s, b AS t FROM pairs
+           UNION ALL SELECT b AS s, a AS t FROM pairs),"""
+    + ",".join(_KCORE_ROUND.format(i=i, p=i - 1) for i in range(1, 5))
+    + """
+    SELECT s AS v, CAST(count(*) AS BIGINT) AS core_degree
+    FROM u4 GROUP BY s
+"""
+)
+
+
+@register("kcore_dupgraph", _KCORE_SQL)
+def kcore_dupgraph(spark, sf_dir):
+    """2-core of the near-dup pair graph (operators/pagerank.kcore —
+    iterative peeling, 4 fixed rounds): strips the dangling one-link
+    near-dup pairs (chance LSH collisions) and keeps only vertices
+    embedded in denser duplicate structure — the degeneracy view that
+    complements triangle counting (cliques) and CC (reach). Fixed round
+    count keeps it a pure function of the edge list; the oracle replays
+    the identical peels as CTEs (all-integer degrees, bit-exact), and
+    the fixpoint within 4 rounds is asserted in tests."""
+    from postgraph_spark.operators import pagerank as PR
+
+    pairs = DD.lsh_candidate_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, bands=4, k=3
+    )
+    return PR.kcore(pairs, "a", "b", k=2, rounds=4)
+
+
 @register(
     "dup_triangles",
     f"""
@@ -522,6 +561,62 @@ def repetition_stats(spark, sf_dir):
             F.round(1.0 - F.col("distinct_c") / F.col("total_c"), 6).alias(
                 "dup_bigram_frac"
             ),
+        )
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    f AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort
+          FROM e GROUP BY user_id),
+    size_ AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+              FROM f GROUP BY cohort),
+    act AS (SELECT DISTINCT f.cohort, e.user_id,
+                   CAST(date_diff('day', f.cohort, date_trunc('day', e.ts)) // 7
+                        AS BIGINT) AS week_offset
+            FROM e JOIN f USING (user_id)),
+    r AS (SELECT cohort, week_offset, CAST(count(*) AS BIGINT) AS n_active
+          FROM act GROUP BY cohort, week_offset)
+    SELECT strftime(r.cohort, '%Y-%m-%d') AS cohort_day, r.week_offset,
+           r.n_active, s.cohort_size,
+           round(CAST(r.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+    FROM r JOIN size_ s USING (cohort)
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention analysis — the classic product-analytics rollup
+    over the event stream: users cohorted by first-activity day, then
+    per (cohort, weeks-since-first-activity) the distinct active users
+    and the retention fraction against the cohort size.
+
+    Shape at 100 TB: first-activity is one user-keyed partial agg; the
+    activity join is user-keyed (broadcast when the user dimension
+    fits, AQE otherwise); distinct (cohort, user, offset) then one
+    small-cardinality rollup. Integer counts + one exact division."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.date_trunc("DAY", F.min("ts")).alias("cohort"))
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    act = (
+        ev.join(first, "user_id")
+        .select(
+            "cohort", "user_id",
+            F.floor(
+                F.datediff(F.date_trunc("DAY", F.col("ts")), F.col("cohort")) / 7
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    r = act.groupBy("cohort", "week_offset").agg(F.count(F.lit(1)).alias("n_active"))
+    return (
+        r.join(sizes, "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("week_offset").cast("long").alias("week_offset"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
         )
     )
 

@@ -92,3 +92,32 @@ def test_hits_deterministic_and_long(spark):
     assert a == b
     df = hits(e, num_iter=3)
     assert dict(df.dtypes) == {"v": "bigint", "hub": "bigint", "auth": "bigint"}
+
+
+def test_kcore_peels_tails(spark):
+    from postgraph_spark.operators.pagerank import kcore
+
+    # triangle 0-1-2 with a tail 2-3-4: the 2-core is the triangle
+    # alone (3 peels off after 4 does, so >1 round is exercised)
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)], ["src", "dst"]
+    )
+    got = {r.v: r.core_degree for r in kcore(e, k=2, rounds=4).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+    # k=3 empties it
+    assert kcore(e, k=3, rounds=4).count() == 0
+
+
+def test_kcore_fixpoint_on_dupgraph(spark):
+    """the registered row uses 4 fixed rounds; assert peeling has
+    actually converged there (round 5 changes nothing)."""
+    from postgraph_spark.operators.dedup import lsh_candidate_pairs
+    from postgraph_spark.operators.pagerank import kcore
+    from postgraph_spark.sources.relational import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text", n_hashes=8, bands=4, k=3)
+    r4 = sorted(map(tuple, kcore(pairs, "a", "b", k=2, rounds=4).collect()))
+    r5 = sorted(map(tuple, kcore(pairs, "a", "b", k=2, rounds=5).collect()))
+    assert r4 == r5 and r4
