@@ -641,9 +641,12 @@ _BPE_ROUND = """
                                   ELSE acc || x END) AS syms
              FROM v{p} CROSS JOIN p{i} p)"""
 
-_BPE_SQL = (
-    f"""
-    WITH {_TOKS},
+# the full 8-round training chain ending in the trained vocabulary
+# `v8(word, cnt, syms)` and per-round argmax pairs `p1..p8` — shared by
+# bpe_learn_merges (emits the merge table) and bpe_segment_stats
+# (applies v8 back to the corpus)
+_BPE_V8_CTES = (
+    f"""{_TOKS},
     w AS (SELECT unnest(tk) AS word FROM toks),
     words AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
               FROM w WHERE len(word) > 0 GROUP BY word),
@@ -652,13 +655,65 @@ _BPE_SQL = (
                     || ['</w>'] AS syms
            FROM words),"""
     + ",".join(_BPE_ROUND.format(i=i, p=i - 1) for i in range(1, 9))
-    + "\n    "
+)
+
+_BPE_SQL = (
+    f"\n    WITH {_BPE_V8_CTES}\n    "
     + "\n    UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS step, l AS left_sym, r AS right_sym,"
         f" l || r AS merged, c AS pair_count FROM p{i}"
         for i in range(1, 9)
     )
 )
+
+
+@register(
+    "bpe_segment_stats",
+    f"""
+    WITH {_BPE_V8_CTES},
+    seg AS (SELECT t.doc_id, count(*) AS n_tokens,
+                   sum(len(v8.syms)) AS n_subwords
+            FROM (SELECT doc_id, unnest(tk) AS word FROM toks) t
+            JOIN v8 ON v8.word = t.word
+            GROUP BY t.doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_subwords AS BIGINT) AS n_subwords,
+           round(CAST(n_subwords AS DOUBLE) / n_tokens, 6) AS subwords_per_token
+    FROM seg
+    """,
+)
+def bpe_segment_stats(spark, sf_dir):
+    """Apply the learned BPE tokenizer back to the corpus: per document,
+    whitespace-token count, total subword count under the 8 trained
+    merges, and the compression ratio — the fertility metric a tokenizer
+    build is judged by. The segmentation comes straight from the trained
+    vocabulary table (word -> symbol sequence after all merges), so
+    scoring is ONE broadcastable vocabulary join + a per-doc partial
+    agg; the corpus is never re-segmented character by character. The
+    oracle replays training (the bpe_learn_merges CTE chain) and joins
+    the same v8 table."""
+    from postgraph_spark.operators import bpe as BPE
+    from postgraph_spark.operators.dedup import _spread
+
+    docs = _spread(t(spark, sf_dir, "documents"))
+    vocab, _merges = BPE.bpe_train(docs, "text", rounds=8)
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("word")
+    ).filter(F.length("word") > 0)
+    per_doc = (
+        toks.join(F.broadcast(vocab.select("word", F.size("syms").alias("n_sub"))), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_sub").alias("n_subwords"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_subwords").cast("long").alias("n_subwords"),
+        F.round(F.col("n_subwords") / F.col("n_tokens"), 6).alias("subwords_per_token"),
+    )
 
 
 @register("bpe_learn_merges", _BPE_SQL)
