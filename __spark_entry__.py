@@ -76,7 +76,11 @@ _PRIORITY = [
     # variant below plus the new IVF-PQ row strictly cover the
     # probe-join shape)
     "dedup_minhash_lsh_pairs",
-    "dedup_clusters",
+    # dedup_keep_best is NEW late round 9 and strictly supersets
+    # dedup_clusters' CC replay (adds the quality-argmax retention
+    # policy); the plain cluster view rotates out, still locally
+    # oracled every run
+    "dedup_keep_best",
     "dedup_jaccard_pairs",
     "ivfpq_adc_topk",
     "embed_neardup_lsh",
@@ -170,7 +174,7 @@ _PRIORITY = [
     "stream_dedup_events",
     "kmv_distinct_ngrams", "doc_chunking", "mixture_weights",
     "dup_ngram_fraction", "json_containment_ops", "stream_dim_enrich",
-    "sim_topk_ivf_trained", "network_ops",
+    "sim_topk_ivf_trained", "network_ops", "dedup_clusters",
     "simhash_fingerprints", "dup_triangles", "sample_stratified",
     "text_stats", "interval_overlap_join",
     "lang_id_heuristic", "token_count_bpe", "rolling_hash_fingerprint",

@@ -101,10 +101,10 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     return DD.lsh_candidate_pairs(t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, bands=4, k=3)
 
 
-@register(
-    "dedup_clusters",
-    f"""
-    WITH RECURSIVE {_SHINGLES},
+# MinHash-LSH pairs -> recursive transitive closure -> per-doc
+# component id + sizes (`comp(doc_id, cluster_id)`, `szs`) — shared by
+# dedup_clusters and dedup_keep_best (needs a WITH RECURSIVE prefix)
+_CC_COMP_CTES = f"""{_SHINGLES},
     hs AS (SELECT doc_id, g.h AS h,
                   substr(md5(CAST(g.h AS VARCHAR) || shingle), 1, 8) AS hv
            FROM sh CROSS JOIN generate_series(0, 7) AS g(h)),
@@ -122,7 +122,13 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
         SELECT e.v, r.r FROM reach r JOIN edges e ON e.u = r.v
     ),
     comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
-    szs AS (SELECT cluster_id, count(*) AS csize FROM comp GROUP BY cluster_id)
+    szs AS (SELECT cluster_id, count(*) AS csize FROM comp GROUP BY cluster_id)"""
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_CC_COMP_CTES}
     SELECT c.doc_id, c.cluster_id, s.csize, c.doc_id = c.cluster_id AS is_keep
     FROM comp c JOIN szs s USING (cluster_id)
     """,
@@ -139,6 +145,62 @@ def dedup_clusters(spark, sf_dir):
         t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, bands=4, k=3
     )
     return CC.dup_clusters(pairs, "a", "b")
+
+
+@register(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_CC_COMP_CTES},
+    q AS (SELECT doc_id,
+                 round(least(len(tk) / 100.0, 1.0)
+                       * (len(list_distinct(tk))
+                          / CAST(greatest(len(tk), 1) AS DOUBLE)), 4) AS quality
+          FROM toks),
+    ranked AS (SELECT c.cluster_id, c.doc_id, q.quality, s.csize,
+                      row_number() OVER (PARTITION BY c.cluster_id
+                                         ORDER BY q.quality DESC, c.doc_id) AS rn
+               FROM comp c JOIN q USING (doc_id) JOIN szs s USING (cluster_id))
+    SELECT cluster_id, doc_id AS keep_doc_id, quality AS keep_quality,
+           CAST(csize AS BIGINT) AS csize
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark, sf_dir):
+    """Quality-aware duplicate-cluster retention: instead of the
+    canonical min-id keeper, each near-dup cluster (MinHash-LSH pairs ->
+    exact connected components) keeps its HIGHEST-quality member
+    (composite quality score; ties to the smallest doc_id) — the
+    retention policy real curation pipelines apply so boilerplate
+    variants lose to the cleanest copy. One row per cluster:
+    (cluster_id, keep_doc_id, keep_quality, csize).
+
+    Shape at 100 TB: CC is the pointer-jumping operator (O(log n)
+    rounds, scalars-only to the driver); the quality score is a pure
+    map-side expression; the keeper pick is one cluster-keyed
+    partial-agg argmax (struct-min), no window over the corpus."""
+    from postgraph_spark.operators import cc as CC
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = DD.lsh_candidate_pairs(docs, "doc_id", "text", n_hashes=8, bands=4, k=3)
+    clusters = CC.dup_clusters(pairs, "a", "b")
+    q = docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+    joined = clusters.join(q, "doc_id")
+    pick = joined.groupBy("cluster_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("quality")).alias("nq"),
+                F.col("doc_id").alias("d"),
+                F.col("quality").alias("q"),
+            )
+        ).alias("best"),
+        F.max("csize").alias("csize"),
+    )
+    return pick.select(
+        "cluster_id",
+        F.col("best.d").alias("keep_doc_id"),
+        F.col("best.q").alias("keep_quality"),
+        F.col("csize").cast("long").alias("csize"),
+    )
 
 
 @register(
