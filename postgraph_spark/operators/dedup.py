@@ -177,11 +177,20 @@ def jaccard_pairs(
     # old inverted index but carrying counts, not pairs)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("cnt"))
     ranked = sh.join(freq, "shingle")
+    # arrs feeds THREE consumers (the prefix index and both array
+    # re-attach joins); without a materialization the whole
+    # tokenize -> shingle -> hash -> frequency-join -> sort pipeline
+    # (including its two shuffles) re-executes per consumer — 8 inlined
+    # scans and ZERO ReusedExchange even in the final adaptive plan
+    # (round-9 A/B). One local checkpoint trades a single table-sized
+    # write for 2 full recomputations: exec 1.76 -> 1.22 s at sf0.1
+    # (build +~1.2 s materialization, reported separately by bench);
+    # at corpus scale the avoided passes dominate the one write.
     arrs = ranked.groupBy("id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("cnt", "shingle"))), lambda x: x["shingle"]
         ).alias("arr")
-    )
+    ).localCheckpoint(eager=True)
     sz = F.size("arr")
     plen = (sz - F.ceil(sz * threshold) + 1).cast("int")
     # NARROW prefix index: (id, prefix-shingle) only. Carrying the full
