@@ -134,8 +134,13 @@ _PRIORITY = [
     # rotates out (r8-driver-green; the inet operator family stays
     # golden-tested in test_vector_network_operators.py and locally
     # oracled every run)
+    # kmv_corpus_overlap is NEW late round 9 (sketch-algebra overlap
+    # estimation); deep_order_arrays rotates out (r8-driver-green; the
+    # canonical container-encoding surfaces stay exercised by the
+    # cypher rows and the deep-orderability suite, locally oracled
+    # every run)
     "kmeans_embeddings", "cohort_retention",
-    "window_frames_extended", "deep_order_arrays",
+    "window_frames_extended", "kmv_corpus_overlap",
     "vector_ops_topk", "kcore_dupgraph",
     # the remaining round-8-NEW rows (same lesson as verdict #1: the
     # newest surface gets driver-checked the round it lands):
@@ -175,6 +180,7 @@ _PRIORITY = [
     "kmv_distinct_ngrams", "doc_chunking", "mixture_weights",
     "dup_ngram_fraction", "json_containment_ops", "stream_dim_enrich",
     "sim_topk_ivf_trained", "network_ops", "dedup_clusters",
+    "deep_order_arrays",
     "simhash_fingerprints", "dup_triangles", "sample_stratified",
     "text_stats", "interval_overlap_join",
     "lang_id_heuristic", "token_count_bpe", "rolling_hash_fingerprint",

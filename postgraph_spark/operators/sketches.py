@@ -61,6 +61,48 @@ def _hash_fraction(h: Column, digits: int = 13) -> Column:
     return F.conv(F.substring(h, 1, digits), 16, 10).cast("double") / float(16 ** digits)
 
 
+def kmv_overlap(
+    values_a: DataFrame, values_b: DataFrame, col: str, k: int = 256
+) -> DataFrame:
+    """Set-operation estimates from KMV sketches ALONE (Beyer et al.
+    2007, "On synopses for distinct-value estimation under multiset
+    operations"): the union sketch is the k smallest of the two
+    sketches' hash union (no data re-scan), giving |A u B|; then
+    |A n B| = D_A + D_B - D_U by inclusion-exclusion and the Jaccard
+    estimate their ratio. One row: (est_a, est_b, est_union,
+    est_inter, est_jaccard). An unsaturated sketch (< k hashes) IS the
+    exact distinct count, so small sides degrade gracefully.
+
+    Scale: each corpus is sketched with the no-shuffle per-partition
+    KMV pass; everything after operates on <= 3k hash strings."""
+    sa = kmv_sketch(values_a, col, k=k)
+    sb = kmv_sketch(values_b, col, k=k)
+    su = sa.union(sb).distinct().orderBy("h").limit(k)
+
+    def est(sk: DataFrame, name: str) -> DataFrame:
+        agg = sk.agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("mx"))
+        e = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+            (F.col("n") - 1) / _hash_fraction(F.col("mx"))
+        )
+        return agg.select(e.alias(name))
+
+    one = (
+        est(sa, "est_a")
+        .crossJoin(F.broadcast(est(sb, "est_b")))
+        .crossJoin(F.broadcast(est(su, "est_union")))
+    )
+    inter = F.greatest(
+        F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+    )
+    return one.select(
+        F.round("est_a", 3).alias("est_a"),
+        F.round("est_b", 3).alias("est_b"),
+        F.round("est_union", 3).alias("est_union"),
+        F.round(inter, 3).alias("est_inter"),
+        F.round(inter / F.col("est_union"), 6).alias("est_jaccard"),
+    )
+
+
 def cms_bucket(value: Column, row: int, width: int = 1024) -> Column:
     """Deterministic count-min bucket for hash row `row`: first 8 hex
     chars of md5('<row>:' || value) as an int, mod width. Exactly

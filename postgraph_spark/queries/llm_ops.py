@@ -808,6 +808,77 @@ def bpe_learn_merges(spark, sf_dir):
     )
 
 
+def _kmv_frac_sql(col: str) -> str:
+    """First 13 hex digits of a md5 column as an exact double fraction
+    (52 bits; divisor a power of two) — the kmv_distinct convention."""
+    return (
+        "list_sum(list_transform(range(13), i -> "
+        "CAST(strpos('0123456789abcdef', "
+        f"substr({col}, CAST(i + 1 AS INT), 1)) - 1 AS DOUBLE)"
+        " * 16.0 ** (12 - i))) / 16.0 ** 13"
+    )
+
+
+@register(
+    "kmv_corpus_overlap",
+    rf"""
+    WITH tk AS (SELECT source, regexp_split_to_array(lower(text), '\s+') AS tk
+                FROM documents WHERE source IN ('src0', 'src1')),
+    g3 AS (SELECT source,
+                  unnest(CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+                         ELSE list_transform(generate_series(0, len(tk)-3),
+                                             j -> array_to_string(tk[j+1:j+3], ' ')) END) AS g
+           FROM tk),
+    ska AS (SELECT h FROM (SELECT DISTINCT md5(g) AS h FROM g3 WHERE source = 'src0')
+            ORDER BY h LIMIT 256),
+    skb AS (SELECT h FROM (SELECT DISTINCT md5(g) AS h FROM g3 WHERE source = 'src1')
+            ORDER BY h LIMIT 256),
+    sku AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+            ORDER BY h LIMIT 256),
+    ea AS (SELECT count(*) AS n, max(h) AS mx FROM ska),
+    eb AS (SELECT count(*) AS n, max(h) AS mx FROM skb),
+    eu AS (SELECT count(*) AS n, max(h) AS mx FROM sku),
+    est AS (SELECT
+      CASE WHEN ea.n < 256 THEN CAST(ea.n AS DOUBLE)
+           ELSE (ea.n - 1) / ({_kmv_frac_sql('ea.mx')}) END AS est_a,
+      CASE WHEN eb.n < 256 THEN CAST(eb.n AS DOUBLE)
+           ELSE (eb.n - 1) / ({_kmv_frac_sql('eb.mx')}) END AS est_b,
+      CASE WHEN eu.n < 256 THEN CAST(eu.n AS DOUBLE)
+           ELSE (eu.n - 1) / ({_kmv_frac_sql('eu.mx')}) END AS est_union
+      FROM ea, eb, eu)
+    SELECT round(est_a, 3) AS est_a, round(est_b, 3) AS est_b,
+           round(est_union, 3) AS est_union,
+           round(greatest(0.0, est_a + est_b - est_union), 3) AS est_inter,
+           round(greatest(0.0, est_a + est_b - est_union) / est_union, 6)
+             AS est_jaccard
+    FROM est
+    """,
+)
+def kmv_corpus_overlap(spark, sf_dir):
+    """Cross-corpus overlap from KMV sketches ALONE (Beyer et al. 2007
+    multiset-operation synopses; operators/sketches.kmv_overlap): the
+    3-gram shingle spaces of two sources (src0 vs src1) are sketched
+    with the no-shuffle per-partition KMV pass, the union sketch is the
+    k smallest of the two sketches' hash union (no data re-scan), and
+    inclusion-exclusion gives the intersection and Jaccard estimates —
+    the 'how contaminated is corpus B with corpus A' question answered
+    WITHOUT a corpus-by-corpus join. Unsaturated sketches degrade to
+    exact counts. Both engines derive fractions from 13 hex digits
+    (exact in a double), so the row hash-matches bit-for-bit."""
+    from postgraph_spark.operators.dedup import _spread
+    from postgraph_spark.operators.sketches import kmv_overlap
+
+    docs = _spread(t(spark, sf_dir, "documents"))
+    toks = TX.tokens(F.col("text"))
+
+    def grams(src):
+        return docs.filter(F.col("source") == src).select(
+            F.explode(TX.shingles(toks, 3)).alias("g")
+        )
+
+    return kmv_overlap(grams("src0"), grams("src1"), "g", k=256)
+
+
 @register(
     "cms_token_freq",
     f"""

@@ -76,3 +76,21 @@ def test_cms_forced_collision_overcounts(spark):
         sk, spark.createDataFrame([("x",), ("y",)], ["v"]), "v", depth=2, width=1
     ).collect()}
     assert got == {"x": 10, "y": 10}
+
+
+def test_kmv_overlap_identical_and_disjoint(spark):
+    from postgraph_spark.operators.sketches import kmv_overlap
+
+    a = spark.createDataFrame([(f"v{i}",) for i in range(500)], ["g"])
+    same = kmv_overlap(a, a, "g", k=64).first()
+    assert same.est_jaccard == 1.0
+    assert same.est_inter == same.est_union
+    b = spark.createDataFrame([(f"w{i}",) for i in range(500)], ["g"])
+    disj = kmv_overlap(a, b, "g", k=64).first()
+    # inclusion-exclusion on saturated sketches is approximate: disjoint
+    # sets must estimate near zero and far below the identical case
+    assert disj.est_jaccard < 0.35
+    # unsaturated side degrades to the exact count
+    small = spark.createDataFrame([("v1",), ("v2",), ("zz",)], ["g"])
+    mix = kmv_overlap(small, small, "g", k=64).first()
+    assert mix.est_a == 3.0 and mix.est_union == 3.0 and mix.est_jaccard == 1.0
