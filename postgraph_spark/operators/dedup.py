@@ -142,6 +142,7 @@ def jaccard_pairs(
     text_col: str,
     threshold: float = 0.6,
     k: int = 3,
+    materialize_min_docs: int = 100_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs (a < b, jac >= t).
 
@@ -182,15 +183,22 @@ def jaccard_pairs(
     # tokenize -> shingle -> hash -> frequency-join -> sort pipeline
     # (including its two shuffles) re-executes per consumer — 8 inlined
     # scans and ZERO ReusedExchange even in the final adaptive plan
-    # (round-9 A/B). One local checkpoint trades a single table-sized
-    # write for 2 full recomputations: exec 1.76 -> 1.22 s at sf0.1
-    # (build +~1.2 s materialization, reported separately by bench);
-    # at corpus scale the avoided passes dominate the one write.
+    # (round-9 audit). Above `materialize_min_docs` input rows ONE
+    # local checkpoint replaces those 2 recomputations — the avoided
+    # corpus passes dominate the single table write at scale. Below it
+    # the recompute is cheaper than the checkpoint IO (measured at
+    # sf0.1 under bench memory pressure: checkpointed exec regressed
+    # 2.4 -> 3.5 s while an idle-host A/B favored the checkpoint —
+    # either way the cost is minutes of small-corpus work, so the
+    # probe keys the decision to where it matters). The same
+    # size-probed pattern as perplexity_buckets' bucketing path.
     arrs = ranked.groupBy("id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("cnt", "shingle"))), lambda x: x["shingle"]
         ).alias("arr")
-    ).localCheckpoint(eager=True)
+    )
+    if df.count() >= materialize_min_docs:
+        arrs = arrs.localCheckpoint(eager=True)
     sz = F.size("arr")
     plen = (sz - F.ceil(sz * threshold) + 1).cast("int")
     # NARROW prefix index: (id, prefix-shingle) only. Carrying the full

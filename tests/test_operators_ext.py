@@ -96,3 +96,19 @@ def test_existence(engine):
         ("['x', 'y'] ?& ['x', 'y']", True),
         ("1 ? 'a'", None),  # non-container -> gtype null
     ])
+
+
+def test_jaccard_materialized_path_identical(spark):
+    """the size-probed checkpoint (scale path) must not change results:
+    force it with materialize_min_docs=0 and compare to the recompute
+    path on the same corpus."""
+    from postgraph_spark.operators.dedup import jaccard_pairs
+    from postgraph_spark.sources.relational import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    a = sorted(map(tuple, jaccard_pairs(docs, "doc_id", "text").collect()))
+    b = sorted(
+        map(tuple, jaccard_pairs(docs, "doc_id", "text", materialize_min_docs=0).collect())
+    )
+    assert a == b and a
