@@ -53,10 +53,13 @@ _PRIORITY = [
     # interval join keep three streaming rows under the oracle)
     "multimodal_meta",
     # NEW round 9: stream-stream LEFT OUTER interval join (watermark-
-    # driven null emission — the outer variant of the attribution join).
-    # stream_dedup_events rotates out for it (r8-green; dedup-by-
-    # watermark stays pinned stream==batch locally)
-    "stream_interval_left_join",
+    # driven null emission — the outer variant of the attribution join)
+    # and the streaming count-min sketch (capped-state frequency store,
+    # stream==batch by counter associativity). stream_dedup_events and
+    # window_frames_extended rotate out for them (both r8-driver-green;
+    # dedup-by-watermark stays pinned stream==batch locally and the
+    # EXCLUDE/GROUPS frame surface keeps its 141-test local suite)
+    "stream_interval_left_join", "stream_cms_counts",
     # function kits (range_ops, geometric_kit_full + vector_distance
     # rotated out this round — all multi-round green, families stay
     # locally oracled and the vector family stays externally covered by
@@ -140,7 +143,7 @@ _PRIORITY = [
     # cypher rows and the deep-orderability suite, locally oracled
     # every run)
     "kmeans_embeddings", "cohort_retention",
-    "window_frames_extended", "kmv_corpus_overlap",
+    "kmv_corpus_overlap",
     "vector_ops_topk", "kcore_dupgraph",
     # the remaining round-8-NEW rows (same lesson as verdict #1: the
     # newest surface gets driver-checked the round it lands):
@@ -180,7 +183,7 @@ _PRIORITY = [
     "kmv_distinct_ngrams", "doc_chunking", "mixture_weights",
     "dup_ngram_fraction", "json_containment_ops", "stream_dim_enrich",
     "sim_topk_ivf_trained", "network_ops", "dedup_clusters",
-    "deep_order_arrays",
+    "deep_order_arrays", "window_frames_extended",
     "simhash_fingerprints", "dup_triangles", "sample_stratified",
     "text_stats", "interval_overlap_join",
     "lang_id_heuristic", "token_count_bpe", "rolling_hash_fingerprint",

@@ -190,6 +190,37 @@ def stream_dedup_events(spark, sf_dir):
 
 
 @register(
+    "stream_cms_counts",
+    """
+    WITH cells AS (
+      SELECT t.r AS row_,
+             CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':'
+                                      || event_type || ':'
+                                      || CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1024 AS bucket
+      FROM events CROSS JOIN range(4) t(r))
+    SELECT CAST(row_ AS INT) AS row, CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM cells GROUP BY row_, bucket
+    """,
+)
+def stream_cms_counts(spark, sf_dir):
+    """Count-min sketch over the event stream (streaming/ops.py
+    cms_event_counts): the d x w counter table for (event_type, user)
+    items — the capped-state streaming frequency store (counter
+    addition is associative + commutative, so the incremental streaming
+    aggregation equals this batch program exactly;
+    tests/test_streaming.py pins stream == batch). md5-derived buckets
+    make both engines' counters identical integers."""
+    out = S.cms_event_counts(t(spark, sf_dir, "events"))
+    return out.select(
+        F.col("row").cast("int").alias("row"),
+        F.col("bucket").cast("int").alias("bucket"),
+        "cnt",
+    )
+
+
+@register(
     "stream_dim_enrich",
     """
     WITH e AS (SELECT time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS ws,

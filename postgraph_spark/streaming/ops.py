@@ -184,6 +184,38 @@ def enrich_with_dim(
     )
 
 
+def cms_event_counts(
+    events: DataFrame, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch maintained INCREMENTALLY over the event stream:
+    item = event_type ':' user_id, counters = the d x w cell table
+    (operators/sketches.cms_bucket hashing). Counter addition is
+    associative and commutative, so the streaming aggregation (complete
+    mode) equals the batch sketch exactly — the sketch never needs the
+    raw stream replayed, and its state is CAPPED at d*w cells no matter
+    how many events arrive (the property that makes sketches the right
+    streaming frequency store).
+
+    Scale shape: explode d cells per event map-side, one bounded-key
+    stateful aggregation; at any throughput the shuffle carries partial
+    sums over at most d*w keys."""
+    from postgraph_spark.operators.sketches import cms_bucket
+
+    item = F.concat_ws(":", F.col("event_type"), F.col("user_id").cast("string"))
+    cells = events.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    cms_bucket(item, r, width).alias("bucket"),
+                )
+                for r in range(depth)
+            ])
+        ).alias("c")
+    ).select("c.row", "c.bucket")
+    return cells.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def stream_dedup(events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes") -> DataFrame:
     """Exact streaming dedup on key columns within the watermark horizon.
 

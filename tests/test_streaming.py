@@ -176,3 +176,16 @@ def test_interval_left_join_stream_equals_batch(spark, event_dir, tmp_path):
     assert got == want
     # the outer rows are the point: some clicks must be unmatched
     assert any(r[5] is None for r in want), "fixture has no unmatched clicks"
+
+
+def test_cms_stream_equals_batch(spark, event_dir):
+    """counter addition is associative+commutative, so the sketch built
+    incrementally across micro-batches equals the batch sketch cell for
+    cell."""
+    stream = S.read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    S.run_to_memory(S.cms_event_counts(stream), "cms_cells")
+    got = rows_sorted(spark.table("cms_cells"))
+    want = rows_sorted(S.cms_event_counts(load_table(spark, "events", SF_DIR)))
+    assert got == want and len(got) > 0
+    # state cap: never more than d*w cells regardless of stream length
+    assert len(got) <= 4 * 1024
