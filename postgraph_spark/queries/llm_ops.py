@@ -953,7 +953,7 @@ def cms_token_freq(spark, sf_dir):
     FROM pos
     """,
 )
-def pack_sequences(spark, sf_dir):
+def pack_sequences(spark, sf_dir, shard_span: int = 262_144):
     """Sequence packing for training batches (the GPT-style concat-and-
     cut packing pass): per source stream, documents concatenate in
     doc_id order and each document is assigned the fixed-budget bin
@@ -961,31 +961,63 @@ def pack_sequences(spark, sf_dir):
     to packed context windows a dataloader materializes. Emits
     (doc_id, source, n_tok, start_tok, bin_id).
 
-    Shape at 100 TB: one window cumsum PARTITIONED by the stream key
-    (source here; a production run sub-shards sources by hash so every
-    partition is bounded — the partitioned window keeps Spark's
-    single-task global-sort trap out, cf. perplexity_buckets round 9).
-    Integer arithmetic end-to-end: bit-exact cross-engine."""
+    Shape at 100 TB: the cumsum is a TWO-LEVEL distributed prefix sum,
+    bit-exact with the naive per-source window. `source` has small fixed
+    cardinality (20 in this data), so a window partitioned by it alone
+    funnels 1/20 of the corpus through one task at any scale (the
+    partitionless-window trap at one remove, round-9 verdict #2).
+    Instead: (1) sub-shard each source into contiguous doc_id blocks
+    `pack_shard = floor(doc_id / shard_span)` and cumsum WITHIN
+    (source, pack_shard) — every window task holds <= shard_span rows
+    by construction, no probe needed; (2) prefix-sum the per-shard token
+    totals per source — a sources x shards table, tiny at any corpus
+    size — and broadcast-join the shard base offsets back; (3)
+    start_tok = shard_base + within_shard_cumsum. Because shards are
+    contiguous doc_id ranges, the composition equals the global
+    per-source cumsum exactly: integer arithmetic end-to-end, bit-exact
+    cross-engine, one DuckDB oracle covers the only path."""
     docs = t(spark, sf_dir, "documents")
     from pyspark.sql import Window as W
 
     from postgraph_spark.operators.dedup import _spread
 
     sized = _spread(docs).select(
-        "doc_id", "source", F.size(TX.tokens(F.col("text"))).alias("n_tok")
+        "doc_id",
+        "source",
+        F.size(TX.tokens(F.col("text"))).alias("n_tok"),
+        F.floor(F.col("doc_id") / shard_span).alias("pack_shard"),
     )
-    w = (
-        W.partitionBy("source")
+    w_in = (
+        W.partitionBy("source", "pack_shard")
         .orderBy("doc_id")
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    start = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
-    return sized.select(
-        "doc_id",
+    within = F.coalesce(F.sum("n_tok").over(w_in), F.lit(0))
+
+    shard_tot = sized.groupBy("source", "pack_shard").agg(
+        F.sum("n_tok").alias("shard_tok")
+    )
+    w_base = (
+        W.partitionBy("source")
+        .orderBy("pack_shard")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    bases = shard_tot.select(
         "source",
-        F.col("n_tok").cast("long").alias("n_tok"),
-        start.cast("long").alias("start_tok"),
-        F.floor(start / 256).cast("long").alias("bin_id"),
+        "pack_shard",
+        F.coalesce(F.sum("shard_tok").over(w_base), F.lit(0)).alias("shard_base"),
+    )
+
+    start = (F.col("shard_base") + within).cast("long")
+    return (
+        sized.join(F.broadcast(bases), ["source", "pack_shard"])
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            start.alias("start_tok"),
+            F.floor(start / 256).cast("long").alias("bin_id"),
+        )
     )
 
 
@@ -1642,7 +1674,14 @@ def multimodal_resize(spark, sf_dir):
       FROM docs8 d8 LEFT JOIN slot s ON s.doc_id = d8.doc_id AND s.f = d8.f)
     SELECT doc_id AS media_id,
            ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
-           list(v ORDER BY f) AS features,
+           max(CASE WHEN f = 0 THEN v END) AS f0,
+           max(CASE WHEN f = 1 THEN v END) AS f1,
+           max(CASE WHEN f = 2 THEN v END) AS f2,
+           max(CASE WHEN f = 3 THEN v END) AS f3,
+           max(CASE WHEN f = 4 THEN v END) AS f4,
+           max(CASE WHEN f = 5 THEN v END) AS f5,
+           max(CASE WHEN f = 6 THEN v END) AS f6,
+           max(CASE WHEN f = 7 THEN v END) AS f7,
            true AS decode_ok
     FROM feats GROUP BY doc_id
     """,
@@ -1663,9 +1702,20 @@ def multimodal_decode(spark, sf_dir):
     i (mod 8), / 255 — DuckDB re-derives the byte values from
     hex(encode(text)). All 8 slots always emit (missing strides coalesce
     to 0.0, matching fake_decode's padding), one row per document even
-    for empty text."""
+    for empty text.
+
+    Driver-facing convention: the 8 features are emitted as SCALAR
+    columns f0..f7 (the driver's pandas canonicalizer cannot sort
+    top-level list columns — CORRECTNESS_r09 err); internal consumers
+    keep decode_media's array form."""
     media = MM.documents_as_media(t(spark, sf_dir, "documents"))
-    return MM.decode_media(MM.encode_containers(media), n_features=8)
+    decoded = MM.decode_media(MM.encode_containers(media), n_features=8)
+    return decoded.select(
+        "media_id",
+        "modality",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
+        "decode_ok",
+    )
 
 
 # the k=10 / iters=2 Lloyd replay (smallest-id init, hold-position rule

@@ -116,16 +116,27 @@ def test_gopher_filter_pure_projection(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
-def test_pack_sequences_partitioned_window(spark):
-    """the packing cumsum must be a PARTITIONED window (a partitionless
-    one funnels the corpus through a single task)."""
+def test_pack_sequences_bounded_window(spark):
+    """the packing cumsum must be a PARTITIONED window whose corpus-side
+    key includes the pack_shard sub-shard (source alone is fixed-
+    cardinality — 1/20 of the corpus in one task at any scale). The
+    shard-base prefix sum over the tiny per-shard totals table may
+    window on source alone."""
     from postgraph_spark.queries.llm_ops import pack_sequences
 
     df = pack_sequences(spark, SF)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
-    for line in opt.splitlines():
-        if "windowspecdefinition" in line.lower():
-            assert "source" in line, line  # partition key present
+    win_lines = [
+        line for line in opt.splitlines() if "windowspecdefinition" in line.lower()
+    ]
+    assert win_lines, opt  # the window must not be rewritten away silently
+    for line in win_lines:
+        assert "source" in line, line  # partition key present
+    corpus_wins = [line for line in win_lines if "n_tok" in line]
+    assert corpus_wins, opt
+    for line in corpus_wins:
+        assert "pack_shard" in line, line  # bounded sub-shard key present
+    assert "broadcast" in opt.lower(), opt  # shard bases broadcast back
 
 
 def test_pmi_no_cartesian_and_broadcast_marginals(spark):

@@ -141,3 +141,19 @@ def test_pack_sequences_is_gapless_per_source(spark):
             assert r.start_tok == cum, (src, r)
             assert r.bin_id == cum // 256
             cum += r.n_tok
+
+
+def test_pack_sequences_sharding_is_bit_exact(spark):
+    """The two-level prefix sum (contiguous doc_id sub-shards + broadcast
+    shard bases) must equal the single-window cumsum exactly: a tiny
+    shard_span forces MANY shards per source and the output must be
+    byte-identical to the default (one shard covers everything at
+    sf0.01)."""
+    from postgraph_spark.queries.llm_ops import pack_sequences
+
+    one = sorted(map(tuple, pack_sequences(spark, SF_DIR).collect()))
+    many = sorted(
+        map(tuple, pack_sequences(spark, SF_DIR, shard_span=7).collect())
+    )
+    assert one == many
+    assert len(one) == 500
