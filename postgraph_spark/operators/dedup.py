@@ -143,8 +143,17 @@ def jaccard_pairs(
     threshold: float = 0.6,
     k: int = 3,
     materialize_min_docs: int = 100_000,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs (a < b, jac >= t).
+
+    EAGER-EXECUTION NOTE: deciding whether to materialize the shared
+    shingle-array table needs the input row count. Pass ``n_docs`` if
+    the caller already knows it (keeps this a pure plan builder);
+    otherwise ONE count job runs at plan-construction time — and when
+    the count reaches ``materialize_min_docs`` the localCheckpoint also
+    executes eagerly. Callers building plans they may never run should
+    supply ``n_docs``.
 
     Prefix-filtered set-similarity join (PPJoin-family): shingles are
     globally ordered rarest-first; a document of |A| shingles exposes
@@ -197,7 +206,7 @@ def jaccard_pairs(
             F.array_sort(F.collect_list(F.struct("cnt", "shingle"))), lambda x: x["shingle"]
         ).alias("arr")
     )
-    if df.count() >= materialize_min_docs:
+    if (n_docs if n_docs is not None else df.count()) >= materialize_min_docs:
         arrs = arrs.localCheckpoint(eager=True)
     sz = F.size("arr")
     plen = (sz - F.ceil(sz * threshold) + 1).cast("int")

@@ -172,7 +172,9 @@ def hits(
         .localCheckpoint(eager=True)
     )
     hub = verts.select("v", F.lit(1).cast("long").alias("hub"))
-    auth = None
+    # num_iter=0 degenerates to the init scores (hub = auth = 1), not a
+    # crash on joining an unset auth frame
+    auth = verts.select("v", F.lit(1).cast("long").alias("auth"))
     for _ in range(num_iter):
         a_sum = (
             e.join(hub.withColumnRenamed("v", "src"), "src")

@@ -128,6 +128,7 @@ def neardup_pairs_cosine(
     vec_col: str = "embedding",
     bucket_col: str = "label",
     threshold: float = 0.95,
+    block_rows: int = 2048,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (a < b, round(cosine,6) >= t)
     within buckets.
@@ -141,6 +142,16 @@ def neardup_pairs_cosine(
     uses, so results are bit-equal to the oracle. At 100 TB the bucket
     count (LSH planes / k-means k) is chosen so a bucket fits an
     executor; the shuffle volume is |V| vectors, not |pairs|.
+
+    Skew hardening: an oversized or skewed bucket must not materialize
+    its full n x n pair matrix in one task's memory. Buckets larger
+    than ``block_rows`` are pair-scanned block x block (upper-triangle
+    block walk), capping the live similarity matrix at
+    block_rows^2 doubles (~33 MB at the 2048 default) regardless of
+    bucket size; each entry's dim-by-dim accumulation is unchanged, so
+    chunking is bit-exact with the monolithic matrix. Time within one
+    skewed bucket is still quadratic — the cure for that is more
+    buckets — but memory no longer is.
     """
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -155,22 +166,48 @@ def neardup_pairs_cosine(
         ids = pdf["__id"].to_numpy()
         V = np.stack(pdf["__v"].to_numpy()).astype(np.float64)  # n x d
         d = V.shape[1]
-        # accumulate dot-products and squared norms DIM BY DIM: G[a,b] is
-        # then sum_i va_i*vb_i in index order, left-associated — exactly
-        # the sequential fold of list_dot_product / F.aggregate
-        G = np.zeros((n, n))
+        # squared norms DIM BY DIM: sum_i v_i*v_i in index order,
+        # left-associated — exactly the sequential fold of
+        # list_dot_product / F.aggregate
         sq = np.zeros(n)
         for i in range(d):
             c = V[:, i]
-            G += np.outer(c, c)
             sq += c * c
         nrm = np.sqrt(sq)
-        S = np.round(G / np.outer(nrm, nrm), 6)
-        iu, ju = np.triu_indices(n, k=1)
-        keep = S[iu, ju] >= threshold
-        return pd.DataFrame(
-            {"a": ids[iu[keep]], "b": ids[ju[keep]], "sim": S[iu, ju][keep]}
-        )
+        B = max(int(block_rows), 2)
+        parts = []
+        for bi in range(0, n, B):
+            Va = V[bi : bi + B]
+            na = len(Va)
+            for bj in range(bi, n, B):
+                Vb = V[bj : bj + B]
+                nb = len(Vb)
+                # G[a,b] = sum_i va_i*vb_i accumulated dim-by-dim: the
+                # same per-entry arithmetic as the full matrix, so the
+                # block walk is bit-exact
+                G = np.zeros((na, nb))
+                for i in range(d):
+                    G += np.outer(Va[:, i], Vb[:, i])
+                S = np.round(G / np.outer(nrm[bi : bi + B], nrm[bj : bj + B]), 6)
+                if bi == bj:
+                    iu, ju = np.triu_indices(na, k=1)
+                else:
+                    iu, ju = np.indices((na, nb))
+                    iu, ju = iu.ravel(), ju.ravel()
+                keep = S[iu, ju] >= threshold
+                if keep.any():
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                "a": ids[bi + iu[keep]],
+                                "b": ids[bj + ju[keep]],
+                                "sim": S[iu, ju][keep],
+                            }
+                        )
+                    )
+        if not parts:
+            return empty
+        return pd.concat(parts, ignore_index=True)
 
     narrow = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), F.col(bucket_col).alias("__bk")

@@ -686,7 +686,10 @@ def cohort_retention(spark, sf_dir):
 # one BPE round: weighted adjacent-pair counts -> argmax pair (count
 # desc, lexicographic tie-break) -> left-to-right fold merge in every
 # word (list_reduce with a list accumulator; slices are INCLUSIVE in
-# DuckDB, so [:-2] drops the last element)
+# DuckDB, so [:-2] drops the last element). The merge joins LEFT so an
+# empty argmax round (corpus supports < 8 merges) passes syms through
+# unchanged — matching bpe_train's break-and-keep-last-vocab behavior
+# instead of emptying every later round via CROSS JOIN
 _BPE_ROUND = """
     pr{i} AS (SELECT cnt,
                      unnest(list_transform(range(1, len(syms)),
@@ -696,12 +699,14 @@ _BPE_ROUND = """
              FROM pr{i} GROUP BY p.l, p.r
              ORDER BY c DESC, l, r LIMIT 1),
     v{i} AS (SELECT word, cnt,
-                    list_reduce(list_transform(syms, x -> [x]),
-                      (acc, x) -> CASE WHEN len(acc) > 0
-                                        AND acc[-1] = p.l AND x[1] = p.r
-                                  THEN acc[:-2] || [p.l || p.r]
-                                  ELSE acc || x END) AS syms
-             FROM v{p} CROSS JOIN p{i} p)"""
+                    CASE WHEN p.l IS NULL THEN syms
+                         ELSE list_reduce(list_transform(syms, x -> [x]),
+                           (acc, x) -> CASE WHEN len(acc) > 0
+                                             AND acc[-1] = p.l AND x[1] = p.r
+                                       THEN acc[:-2] || [p.l || p.r]
+                                       ELSE acc || x END)
+                    END AS syms
+             FROM v{p} LEFT JOIN p{i} p ON true)"""
 
 # the full 8-round training chain ending in the trained vocabulary
 # `v8(word, cnt, syms)` and per-round argmax pairs `p1..p8` — shared by

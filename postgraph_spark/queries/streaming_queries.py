@@ -198,7 +198,8 @@ def stream_dedup_events(spark, sf_dir):
                                       || event_type || ':'
                                       || CAST(user_id AS VARCHAR)), 1, 8))
                   AS BIGINT) % 1024 AS bucket
-      FROM events CROSS JOIN range(4) t(r))
+      FROM events CROSS JOIN range(4) t(r)
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL)
     SELECT CAST(row_ AS INT) AS row, CAST(bucket AS INT) AS bucket,
            CAST(count(*) AS BIGINT) AS cnt
     FROM cells GROUP BY row_, bucket

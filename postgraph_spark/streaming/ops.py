@@ -198,10 +198,19 @@ def cms_event_counts(
 
     Scale shape: explode d cells per event map-side, one bounded-key
     stateful aggregation; at any throughput the shuffle carries partial
-    sums over at most d*w keys."""
+    sums over at most d*w keys.
+
+    NULL policy: events with a NULL event_type or user_id are EXCLUDED
+    (explicit filter + NULL-propagating concat, not concat_ws which
+    silently skips NULL parts and would count 'click:<null>' as item
+    'click') — the same filter the SQL oracle applies, so both engines
+    sketch the identical item set."""
     from postgraph_spark.operators.sketches import cms_bucket
 
-    item = F.concat_ws(":", F.col("event_type"), F.col("user_id").cast("string"))
+    item = F.concat(F.col("event_type"), F.lit(":"), F.col("user_id").cast("string"))
+    events = events.where(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
     cells = events.select(
         F.explode(
             F.array(*[

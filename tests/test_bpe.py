@@ -40,3 +40,35 @@ def test_bpe_train_deterministic(spark):
     m1 = BPE.bpe_train(docs, "text", rounds=4)[1]
     m2 = BPE.bpe_train(docs, "text", rounds=4)[1]
     assert m1 == m2 and len(m1) == 4
+
+
+def test_bpe_oracle_survives_degenerate_corpus(spark, tmp_path):
+    """A corpus supporting fewer than 8 merges must NOT empty the oracle's
+    vocabulary chain: the merge CTE LEFT-joins the (possibly empty) argmax
+    round so later rounds pass syms through unchanged — matching
+    bpe_train's break-and-keep behavior. Engine and oracle must agree on
+    BOTH registered BPE rows."""
+    rows = [(i, "ab ab ab", "en", "s", 8) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/documents.parquet")
+
+    import duckdb
+
+    from postgraph_spark.queries import ORACLES, QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    try:
+        for name in ("bpe_learn_merges", "bpe_segment_stats"):
+            srows = sorted(map(tuple, QUERIES[name](spark, sf).collect()))
+            orows = sorted(map(tuple, con.execute(ORACLES[name]).fetchall()))
+            assert srows == orows, (name, srows, orows)
+            assert srows, name  # the degenerate corpus still yields rows
+    finally:
+        con.close()

@@ -121,3 +121,11 @@ def test_kcore_fixpoint_on_dupgraph(spark):
     r4 = sorted(map(tuple, kcore(pairs, "a", "b", k=2, rounds=4).collect()))
     r5 = sorted(map(tuple, kcore(pairs, "a", "b", k=2, rounds=5).collect()))
     assert r4 == r5 and r4
+
+
+def test_hits_zero_iterations_returns_init_scores(spark):
+    from postgraph_spark.operators.pagerank import hits
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    rows = {r.v: (r.hub, r.auth) for r in hits(edges, num_iter=0).collect()}
+    assert rows == {1: (1, 1), 2: (1, 1), 3: (1, 1)}

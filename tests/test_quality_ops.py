@@ -157,3 +157,31 @@ def test_pack_sequences_sharding_is_bit_exact(spark):
     )
     assert one == many
     assert len(one) == 500
+
+
+def test_neardup_block_chunking_is_bit_exact(spark):
+    """An oversized bucket must be pair-scanned block x block without
+    changing a single pair: force MANY tiny blocks (block_rows=3) on a
+    single 500-vector bucket and compare against the monolithic matrix
+    (block_rows large enough to cover the bucket in one block)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+        "one", F.lit(1)
+    )
+    mono = sorted(
+        map(
+            tuple,
+            SIM.neardup_pairs_cosine(
+                emb, bucket_col="one", threshold=0.4, block_rows=1 << 20
+            ).collect(),
+        )
+    )
+    chunked = sorted(
+        map(
+            tuple,
+            SIM.neardup_pairs_cosine(
+                emb, bucket_col="one", threshold=0.4, block_rows=3
+            ).collect(),
+        )
+    )
+    assert mono == chunked
+    assert mono  # the corpus fires pairs at this threshold

@@ -189,3 +189,22 @@ def test_cms_stream_equals_batch(spark, event_dir):
     assert got == want and len(got) > 0
     # state cap: never more than d*w cells regardless of stream length
     assert len(got) <= 4 * 1024
+
+
+def test_cms_excludes_null_keyed_events(spark):
+    """NULL event_type/user_id rows must not be sketched: concat_ws would
+    silently collapse ('click', NULL) into item 'click'; the explicit
+    filter + NULL-propagating concat drops them on both engine and
+    oracle sides."""
+    from postgraph_spark.streaming.ops import cms_event_counts
+
+    full = spark.createDataFrame(
+        [("click", 1), ("click", 1), ("view", 2)], ["event_type", "user_id"]
+    )
+    with_nulls = spark.createDataFrame(
+        [("click", 1), ("click", 1), ("view", 2), ("click", None), (None, 3)],
+        "event_type string, user_id int",
+    )
+    a = sorted(map(tuple, cms_event_counts(full).collect()))
+    b = sorted(map(tuple, cms_event_counts(with_nulls).collect()))
+    assert a == b
