@@ -33,14 +33,26 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Everything stays registered; the local oracle-parity suite
 #: (tests/test_oracle_parity.py) covers ALL entries regardless.
 _PRIORITY = [
-    # relational core (distinct operator families)
+    # relational core (distinct operator families).
+    # ROUND-10 ROTATION (round-9 verdict #4): the five rows that had
+    # NEVER been driver-checked in any round — multimodal_frame_sample,
+    # multimodal_resize, date_bin_events, graph_match_1hop,
+    # typecasting_funcs — move INTO the 50-row prefix. Out for them
+    # (all multi-round driver-green, families still covered):
+    # percentile_quantiles (WITHIN GROUP stays locally oracled;
+    # agg_stats keeps the ordered-agg family external),
+    # graph_vle_paths (graph_vle_deep strictly supersets its shape),
+    # ngram_logprob_score (perplexity_buckets' oracle replays the whole
+    # bigram-LM pipeline), pagerank_dupgraph (hits/kcore/label_prop
+    # keep the iterative-graph family external), kmeans_embeddings
+    # (semdedup_prune's oracle replays the same Lloyd CTEs).
     "q1_pricing_summary",
     "agg_stats", "regr_family",
-    "percentile_quantiles",
     # graph pattern operators (hand-planned). graph_vle_deep is NEW
     # (round-8 verdict #7): undirected *1..3 path-mode VLE with edge
-    # uniqueness over the full sf graph, not the fixture
-    "graph_match_2hop", "graph_vle_paths", "graph_vle_deep",
+    # uniqueness over the full sf graph, not the fixture.
+    # graph_match_1hop: first-ever external check (round-10 rotation)
+    "graph_match_2hop", "graph_match_1hop", "graph_vle_deep",
     "graph_reach_pairs",
     # the FULL Cypher engine path
     "cypher_match_agg", "cypher_optional_match",
@@ -50,8 +62,11 @@ _PRIORITY = [
     "cypher_quantified", "cypher_grouping_sets",
     # multimodal + streaming (tumbling counts rotated out — the sliding
     # row strictly covers the tumbling shape; dedup-by-watermark and the
-    # interval join keep three streaming rows under the oracle)
-    "multimodal_meta",
+    # interval join keep three streaming rows under the oracle).
+    # frame_sample + resize: first-ever external checks (round-10
+    # rotation) — the 1-row-in/N-rows-out demux and the metadata-
+    # rewriting pass-through mapInPandas shapes
+    "multimodal_meta", "multimodal_frame_sample", "multimodal_resize",
     # NEW round 9: stream-stream LEFT OUTER interval join (watermark-
     # driven null emission — the outer variant of the attribution join)
     # and the streaming count-min sketch (capped-state frequency store,
@@ -71,10 +86,13 @@ _PRIORITY = [
     # test_containment_jvm + test_entity_ops and oracled every run)
     "cms_token_freq",
     "tsearch_match", "pg_expr_forms",
-    # the ONLY two rows never externally checked in any round — both
-    # freshly reworked this round (real PGM/WAV container decode with a
-    # byte-exact oracle; the bigram-LM scoring pipeline)
-    "multimodal_decode", "ngram_logprob_score",
+    # multimodal_decode: round 9's one red row — its array<double>
+    # features column crashed the driver's canonicalizer; now emits
+    # scalar f0..f7 on both sides, staying in for its first green check.
+    # date_bin_events + typecasting_funcs: first-ever external checks
+    # (round-10 rotation) — the time_bucket/date_bin temporal family and
+    # the ::cast grammar forms
+    "multimodal_decode", "date_bin_events", "typecasting_funcs",
     # LLM-pipeline operators (sim_topk_ivf rotated out: the TRAINED
     # variant below plus the new IVF-PQ row strictly cover the
     # probe-join shape)
@@ -124,7 +142,6 @@ _PRIORITY = [
     # broadcast stream-static shape stays stream==batch-pinned locally
     # and two streaming rows remain in the prefix)
     "bpe_learn_merges",
-    "pagerank_dupgraph",
     # round-8 prefix rotation (round-7 verdict #1): the four round-7
     # flagship rows move INTO the 50-row prefix for their first external
     # oracle check, plus the two NEW round-8 operator rows (vector
@@ -142,7 +159,7 @@ _PRIORITY = [
     # canonical container-encoding surfaces stay exercised by the
     # cypher rows and the deep-orderability suite, locally oracled
     # every run)
-    "kmeans_embeddings", "cohort_retention",
+    "cohort_retention",
     "kmv_corpus_overlap",
     "vector_ops_topk", "kcore_dupgraph",
     # the remaining round-8-NEW rows (same lesson as verdict #1: the
@@ -175,6 +192,10 @@ _PRIORITY = [
     # tfidf_top_terms sits at slot 50: the prefix self-fills to 50 rows,
     # and it is the most recently green of the demoted set
     "tfidf_top_terms",
+    # round-10 rotations OUT (all multi-round driver-green, shapes still
+    # covered — see the rotation note at the top of this list)
+    "percentile_quantiles", "graph_vle_paths", "ngram_logprob_score",
+    "pagerank_dupgraph", "kmeans_embeddings",
     # round-9 rotations OUT (all r8-driver-green, shapes still covered):
     # sliding counts (two streaming rows stay), range/geometric kits
     # (multi-round green, locally oracled every run), dedup-by-watermark
@@ -204,9 +225,8 @@ _PRIORITY = [
     "q5_region_revenue", "q3_top_orders", "cypher_setop_all",
     "cypher_match_where", "minhash_signatures", "null_handling",
     "unwind_word_count",
-    "semi_join_exists", "left_outer_join", "graph_match_1hop",
-    "quantified_all_rewrite", "typecasting_funcs", "multimodal_resize",
-    "multimodal_frame_sample", "date_bin_events",
+    "semi_join_exists", "left_outer_join",
+    "quantified_all_rewrite",
 ]
 
 
