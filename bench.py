@@ -77,12 +77,26 @@ HEADLINE = [
     "cypher_group_having",
 ]
 
+# Second metric group (round-9 verdict #5): the round-9 operator rows,
+# measured with the same two-pass policy but reported separately so the
+# 27-row headline stays comparable across rounds. Ordered LLM-first /
+# graph-last for the same cache-hygiene reason as HEADLINE.
+ROUND9 = [
+    "bm25_topk",
+    "perplexity_buckets",
+    "semdedup_prune",
+    "hits_dupgraph",
+    "graph_vle_deep",
+]
 
-def _run_pass(spark, sf_dir: str, execs_per_row: int) -> dict[str, tuple[float, float]]:
-    """One full pass over HEADLINE -> {name: (build_sec, exec_sec)};
+
+def _run_pass(
+    spark, sf_dir: str, execs_per_row: int, rows: list[str]
+) -> dict[str, tuple[float, float]]:
+    """One full pass over `rows` -> {name: (build_sec, exec_sec)};
     exec_sec is the min of `execs_per_row` noop-sink executions."""
     out: dict[str, tuple[float, float]] = {}
-    for name in HEADLINE:
+    for name in rows:
         fn = QUERIES[name]
         start = time.perf_counter()
         df = fn(spark, sf_dir)  # parse + compile + eager Catalyst analysis
@@ -105,16 +119,23 @@ def main() -> None:
     # bring-up (executor threads, first codegen, noop sink registration)
     spark.range(1).write.format("noop").mode("overwrite").save()
 
-    pass1 = _run_pass(spark, sf_dir, execs_per_row=2)
-    pass2 = _run_pass(spark, sf_dir, execs_per_row=1)
+    pass1 = _run_pass(spark, sf_dir, execs_per_row=2, rows=HEADLINE)
+    pass2 = _run_pass(spark, sf_dir, execs_per_row=1, rows=HEADLINE)
+    r9p1 = _run_pass(spark, sf_dir, execs_per_row=2, rows=ROUND9)
+    r9p2 = _run_pass(spark, sf_dir, execs_per_row=1, rows=ROUND9)
 
-    timings: dict[str, float] = {}
-    build: dict[str, float] = {}
-    for name in HEADLINE:
-        b = min(pass1[name][0], pass2[name][0])
-        e = min(pass1[name][1], pass2[name][1])
-        build[name] = round(b, 3)
-        timings[name] = round(b + e, 3)
+    def fold(p1, p2, rows):
+        timings: dict[str, float] = {}
+        build: dict[str, float] = {}
+        for name in rows:
+            b = min(p1[name][0], p2[name][0])
+            e = min(p1[name][1], p2[name][1])
+            build[name] = round(b, 3)
+            timings[name] = round(b + e, 3)
+        return timings, build
+
+    timings, build = fold(pass1, pass2, HEADLINE)
+    r9_timings, r9_build = fold(r9p1, r9p2, ROUND9)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -127,6 +148,11 @@ def main() -> None:
                 # driver-side plan construction share per query — compile
                 # pathologies are visible instead of hiding in the total
                 "build_sec": build,
+                # round-9 operator rows: separate group so the 27-row
+                # headline trend stays comparable across rounds
+                "round9_total_sec": round(sum(r9_timings.values()), 3),
+                "round9_queries": r9_timings,
+                "round9_build_sec": r9_build,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
