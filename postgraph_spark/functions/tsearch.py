@@ -624,35 +624,67 @@ def ts_match_py(tsv_text: str, node) -> bool:
     return ev(node)
 
 
+_WBIT = {"D": 0, "C": 1, "B": 2, "A": 3}
+
+
 def tsquery_rpn(text: str) -> list[str]:
     """Flatten a tsquery into postfix (RPN) tokens for the JVM column-
-    path evaluator: "V:<lex>" presence test, "P:<lex>" prefix test,
-    "!", "&", "|" operators. Queries using constructs the JVM fold does
-    not evaluate (phrase distance, weight restrictions) return the
-    sentinel ["X"], routing that row to the Arrow fallback."""
+    path evaluator (rpn_match):
+
+      "v:<m>:<lex>"  presence test       "p:<m>:<lex>"  prefix test
+      "d:<dist>"     phrase              "l:<dist>"     !a <dist> b
+      "r:<dist>"     a <dist> !b         "!" "&" "|"    boolean ops
+
+    <m> is one hex digit encoding the weight restriction as a bitmask
+    over (D=1,C=2,B=4,A=8); 0 means unrestricted. The only constructs
+    the JVM fold cannot evaluate — a phrase with BOTH operands negated
+    (PG errors) and a negation nested deeper inside a phrase operand
+    (ts_match_py raises) — return the sentinel ["X"], routing that row
+    to the Arrow fallback whose ValueError maps to NULL."""
     node = parse_tsquery(text)
     out: list[str] = []
 
-    def walk(n) -> bool:
+    def walk(n, in_phrase: bool) -> bool:
         if n[0] == "val":
             _, lex, weights, prefix = n
-            if weights:
-                return False
-            out.append(("P:" if prefix else "V:") + lex)
+            m = 0
+            for w in set(weights):
+                m |= 1 << _WBIT[w]
+            out.append(("p:" if prefix else "v:") + format(m, "x") + ":" + lex)
             return True
         if n[0] == "not":
-            if not walk(n[1]):
+            if in_phrase:
+                return False  # only a DIRECT phrase operand may negate
+            if not walk(n[1], False):
                 return False
             out.append("!")
             return True
         if n[0] in ("and", "or"):
-            if not (walk(n[1]) and walk(n[2])):
+            if not (walk(n[1], in_phrase) and walk(n[2], in_phrase)):
                 return False
             out.append("&" if n[0] == "and" else "|")
             return True
-        return False  # phrase
+        if n[0] == "phrase":
+            _, l_n, r_n, dist = n
+            l_neg, r_neg = l_n[0] == "not", r_n[0] == "not"
+            if l_neg and r_neg:
+                return False  # PG errors on this form
+            if l_neg:
+                ok = walk(l_n[1], True) and walk(r_n, True)
+                tag = "l"
+            elif r_neg:
+                ok = walk(l_n, True) and walk(r_n[1], True)
+                tag = "r"
+            else:
+                ok = walk(l_n, True) and walk(r_n, True)
+                tag = "d"
+            if not ok:
+                return False
+            out.append(f"{tag}:{dist}")
+            return True
+        return False
 
-    return out if walk(node) else ["X"]
+    return out if walk(node, False) else ["X"]
 
 
 # -------------------------------------------------------- spark columns
@@ -758,6 +790,37 @@ def tsv_entry_map(s: Column) -> Column:
     return F.map_from_arrays(lex, pos_arrays)
 
 
+def tsv_entry_map_w(s: Column) -> Column:
+    """Canonical tsvector text -> map<lexeme, array<int>> where each
+    element encodes one (position, weight) entry as position*4 + weight
+    (D=0, C=1, B=2, A=3) — the weighted sibling of tsv_entry_map for
+    the column-query JVM evaluator. Pure JVM (regex + transforms),
+    stays in codegen; canonical text has unique positions per lexeme
+    (parse_tsvector dedups), so codes are unique."""
+    lex = F.regexp_extract_all(s, F.lit(_ENTRY_PAT), F.lit(1))
+    lex = F.transform(lex, lambda x: F.replace(x, F.lit("''"), F.lit("'")))
+    pos = F.regexp_extract_all(s, F.lit(_ENTRY_PAT), F.lit(2))
+
+    def code(x: Column) -> Column:
+        num = F.regexp_replace(x, "[A-D]", "").cast("int")
+        last = x.substr(F.length(x), F.lit(1))
+        w = (
+            F.when(last == "A", 3)
+            .when(last == "B", 2)
+            .when(last == "C", 1)
+            .otherwise(0)
+        )
+        return num * 4 + w
+
+    codes = F.transform(
+        pos,
+        lambda p: F.when(p == "", F.array().cast("array<int>")).otherwise(
+            F.transform(F.split(p, ","), code)
+        ),
+    )
+    return F.map_from_arrays(lex, codes)
+
+
 def gv_if(cond: Column, x: Column, y: Column) -> Column:
     """Field-wise conditional merge of two gvals."""
     return G._mk(
@@ -816,32 +879,123 @@ def ast_ts_literal(e):
 
 def rpn_match(entry_map: Column, rpn: Column) -> Column:
     """Evaluate a postfix tsquery token array (tsquery_rpn) against a
-    tsvector entry map ENTIRELY JVM-side: one F.aggregate fold over the
-    tokens maintaining a boolean stack (array<boolean>). "V:lex" pushes
-    presence, "P:lex" pushes a prefix-key existence test, "!"/"&"/"|"
-    pop-and-push. A well-formed query leaves exactly one value; anything
-    else (the "X" unsupported sentinel included) yields NULL so the
-    caller can route to the Arrow fallback."""
+    WEIGHTED tsvector entry map (tsv_entry_map_w) ENTIRELY JVM-side:
+    one F.aggregate fold maintaining a stack of (b boolean, pos
+    array<int>) structs — b is the node's boolean value, pos its phrase
+    position set (NULL = "no match" a la ts_match_py's None, distinct
+    from an empty array for a present-but-positionless lexeme).
+
+    Leaves filter the code array by the token's weight mask and project
+    codes to positions; "d"/"l"/"r" implement PG phrase distance
+    (including one negated operand) with position-set algebra; "&"/"|"
+    combine both the booleans and (for phrase subcontexts) the
+    intersect/union position semantics. The fold body is one constant-
+    size expression evaluated per token at runtime, so plan size does
+    not grow with query length. A well-formed query leaves exactly one
+    stack value; anything else (the "X" sentinel included) yields NULL
+    so the caller can route to the Arrow fallback."""
+    ST = "array<struct<b:boolean,pos:array<int>>>"
+    empty_pos = F.array().cast("array<int>")
+    null_pos = F.lit(None).cast("array<int>")
+
+    def push(stack: Column, b: Column, pos: Column) -> Column:
+        return F.concat(stack, F.array(F.struct(b.alias("b"), pos.alias("pos"))))
+
+    def nullify_empty(arr: Column) -> Column:
+        return F.when(F.size(arr) > 0, arr)
+
     def step(acc: Column, tok: Column) -> Column:
-        lex = tok.substr(F.lit(3), F.length(tok))
+        kind = tok.substr(1, 1)
         top = F.element_at(acc, -1)
         top2 = F.element_at(acc, -2)
         pop1 = F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0)))
         pop2 = F.slice(acc, 1, F.greatest(F.size(acc) - 2, F.lit(0)))
-        present = F.element_at(entry_map, lex).isNotNull()
-        prefix_hit = F.exists(F.map_keys(entry_map), lambda k: k.startswith(lex))
-        return (
-            F.when(tok.startswith("V:"), F.concat(acc, F.array(present)))
-            .when(tok.startswith("P:"), F.concat(acc, F.array(prefix_hit)))
-            .when(tok == "!", F.concat(pop1, F.array(~top)))
-            .when(tok == "&", F.concat(pop2, F.array(top2 & top)))
-            .when(tok == "|", F.concat(pop2, F.array(top2 | top)))
-            # unknown token: poison the stack so the final size test fails
-            .otherwise(F.array().cast("array<boolean>"))
+
+        # ---- leaves: "v:<m>:<lex>" / "p:<m>:<lex>"
+        mask = F.conv(tok.substr(3, 1), 16, 10).cast("int")
+        lex = tok.substr(F.lit(5), F.length(tok))
+
+        def wkeep(c: Column) -> Column:
+            bit = (
+                F.when(c % 4 == 0, 1)
+                .when(c % 4 == 1, 2)
+                .when(c % 4 == 2, 4)
+                .otherwise(8)
+            )
+            return (mask == 0) | (mask.bitwiseAND(bit) > 0)
+
+        def to_pos(codes: Column) -> Column:
+            return F.array_distinct(
+                F.transform(codes, lambda c: F.floor(c / 4).cast("int"))
+            )
+
+        ent = F.element_at(entry_map, lex)
+        ent_f = F.filter(ent, wkeep)
+        v_b = F.when(mask == 0, ent.isNotNull()).otherwise(
+            F.coalesce(F.size(ent_f) > 0, F.lit(False))
+        )
+        v_pos = F.when(ent.isNotNull(), to_pos(ent_f))
+
+        keys = F.filter(F.map_keys(entry_map), lambda k: k.startswith(lex))
+        allc = F.filter(
+            F.flatten(F.transform(keys, lambda k: F.element_at(entry_map, k))),
+            wkeep,
+        )
+        p_b = F.when(mask == 0, F.size(keys) > 0).otherwise(F.size(allc) > 0)
+        p_pos = F.when(F.size(keys) > 0, to_pos(allc))
+
+        # ---- boolean + phrase-context set ops
+        lb, rb = top2["b"], top["b"]
+        lp, rp = top2["pos"], top["pos"]
+        and_pos = F.when(
+            lp.isNotNull() & rp.isNotNull(), nullify_empty(F.array_intersect(lp, rp))
+        )
+        or_pos = (
+            F.when(lp.isNull(), rp)
+            .when(rp.isNull(), lp)
+            .otherwise(F.array_union(lp, rp))
         )
 
-    stack = F.aggregate(rpn, F.array().cast("array<boolean>"), step)
-    return F.when(F.size(stack) == 1, F.element_at(stack, 1))
+        # ---- phrase distance: "d:<n>" / "l:<n>" / "r:<n>"
+        dist = tok.substr(F.lit(3), F.length(tok)).cast("int")
+        d_res = F.when(
+            lp.isNotNull() & rp.isNotNull(),
+            nullify_empty(F.filter(rp, lambda p: F.array_contains(lp, p - dist))),
+        )
+        lpz, rpz = F.coalesce(lp, empty_pos), F.coalesce(rp, empty_pos)
+        l_res = F.when(
+            rp.isNotNull(),
+            nullify_empty(
+                F.filter(
+                    rp, lambda p: (p - dist >= 1) & ~F.array_contains(lpz, p - dist)
+                )
+            ),
+        )
+        r_res = F.when(
+            lp.isNotNull(),
+            nullify_empty(
+                F.transform(
+                    F.filter(lp, lambda q: ~F.array_contains(rpz, q + dist)),
+                    lambda q: q + dist,
+                )
+            ),
+        )
+
+        return (
+            F.when(kind == "v", push(acc, v_b, v_pos))
+            .when(kind == "p", push(acc, p_b, p_pos))
+            .when(tok == "!", push(pop1, ~top["b"], null_pos))
+            .when(tok == "&", push(pop2, lb & rb, and_pos))
+            .when(tok == "|", push(pop2, lb | rb, or_pos))
+            .when(kind == "d", push(pop2, d_res.isNotNull(), d_res))
+            .when(kind == "l", push(pop2, l_res.isNotNull(), l_res))
+            .when(kind == "r", push(pop2, r_res.isNotNull(), r_res))
+            # unknown token: poison the stack so the final size test fails
+            .otherwise(F.array().cast(ST))
+        )
+
+    stack = F.aggregate(rpn, F.array().cast(ST), step)
+    return F.when(F.size(stack) == 1, F.element_at(stack, 1)["b"])
 
 
 def op_match(left_gv: Column, left_ast, right_gv_fn, right_ast) -> Column:
@@ -849,19 +1003,22 @@ def op_match(left_gv: Column, left_ast, right_gv_fn, right_ast) -> Column:
     Literal query -> JVM boolean algebra over the vector's entry map
     (codegen, no Python). A column-valued query splits the work: a tiny
     Arrow UDF flattens the QUERY string to postfix tokens (query-
-    proportional — never the corpus side), the boolean evaluation runs
-    as a JVM fold over the vector's entry map (rpn_match), and only
-    rows whose query uses phrase distance / weight restrictions ship
-    their tsvector through the full Arrow fallback (inputs to it are
-    masked NULL for JVM-handled rows, so the corpus strings don't cross
-    the Python boundary)."""
+    proportional — never the corpus side) and the evaluation — boolean
+    algebra, weight restrictions, AND phrase distance via position-set
+    algebra — runs as a JVM fold over the vector's weighted entry map
+    (rpn_match). The only rows that ship their tsvector through the
+    full Arrow fallback are queries PG itself errors on (both phrase
+    operands negated / negation nested inside a phrase operand), where
+    the fallback's ValueError maps to NULL; inputs to it are masked
+    NULL for JVM-handled rows, so corpus strings don't cross the Python
+    boundary."""
     r_lit = ast_ts_literal(right_ast)
     l_lit = ast_ts_literal(left_ast)
     ls = F.when(left_gv["t"] == G.T_STRING, left_gv["s"])
     if r_lit is not None and r_lit[0] in ("tsq", "str"):
         try:
             node = parse_tsquery(r_lit[1])
-            res = compile_match(tsv_entry_map(ls), node)
+            res = compile_match(tsv_entry_map_w(ls), node)
             return G.gv_bool(F.when(ls.isNotNull(), res))
         except ValueError:
             return G.gv_bool(F.lit(None).cast("boolean"))
@@ -871,7 +1028,7 @@ def op_match(left_gv: Column, left_ast, right_gv_fn, right_ast) -> Column:
         rs = F.when(right_gv["t"] == G.T_STRING, right_gv["s"])
         try:
             node = parse_tsquery(l_lit[1])
-            res = compile_match(tsv_entry_map(rs), node)
+            res = compile_match(tsv_entry_map_w(rs), node)
             return G.gv_bool(F.when(rs.isNotNull(), res))
         except ValueError:
             return G.gv_bool(F.lit(None).cast("boolean"))
@@ -882,7 +1039,7 @@ def op_match(left_gv: Column, left_ast, right_gv_fn, right_ast) -> Column:
     v = F.when(left_is_q, rs).otherwise(ls)
     q = F.when(left_is_q, ls).otherwise(rs)
     rpn = _udfs()["rpn"](q)
-    jvm = rpn_match(tsv_entry_map(v), rpn)
+    jvm = rpn_match(tsv_entry_map_w(v), rpn)
     # fallback rows: parse failure (rpn null with non-null q) or the
     # unsupported-construct sentinel; mask the inputs elsewhere so the
     # corpus-side tsvector never reaches Python for JVM-handled rows
@@ -990,19 +1147,37 @@ def op_tsq_contains(a_gv: Column, b_gv: Column, contained_by: bool = False) -> C
 
 
 def compile_match(entry_map: Column, node) -> Column:
-    """tsv @@ <literal tsquery> as JVM boolean algebra over the entry
-    map. Phrase distance uses the position arrays; weight-restricted
-    terms fall back to presence (weights are kept only in the text)."""
+    """tsv @@ <literal tsquery> as JVM boolean algebra over the
+    WEIGHTED entry map (tsv_entry_map_w). Phrase distance uses the
+    decoded position arrays; weight restrictions filter the codes at
+    the leaf — exact ts_match_py semantics, same as the column path."""
+
+    def _wfilter(codes: Column, weights: str) -> Column:
+        if not weights:
+            return codes
+        allowed = sorted({_WBIT[w] for w in weights})
+        return F.filter(codes, lambda c: (c % 4).isin(allowed))
+
+    def _to_pos(codes: Column) -> Column:
+        return F.array_distinct(
+            F.transform(codes, lambda c: F.floor(c / 4).cast("int"))
+        )
 
     def val_positions(n) -> Column:
-        _, lex, _weights, prefix = n
+        _, lex, weights, prefix = n
         if prefix:
-            # union of positions across prefix-matching keys
+            # union of positions across prefix-matching keys; NULL when
+            # no key matches (ts_match_py's None)
             keys = F.filter(
                 F.map_keys(entry_map), lambda k: k.startswith(F.lit(lex))
             )
-            return F.flatten(F.transform(keys, lambda k: F.element_at(entry_map, k)))
-        return F.element_at(entry_map, F.lit(lex))
+            allc = _wfilter(
+                F.flatten(F.transform(keys, lambda k: F.element_at(entry_map, k))),
+                weights,
+            )
+            return F.when(F.size(keys) > 0, _to_pos(allc))
+        ent = F.element_at(entry_map, F.lit(lex))
+        return F.when(ent.isNotNull(), _to_pos(_wfilter(ent, weights)))
 
     def positions(n) -> Column:
         if n[0] == "val":
@@ -1053,12 +1228,21 @@ def compile_match(entry_map: Column, node) -> Column:
 
     def ev(n) -> Column:
         if n[0] == "val":
-            _, lex, _weights, prefix = n
+            _, lex, weights, prefix = n
             if prefix:
-                return F.exists(
+                keys = F.filter(
                     F.map_keys(entry_map), lambda k: k.startswith(F.lit(lex))
                 )
-            return entry_map.getItem(lex).isNotNull()
+                if not weights:
+                    return F.size(keys) > 0
+                allc = F.flatten(
+                    F.transform(keys, lambda k: F.element_at(entry_map, k))
+                )
+                return F.size(_wfilter(allc, weights)) > 0
+            ent = F.element_at(entry_map, F.lit(lex))
+            if not weights:
+                return ent.isNotNull()
+            return F.coalesce(F.size(_wfilter(ent, weights)) > 0, F.lit(False))
         if n[0] == "not":
             return ~ev(n[1])
         if n[0] == "and":

@@ -49,29 +49,73 @@ def test_merge_pair_matches_reference_scan(spark):
 
 
 def test_rpn_match_matches_python_eval(spark):
+    """Randomized cross-check of the JVM struct-stack fold against the
+    Python reference evaluator over the FULL supported tsquery surface:
+    boolean ops, prefix tests, weight restrictions, phrase distance
+    (including one negated operand), and nesting of all of them."""
     from postgraph_spark.functions.tsearch import (
-        parse_tsquery, rpn_match, to_tsvector,
-        ts_match_py, tsquery_rpn, tsv_entry_map,
+        parse_tsquery, rpn_match, tsvector_in,
+        ts_match_py, tsquery_rpn, tsv_entry_map_w,
     )
 
     rng = random.Random(7)
     lexes = ["cat", "dog", "rat", "catalog", "x1"]
 
+    def gen_leaf():
+        lex = rng.choice(lexes)
+        r = rng.random()
+        if r < 0.2:
+            return lex + ":*"
+        if r < 0.4:
+            w = "".join(rng.sample("ABCD", rng.randint(1, 2)))
+            return f"{lex}:{w}"
+        return lex
+
+    def gen_phrase(depth):
+        dist = rng.choice([1, 1, 2, 3])
+        op = "<->" if dist == 1 else f"<{dist}>"
+        l, r = gen_phrase_operand(depth - 1), gen_phrase_operand(depth - 1)
+        # at most one side negated (both-negated is the PG error form)
+        if rng.random() < 0.3:
+            if rng.random() < 0.5:
+                l = "!" + gen_leaf()
+            else:
+                r = "!" + gen_leaf()
+        return f"({l} {op} {r})"
+
+    def gen_phrase_operand(depth):
+        # phrase operands may be vals, and/or combinations, or phrases
+        if depth <= 0 or rng.random() < 0.5:
+            return gen_leaf()
+        r = rng.random()
+        if r < 0.4:
+            return gen_phrase(depth)
+        op = rng.choice(["&", "|"])
+        return f"({gen_phrase_operand(depth - 1)} {op} {gen_phrase_operand(depth - 1)})"
+
     def gen_query(depth):
-        if depth == 0 or rng.random() < 0.35:
-            lex = rng.choice(lexes)
-            return lex + (":*" if rng.random() < 0.25 else "")
+        if depth == 0 or rng.random() < 0.3:
+            return gen_leaf()
+        r = rng.random()
+        if r < 0.25:
+            return gen_phrase(2)
         op = rng.choice(["&", "|", "!"])
         if op == "!":
             return f"!({gen_query(depth - 1)})"
         return f"({gen_query(depth - 1)} {op} {gen_query(depth - 1)})"
 
+    # weighted, positioned, and positionless-lexeme vectors
     docs = [
-        "cat dog rat", "catalog", "dog dog x1", "rat catalog cat", "x1",
+        "cat:1 dog:2 rat:3",
+        "catalog:5A",
+        "dog:1,4B x1:2",
+        "rat:2 catalog:3C cat:4,7A",
+        "x1:1 cat:2A dog:3B rat:4C catalog:5",
+        "cat dog",  # lexemes without positions
     ]
-    queries = [gen_query(3) for _ in range(60)]
+    queries = [gen_query(3) for _ in range(120)]
     rows = [
-        (di, qi, to_tsvector(d), q)
+        (di, qi, tsvector_in(d), q)
         for di, d in enumerate(docs)
         for qi, q in enumerate(queries)
     ]
@@ -84,14 +128,14 @@ def test_rpn_match_matches_python_eval(spark):
     got = {
         (r.di, r.qi): r.m
         for r in df.select(
-            "di", "qi", rpn_match(tsv_entry_map(F.col("tsv")), rpn).alias("m")
+            "di", "qi", rpn_match(tsv_entry_map_w(F.col("tsv")), rpn).alias("m")
         ).collect()
     }
     for di, d in enumerate(docs):
-        tsv = to_tsvector(d)
+        tsv = tsvector_in(d)
         for qi, q in enumerate(queries):
             want = ts_match_py(tsv, parse_tsquery(q))
             assert got[(di, qi)] == want, (d, q, got[(di, qi)], want)
-    # every generated query is in the JVM-supported subset
+    # every generated query is in the JVM-supported set (no fallback)
     for q in queries:
         assert tsquery_rpn(q) != ["X"], q

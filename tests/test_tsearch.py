@@ -209,8 +209,9 @@ def test_plain_string_concat_still_works(eng):
 # ---------------------------------------- @@ with a COLUMN-valued query
 #
 # ast_ts_literal can't see a runtime variable, so these exercise the
-# rpn_match JVM fold (boolean/prefix queries) and the masked Arrow
-# fallback (phrase / weight / malformed queries).
+# rpn_match JVM fold (boolean/prefix/phrase/weighted queries — the
+# whole supported surface since round 10) and the masked Arrow
+# fallback (malformed queries and the PG-error phrase forms).
 
 COLUMN_QUERY_MATRIX = [
     "fat & cat", "fat & dog", "fat & !dog", "dog | mat", "cat:*",
@@ -236,12 +237,10 @@ def test_match_column_query_agrees_with_python_eval(eng):
     for q in COLUMN_QUERY_MATRIX:
         want = ts_match_py(tsv, parse_tsquery(tsquery_in(q)))
         assert got[q] == want, (q, got[q], want)
-    # the JVM fold and the literal compile path agree on every
-    # UNWEIGHTED query (weighted terms are the literal path's documented
-    # presence-only divergence; the column path keeps exact semantics)
+    # the JVM fold and the literal compile path agree on EVERY query —
+    # including weighted terms (both sides filter the weighted entry
+    # map exactly since round 10)
     for q in COLUMN_QUERY_MATRIX:
-        if ":A" in q:
-            continue
         lit = one(eng, f"RETURN {doc} @@ totsquery('{q}')")
         assert got[q] == lit, (q, got[q], lit)
     # both match orders and a malformed query (null, not an error)
@@ -256,8 +255,17 @@ def test_match_column_query_agrees_with_python_eval(eng):
 def test_tsquery_rpn_tokens():
     from postgraph_spark.functions.tsearch import tsquery_in, tsquery_rpn
 
-    assert tsquery_rpn(tsquery_in("fat & !dog")) == ["V:fat", "V:dog", "!", "&"]
-    assert tsquery_rpn(tsquery_in("a | b & c:*")) == ["V:a", "V:b", "P:c", "&", "|"]
-    # unsupported constructs route to the Arrow fallback
-    assert tsquery_rpn(tsquery_in("a <-> b")) == ["X"]
-    assert tsquery_rpn(tsquery_in("a:A")) == ["X"]
+    assert tsquery_rpn(tsquery_in("fat & !dog")) == ["v:0:fat", "v:0:dog", "!", "&"]
+    assert tsquery_rpn(tsquery_in("a | b & c:*")) == [
+        "v:0:a", "v:0:b", "p:0:c", "&", "|",
+    ]
+    # phrase distance and weight restrictions are JVM tokens now
+    assert tsquery_rpn(tsquery_in("a <-> b")) == ["v:0:a", "v:0:b", "d:1"]
+    assert tsquery_rpn(tsquery_in("a <3> b")) == ["v:0:a", "v:0:b", "d:3"]
+    assert tsquery_rpn(tsquery_in("!a <-> b")) == ["v:0:a", "v:0:b", "l:1"]
+    assert tsquery_rpn(tsquery_in("a <-> !b")) == ["v:0:a", "v:0:b", "r:1"]
+    assert tsquery_rpn(tsquery_in("a:A")) == ["v:8:a"]
+    assert tsquery_rpn(tsquery_in("a:AB | b:*D")) == ["v:c:a", "p:1:b", "|"]
+    # the two forms PG itself errors on still route to the fallback
+    assert tsquery_rpn(tsquery_in("!a <-> !b")) == ["X"]
+    assert tsquery_rpn(tsquery_in("(!a & b) <-> c")) == ["X"]
