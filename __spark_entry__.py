@@ -142,6 +142,11 @@ _PRIORITY = [
     # broadcast stream-static shape stays stream==batch-pinned locally
     # and two streaming rows remain in the prefix)
     "bpe_learn_merges",
+    # dsir_importance is NEW round 10 (hashed-ngram importance-
+    # resampling weights, capped bucket-stats broadcast); vector_ops_topk
+    # rotates out for it (multi-round green; the vector family stays
+    # external via ivfpq_adc_topk and locally oracled every run)
+    "dsir_importance",
     # round-8 prefix rotation (round-7 verdict #1): the four round-7
     # flagship rows move INTO the 50-row prefix for their first external
     # oracle check, plus the two NEW round-8 operator rows (vector
@@ -161,7 +166,7 @@ _PRIORITY = [
     # every run)
     "cohort_retention",
     "kmv_corpus_overlap",
-    "vector_ops_topk", "kcore_dupgraph",
+    "kcore_dupgraph",
     # the remaining round-8-NEW rows (same lesson as verdict #1: the
     # newest surface gets driver-checked the round it lands):
     # consolidated expression-operator forms, CCNet-style perplexity
@@ -195,7 +200,7 @@ _PRIORITY = [
     # round-10 rotations OUT (all multi-round driver-green, shapes still
     # covered — see the rotation note at the top of this list)
     "percentile_quantiles", "graph_vle_paths", "ngram_logprob_score",
-    "pagerank_dupgraph", "kmeans_embeddings",
+    "pagerank_dupgraph", "kmeans_embeddings", "vector_ops_topk",
     # round-9 rotations OUT (all r8-driver-green, shapes still covered):
     # sliding counts (two streaming rows stay), range/geometric kits
     # (multi-round green, locally oracled every run), dedup-by-watermark

@@ -1948,6 +1948,73 @@ def _bm25_oracle() -> str:
     """
 
 
+@register(
+    "dsir_importance",
+    f"""
+    WITH {_TOKS},
+    tw AS (SELECT t.doc_id, d.lang, unnest(tk) AS w
+           FROM toks t JOIN documents d USING (doc_id)),
+    tb AS (SELECT doc_id, lang,
+                  CAST(('0x' || substr(md5('0:' || w), 1, 8)) AS BIGINT)
+                    % 1024 AS b
+           FROM tw),
+    bs AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
+                  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ct
+           FROM tb GROUP BY b),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nr,
+                   CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS nt
+            FROM tb)
+    SELECT tb.doc_id,
+           round(avg(log2((bs.ct + 1.0) / (tot.nt + 1024))
+                   - log2((bs.cr + 1.0) / (tot.nr + 1024))), 4) AS dsir_weight,
+           CAST(count(*) AS BIGINT) AS n_tok
+    FROM tb JOIN bs USING (b) CROSS JOIN tot
+    GROUP BY tb.doc_id
+    """,
+)
+def dsir_importance(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-document average
+    log-likelihood ratio between a TARGET distribution (here the 'en'
+    sub-corpus) and the RAW corpus over hashed unigram feature buckets
+    — the resampling weight that upselects raw data resembling the
+    target domain. Add-1 smoothing over B=1024 buckets; md5-derived
+    bucket ids (the cms_bucket convention) make both engines' feature
+    hashing identical.
+
+    Shape at 100 TB: the bucket-stats table is CAPPED at B rows no
+    matter the corpus (one bounded-key partial agg — target and raw
+    counts ride the same pass as a filtered count), so the scoring join
+    is a broadcast against the exploded token stream — zero corpus-side
+    shuffle for the model; the only corpus shuffle is the final per-doc
+    aggregation. Totals are a 1-row broadcast, not driver scalars."""
+    docs = t(spark, sf_dir, "documents")
+    from postgraph_spark.operators.dedup import _spread
+    from postgraph_spark.operators.sketches import cms_bucket
+
+    tw = _spread(docs).select(
+        "doc_id", "lang", F.explode(TX.tokens(F.col("text"))).alias("w")
+    )
+    tb = tw.select("doc_id", "lang", cms_bucket(F.col("w"), 0, 1024).alias("b"))
+    is_t = F.when(F.col("lang") == "en", 1)
+    bs = tb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"), F.count(is_t).alias("ct")
+    )
+    tot = tb.agg(F.count(F.lit(1)).alias("nr"), F.count(is_t).alias("nt"))
+    ratio = F.log2((F.col("ct") + 1.0) / (F.col("nt") + 1024)) - F.log2(
+        (F.col("cr") + 1.0) / (F.col("nr") + 1024)
+    )
+    return (
+        tb.join(F.broadcast(bs), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(ratio), 4).alias("dsir_weight"),
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+        )
+    )
+
+
 @register("bm25_topk", _bm25_oracle())
 def bm25_topk(spark, sf_dir):
     """BM25 top-k retrieval (Robertson/Sparck-Jones; the Lucene

@@ -159,3 +159,15 @@ def test_semdedup_no_cartesian(spark):
 
     plan = _physical(semdedup_prune(spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_broadcast_model_no_corpus_join_shuffle(spark):
+    """the DSIR bucket-stats table is capped at B=1024 rows, so the
+    scoring join must be a broadcast — the corpus-side token stream
+    never shuffles for the model (only the final per-doc agg does)."""
+    from postgraph_spark.queries.llm_ops import dsir_importance
+
+    plan = _physical(dsir_importance(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
