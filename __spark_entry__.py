@@ -56,7 +56,7 @@ _PRIORITY = [
     "graph_reach_pairs",
     # the FULL Cypher engine path
     "cypher_match_agg", "cypher_optional_match",
-    "cypher_union_labels", "cypher_unwind_collect", "cypher_exists_pattern",
+    "cypher_unwind_collect", "cypher_exists_pattern",
     "cypher_with_orderby_limit", "cypher_temporal_funcs",
     "cypher_named_paths", "cypher_window_topn", "cypher_group_having",
     "cypher_quantified", "cypher_grouping_sets",
@@ -104,7 +104,6 @@ _PRIORITY = [
     "dedup_keep_best",
     "dedup_jaccard_pairs",
     "ivfpq_adc_topk",
-    "embed_neardup_lsh",
     # NEW round 9 (late): SemDeDup semantic dedup (k-means + within-
     # cluster cosine pruning, min-id keeper) and the Gopher document-
     # filter gate (per-rule boolean verdicts + conjunction) — the newest
@@ -147,6 +146,13 @@ _PRIORITY = [
     # rotates out for it (multi-round green; the vector family stays
     # external via ivfpq_adc_topk and locally oracled every run)
     "dsir_importance",
+    # source_kl_unigram + minhash_jaccard_estimate are NEW round 10
+    # (per-source mixture divergence; sketch-vs-exact calibration).
+    # Out for them: embed_neardup_lsh (multi-round green; the cosine
+    # pair-scan family stays external via semdedup_prune + ivfpq) and
+    # cypher_union_labels (multi-round green; setop coercion stays
+    # golden-tested locally and oracled every run)
+    "source_kl_unigram", "minhash_jaccard_estimate",
     # round-8 prefix rotation (round-7 verdict #1): the four round-7
     # flagship rows move INTO the 50-row prefix for their first external
     # oracle check, plus the two NEW round-8 operator rows (vector
@@ -201,6 +207,7 @@ _PRIORITY = [
     # covered — see the rotation note at the top of this list)
     "percentile_quantiles", "graph_vle_paths", "ngram_logprob_score",
     "pagerank_dupgraph", "kmeans_embeddings", "vector_ops_topk",
+    "embed_neardup_lsh", "cypher_union_labels",
     # round-9 rotations OUT (all r8-driver-green, shapes still covered):
     # sliding counts (two streaming rows stay), range/geometric kits
     # (multi-round green, locally oracled every run), dedup-by-watermark

@@ -105,6 +105,7 @@ def lsh_candidate_pairs(
     n_hashes: int = 8,
     bands: int = 4,
     k: int = 3,
+    wide: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (a < b) sharing >= 1 band bucket.
 
@@ -112,9 +113,12 @@ def lsh_candidate_pairs(
     straight from the wide signature columns (no per-band shuffle). The
     only all-to-all operation is the equi-join on (band, bucket) — skew
     (a giant bucket of boilerplate docs) is handled by AQE skew-join.
+    Pass a precomputed `wide` signature table (_minhash_wide output) to
+    share the shingle pipeline with other consumers.
     """
     rows_per_band = n_hashes // bands
-    wide = _minhash_wide(df, id_col, text_col, n_hashes, k)
+    if wide is None:
+        wide = _minhash_wide(df, id_col, text_col, n_hashes, k)
     band_structs = []
     for b in range(bands):
         parts = [
@@ -133,6 +137,65 @@ def lsh_candidate_pairs(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
+    )
+
+
+def minhash_estimate_calibration(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Sketch calibration: for every LSH candidate pair, the MinHash
+    Jaccard ESTIMATE (fraction of agreeing signature slots — the
+    unbiased estimator the banding scheme thresholds on) next to the
+    EXACT shingle-set Jaccard, plus |error|. The measurement a pipeline
+    uses to tune n_hashes/bands before trusting sketch-only dedup at
+    full scale.
+
+    Shape at 100 TB: the shingle pipeline runs ONCE (the wide signature
+    table is shared between the band join and the estimate); candidate
+    pairs — far below all-pairs — drive two narrow signature lookups
+    and two shingle-array re-attach joins, the jaccard_pairs pattern.
+    Returns (a, b, est_jaccard, exact_jaccard, abs_err)."""
+    wide = _minhash_wide(df, id_col, text_col, n_hashes, k)
+    cand = lsh_candidate_pairs(
+        df, id_col, text_col, n_hashes, bands, k, wide=wide
+    )
+    a_sig = wide.select(
+        F.col(id_col).alias("a"),
+        *[F.col(f"m{i}").alias(f"_a{i}") for i in range(n_hashes)],
+    )
+    b_sig = wide.select(
+        F.col(id_col).alias("b"),
+        *[F.col(f"m{i}").alias(f"_b{i}") for i in range(n_hashes)],
+    )
+    arrs = doc_shingles(df, id_col, text_col, k).groupBy(id_col).agg(
+        F.collect_list("shingle").alias("arr")
+    )
+    matches = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int") for i in range(n_hashes)
+    )
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    return (
+        cand.join(a_sig, "a")
+        .join(b_sig, "b")
+        .join(arrs.select(F.col(id_col).alias("a"), F.col("arr").alias("arr_a")), "a")
+        .join(arrs.select(F.col(id_col).alias("b"), F.col("arr").alias("arr_b")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(matches / n_hashes, 6).alias("est_jaccard"),
+            F.round(
+                inter / (F.size("arr_a") + F.size("arr_b") - inter), 6
+            ).alias("exact_jaccard"),
+        )
+        .withColumn(
+            "abs_err",
+            F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6),
+        )
     )
 
 

@@ -101,6 +101,51 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     return DD.lsh_candidate_pairs(t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, bands=4, k=3)
 
 
+@register(
+    "minhash_jaccard_estimate",
+    f"""
+    WITH {_SHINGLES},
+    hs AS (SELECT doc_id, g.h AS h,
+                  substr(md5(CAST(g.h AS VARCHAR) || shingle), 1, 8) AS hv
+           FROM sh CROSS JOIN generate_series(0, 7) AS g(h)),
+    sig AS (SELECT doc_id, h, min(hv) AS minhash FROM hs GROUP BY doc_id, h),
+    bands AS (SELECT doc_id, h // 2 AS band,
+                     md5(array_to_string(list_sort(list(CAST(h AS VARCHAR) || ':' || minhash)), '|')) AS bucket
+              FROM sig GROUP BY doc_id, h // 2),
+    cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+             WHERE x.doc_id < y.doc_id),
+    est AS (SELECT c.a, c.b,
+                   round((count(*) FILTER (WHERE sa.minhash = sb.minhash)) / 8.0, 6)
+                     AS est_jaccard
+            FROM cand c JOIN sig sa ON sa.doc_id = c.a
+                        JOIN sig sb ON sb.doc_id = c.b AND sb.h = sa.h
+            GROUP BY c.a, c.b),
+    arr AS (SELECT doc_id, list(shingle) AS arr FROM sh GROUP BY doc_id),
+    ex AS (SELECT c.a, c.b,
+                  round(CAST(len(list_intersect(xa.arr, xb.arr)) AS DOUBLE)
+                        / (len(xa.arr) + len(xb.arr)
+                           - len(list_intersect(xa.arr, xb.arr))), 6)
+                    AS exact_jaccard
+           FROM cand c JOIN arr xa ON xa.doc_id = c.a
+                       JOIN arr xb ON xb.doc_id = c.b)
+    SELECT est.a, est.b, est.est_jaccard, ex.exact_jaccard,
+           round(abs(est.est_jaccard - ex.exact_jaccard), 6) AS abs_err
+    FROM est JOIN ex USING (a, b)
+    """,
+)
+def minhash_jaccard_estimate(spark, sf_dir):
+    """Sketch calibration (operators/dedup.minhash_estimate_calibration):
+    MinHash slot-agreement Jaccard estimate vs exact shingle-set Jaccard
+    with |error|, for every LSH candidate pair — the measurement that
+    tunes n_hashes/bands before trusting sketch-only dedup at scale.
+    The wide signature table is computed ONCE and shared between the
+    band join and the estimator."""
+    return DD.minhash_estimate_calibration(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, bands=4, k=3
+    )
+
+
 # MinHash-LSH pairs -> recursive transitive closure -> per-doc
 # component id + sizes (`comp(doc_id, cluster_id)`, `szs`) — shared by
 # dedup_clusters and dedup_keep_best (needs a WITH RECURSIVE prefix)
@@ -1946,6 +1991,64 @@ def _bm25_oracle() -> str:
           FROM sc)
     WHERE rnk <= {topk}
     """
+
+
+@register(
+    "source_kl_unigram",
+    f"""
+    WITH {_TOKS},
+    tw AS (SELECT d.source, unnest(t.tk) AS w
+           FROM toks t JOIN documents d USING (doc_id)),
+    sc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS ns
+           FROM tw GROUP BY source, w),
+    st AS (SELECT source, CAST(sum(ns) AS BIGINT) AS n_s FROM sc GROUP BY source),
+    cc AS (SELECT w, CAST(sum(ns) AS BIGINT) AS nc FROM sc GROUP BY w),
+    ct AS (SELECT CAST(sum(nc) AS BIGINT) AS n_c FROM cc)
+    SELECT sc.source,
+           round(sum((CAST(ns AS DOUBLE) / n_s)
+                     * log2((CAST(ns AS DOUBLE) / n_s)
+                            / (CAST(nc AS DOUBLE) / n_c))), 4) AS kl_bits,
+           CAST(max(n_s) AS BIGINT) AS n_tok
+    FROM sc JOIN st USING (source) JOIN cc USING (w) CROSS JOIN ct
+    GROUP BY sc.source
+    """,
+)
+def source_kl_unigram(spark, sf_dir):
+    """Per-source KL divergence (bits) between the source's unigram
+    token distribution and the whole-corpus distribution — the mixture
+    diagnostic a training-data pipeline uses to spot outlier sources
+    (KL ~ 0: source looks like the corpus; high KL: domain-shifted).
+    No smoothing needed: every source token exists in the corpus by
+    construction, so P_corpus > 0 wherever P_source > 0.
+
+    Shape at 100 TB: ONE (source, word) count shuffle builds everything
+    — the corpus word counts RE-AGGREGATE the per-source counts
+    (vocabulary-scale, the corpus is not re-tokenized), per-source
+    totals re-aggregate them again (source-cardinality rows, broadcast
+    back), and the scoring join is word-keyed at vocabulary scale. The
+    final agg has source-cardinality keys."""
+    docs = t(spark, sf_dir, "documents")
+    from postgraph_spark.operators.dedup import _spread
+
+    tw = _spread(docs).select(
+        "source", F.explode(TX.tokens(F.col("text"))).alias("w")
+    )
+    sc = tw.groupBy("source", "w").agg(F.count(F.lit(1)).alias("ns"))
+    st = sc.groupBy("source").agg(F.sum("ns").alias("n_s"))
+    cc = sc.groupBy("w").agg(F.sum("ns").alias("nc"))
+    ct = cc.agg(F.sum("nc").alias("n_c"))
+    ps = F.col("ns").cast("double") / F.col("n_s")
+    pc = F.col("nc").cast("double") / F.col("n_c")
+    return (
+        sc.join(F.broadcast(st), "source")
+        .join(cc, "w")
+        .crossJoin(F.broadcast(ct))
+        .groupBy("source")
+        .agg(
+            F.round(F.sum(ps * F.log2(ps / pc)), 4).alias("kl_bits"),
+            F.max("n_s").cast("long").alias("n_tok"),
+        )
+    )
 
 
 @register(
