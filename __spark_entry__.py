@@ -53,7 +53,6 @@ _PRIORITY = [
     # uniqueness over the full sf graph, not the fixture.
     # graph_match_1hop: first-ever external check (round-10 rotation)
     "graph_match_2hop", "graph_match_1hop", "graph_vle_deep",
-    "graph_reach_pairs",
     # the FULL Cypher engine path
     "cypher_match_agg", "cypher_optional_match",
     "cypher_unwind_collect", "cypher_exists_pattern",
@@ -153,6 +152,11 @@ _PRIORITY = [
     # cypher_union_labels (multi-round green; setop coercion stays
     # golden-tested locally and oracled every run)
     "source_kl_unigram", "minhash_jaccard_estimate",
+    # adamic_adar_linkpred is NEW round 10 (missing-link recall audit
+    # for sketch dedup); graph_reach_pairs rotates out (multi-round
+    # green; reachability stays locally oracled and the graph family
+    # keeps 1hop/2hop/vle_deep external)
+    "adamic_adar_linkpred",
     # round-8 prefix rotation (round-7 verdict #1): the four round-7
     # flagship rows move INTO the 50-row prefix for their first external
     # oracle check, plus the two NEW round-8 operator rows (vector
@@ -207,7 +211,7 @@ _PRIORITY = [
     # covered — see the rotation note at the top of this list)
     "percentile_quantiles", "graph_vle_paths", "ngram_logprob_score",
     "pagerank_dupgraph", "kmeans_embeddings", "vector_ops_topk",
-    "embed_neardup_lsh", "cypher_union_labels",
+    "embed_neardup_lsh", "cypher_union_labels", "graph_reach_pairs",
     # round-9 rotations OUT (all r8-driver-green, shapes still covered):
     # sliding counts (two streaming rows stay), range/geometric kits
     # (multi-round green, locally oracled every run), dedup-by-watermark

@@ -199,6 +199,46 @@ def hits(
     return hub.join(auth, "v")
 
 
+def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003) over an
+    undirected graph: for every NON-adjacent 2-hop pair (a < b),
+    AA(a,b) = sum over common neighbors z of 1/log2(deg(z)) — high
+    scores predict a missing edge (here: a near-dup pair the LSH
+    banding missed). deg(z) >= 2 for any common neighbor in the
+    symmetrized graph, so log2(deg) >= 1 and the sum is finite.
+
+    Scale shape: symmetrize + degree = one vertex-keyed agg; candidate
+    pairs come from ONE 2-hop equi-join on the shared neighbor (the
+    triangle/wedge join — skewed hubs are AQE-split); degrees re-attach
+    with a vertex-keyed equi-join (vertex-cardinality, not broadcast);
+    direct edges are removed with a left-anti join. Never all-pairs.
+    Returns (a, b, aa, common)."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    und = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("dg")).select(
+        F.col("s").alias("z"), "dg"
+    )
+    wedges = (
+        und.select(F.col("s").alias("a"), F.col("d").alias("z"))
+        .join(und.select(F.col("s").alias("z"), F.col("d").alias("b")), "z")
+        .filter(F.col("a") < F.col("b"))
+    )
+    scored = (
+        wedges.join(deg, "z")
+        .groupBy("a", "b")
+        .agg(
+            F.round(F.sum(1.0 / F.log2("dg")), 6).alias("aa"),
+            F.count(F.lit(1)).alias("common"),
+        )
+    )
+    direct = und.filter(F.col("s") < F.col("d")).select(
+        F.col("s").alias("a"), F.col("d").alias("b")
+    )
+    return scored.join(direct, ["a", "b"], "left_anti").select(
+        "a", "b", "aa", F.col("common").cast("long").alias("common")
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",

@@ -524,6 +524,54 @@ _HITS_SQL = (
 )
 
 
+@register(
+    "adamic_adar_linkpred",
+    """
+    WITH b AS MATERIALIZED (
+      SELECT DISTINCT user_id,
+             time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS w
+      FROM events WHERE event_type = 'error'),
+    pairs AS MATERIALIZED (
+      SELECT DISTINCT x.user_id AS a, y.user_id AS b
+      FROM b x JOIN b y ON x.w = y.w WHERE x.user_id < y.user_id),
+    e AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+    deg AS (SELECT s AS z, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY s),
+    wedges AS (SELECT x.s AS a, y.d AS b, x.d AS z
+               FROM e x JOIN e y ON x.d = y.s
+               WHERE x.s < y.d),
+    sc AS (SELECT a, b, round(sum(1.0 / log2(dg)), 6) AS aa,
+                  CAST(count(*) AS BIGINT) AS common
+           FROM wedges JOIN deg USING (z) GROUP BY a, b)
+    SELECT sc.a, sc.b, sc.aa, sc.common
+    FROM sc LEFT JOIN pairs p ON p.a = sc.a AND p.b = sc.b
+    WHERE p.a IS NULL
+    """,
+)
+def adamic_adar_linkpred(spark, sf_dir):
+    """Adamic-Adar link prediction (operators/pagerank.adamic_adar)
+    over the co-error user graph (edge: two users with 'error' events
+    in the same 5-minute bucket): scores NON-adjacent 2-hop pairs by
+    sum(1/log2(deg(common neighbor))) — the classic missing-link
+    signal. The co-occurrence graph chains across windows, so it has
+    real open wedges (the near-dup graph is a union of cliques — every
+    2-hop pair there is already an edge). One wedge join + vertex-keyed
+    degree joins, never all-pairs."""
+    from postgraph_spark.operators import pagerank as PR
+
+    ev = t(spark, sf_dir, "events")
+    nodes = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", F.window("ts", "5 minutes")["start"].alias("w"))
+        .distinct()
+    )
+    a = nodes.select(F.col("user_id").alias("a"), "w")
+    b = nodes.select(F.col("user_id").alias("b"), "w")
+    pairs = (
+        a.join(b, "w").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+    return PR.adamic_adar(pairs, "a", "b")
+
+
 @register("hits_dupgraph", _HITS_SQL)
 def hits_dupgraph(spark, sf_dir):
     """HITS hubs & authorities (operators/pagerank.hits) over the

@@ -129,3 +129,18 @@ def test_hits_zero_iterations_returns_init_scores(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
     rows = {r.v: (r.hub, r.auth) for r in hits(edges, num_iter=0).collect()}
     assert rows == {1: (1, 1), 2: (1, 1), 3: (1, 1)}
+
+
+def test_adamic_adar_star_and_direct_exclusion(spark):
+    """Star: every leaf pair shares exactly the hub, so AA =
+    1/log2(deg(hub)); direct edges are excluded from the output."""
+    import math
+
+    from postgraph_spark.operators.pagerank import adamic_adar
+
+    edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], ["src", "dst"])
+    rows = {(r.a, r.b): r for r in adamic_adar(edges).collect()}
+    want = round(1.0 / math.log2(3), 6)
+    assert set(rows) == {(1, 2), (1, 3), (2, 3)}  # no (0, leaf) rows
+    for r in rows.values():
+        assert r.aa == want and r.common == 1
