@@ -65,7 +65,7 @@ _PRIORITY = [
     # frame_sample + resize: first-ever external checks (round-10
     # rotation) — the 1-row-in/N-rows-out demux and the metadata-
     # rewriting pass-through mapInPandas shapes
-    "multimodal_meta", "multimodal_frame_sample", "multimodal_resize",
+    "multimodal_frame_sample", "multimodal_resize",
     # NEW round 9: stream-stream LEFT OUTER interval join (watermark-
     # driven null emission — the outer variant of the attribution join)
     # and the streaming count-min sketch (capped-state frequency store,
@@ -157,6 +157,11 @@ _PRIORITY = [
     # green; reachability stays locally oracled and the graph family
     # keeps 1hop/2hop/vle_deep external)
     "adamic_adar_linkpred",
+    # lang_temperature_sample is NEW round 10 (UniMax-style temperature
+    # re-balancing, hash-deterministic acceptance); multimodal_meta
+    # rotates out (multi-round green — the multimodal family now holds
+    # THREE other external rows: decode, frame_sample, resize)
+    "lang_temperature_sample",
     # round-8 prefix rotation (round-7 verdict #1): the four round-7
     # flagship rows move INTO the 50-row prefix for their first external
     # oracle check, plus the two NEW round-8 operator rows (vector
@@ -212,6 +217,7 @@ _PRIORITY = [
     "percentile_quantiles", "graph_vle_paths", "ngram_logprob_score",
     "pagerank_dupgraph", "kmeans_embeddings", "vector_ops_topk",
     "embed_neardup_lsh", "cypher_union_labels", "graph_reach_pairs",
+    "multimodal_meta",
     # round-9 rotations OUT (all r8-driver-green, shapes still covered):
     # sliding counts (two streaming rows stay), range/geometric kits
     # (multi-round green, locally oracled every run), dedup-by-watermark

@@ -2042,6 +2042,55 @@ def _bm25_oracle() -> str:
 
 
 @register(
+    "lang_temperature_sample",
+    """
+    WITH lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l
+                FROM documents GROUP BY lang),
+    mn AS (SELECT min(n_l) AS n_min FROM lc),
+    rates AS (SELECT lang, n_l,
+                     round(sqrt(CAST(mn.n_min AS DOUBLE) / n_l), 6) AS rate
+              FROM lc CROSS JOIN mn)
+    SELECT d.doc_id, d.lang, r.rate,
+           (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              / 4294967296.0) < r.rate AS kept
+    FROM documents d JOIN rates r USING (lang)
+    """,
+)
+def lang_temperature_sample(spark, sf_dir):
+    """Temperature-based language re-balancing (the UniMax /
+    multilingual-mixture primitive, alpha = 0.5): each language is
+    down-sampled at rate sqrt(n_min / n_lang), keeping the rarest
+    language whole and flattening the head — deterministic hash-based
+    acceptance (md5(doc_id) as a dyadic fraction vs the rounded rate),
+    so the SAME documents are kept on every engine and every run.
+
+    Shape at 100 TB: language counts are a tiny bounded-key agg
+    broadcast back; acceptance is a pure map-side projection — no
+    corpus shuffle at all beyond the count."""
+    docs = t(spark, sf_dir, "documents")
+    from postgraph_spark.operators.dedup import _spread
+
+    lc = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    mn = lc.agg(F.min("n_l").alias("n_min"))
+    rates = lc.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        F.round(F.sqrt(F.col("n_min").cast("double") / F.col("n_l")), 6).alias(
+            "rate"
+        ),
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        _spread(docs)
+        .join(F.broadcast(rates), "lang")
+        .select("doc_id", "lang", "rate", (frac < F.col("rate")).alias("kept"))
+    )
+
+
+@register(
     "source_kl_unigram",
     f"""
     WITH {_TOKS},

@@ -171,3 +171,21 @@ def test_dsir_broadcast_model_no_corpus_join_shuffle(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_source_kl_broadcast_totals_no_cartesian(spark):
+    """source totals (source-cardinality) and the corpus total (1 row)
+    must broadcast back; the only corpus-scale shuffle is the
+    (source, word) count."""
+    from postgraph_spark.queries.llm_ops import source_kl_unigram
+
+    plan = _physical(source_kl_unigram(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_adamic_adar_no_cartesian(spark):
+    from postgraph_spark.queries.llm_ops import adamic_adar_linkpred
+
+    plan = _physical(adamic_adar_linkpred(spark, SF))
+    assert "CartesianProduct" not in plan
