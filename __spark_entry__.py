@@ -55,7 +55,7 @@ _PRIORITY = [
     "graph_match_2hop", "graph_match_1hop", "graph_vle_deep",
     # the FULL Cypher engine path
     "cypher_match_agg", "cypher_optional_match",
-    "cypher_unwind_collect", "cypher_exists_pattern",
+    "cypher_unwind_collect",
     "cypher_with_orderby_limit", "cypher_temporal_funcs",
     "cypher_named_paths", "cypher_window_topn", "cypher_group_having",
     "cypher_quantified", "cypher_grouping_sets",
@@ -162,6 +162,10 @@ _PRIORITY = [
     # rotates out (multi-round green — the multimodal family now holds
     # THREE other external rows: decode, frame_sample, resize)
     "lang_temperature_sample",
+    # char_entropy_quality is NEW round 10 (gibberish/spam entropy
+    # signal); cypher_exists_pattern rotates out (multi-round green;
+    # EXISTS stays golden-tested locally and 10 Cypher rows remain)
+    "char_entropy_quality",
     # round-8 prefix rotation (round-7 verdict #1): the four round-7
     # flagship rows move INTO the 50-row prefix for their first external
     # oracle check, plus the two NEW round-8 operator rows (vector
@@ -217,7 +221,7 @@ _PRIORITY = [
     "percentile_quantiles", "graph_vle_paths", "ngram_logprob_score",
     "pagerank_dupgraph", "kmeans_embeddings", "vector_ops_topk",
     "embed_neardup_lsh", "cypher_union_labels", "graph_reach_pairs",
-    "multimodal_meta",
+    "multimodal_meta", "cypher_exists_pattern",
     # round-9 rotations OUT (all r8-driver-green, shapes still covered):
     # sliding counts (two streaming rows stay), range/geometric kits
     # (multi-round green, locally oracled every run), dedup-by-watermark

@@ -2042,6 +2042,56 @@ def _bm25_oracle() -> str:
 
 
 @register(
+    "char_entropy_quality",
+    """
+    WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                FROM documents WHERE length(text) > 0),
+    hist AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+             FROM ch GROUP BY doc_id, c),
+    tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nt
+            FROM hist GROUP BY doc_id)
+    SELECT h.doc_id,
+           round(-sum((CAST(n AS DOUBLE) / nt) * log2(CAST(n AS DOUBLE) / nt)), 4)
+             AS char_entropy_bits,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars
+    FROM hist h JOIN tot USING (doc_id)
+    GROUP BY h.doc_id
+    """,
+)
+def char_entropy_quality(spark, sf_dir):
+    """Per-document character-level Shannon entropy (bits/char) — the
+    gibberish/spam detector in quality filtering: natural text sits
+    near the language's typical ~4 bits, single-character spam near 0,
+    random bytes near 8 (low-entropy AND very-high-entropy tails both
+    get dropped). Empty documents are excluded (entropy undefined).
+
+    Shape at 100 TB: one (doc, char) explode + partial agg — the
+    histogram key space per doc is alphabet-bounded, so map-side
+    combine collapses it before the shuffle; per-doc totals
+    re-aggregate the histogram (the corpus is not re-scanned)."""
+    docs = t(spark, sf_dir, "documents")
+    from postgraph_spark.operators.dedup import _spread
+
+    ch = (
+        _spread(docs)
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .filter(F.col("c") != "")  # Spark split('', ...) emits a trailing ''
+    )
+    hist = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    tot = hist.groupBy("doc_id").agg(F.sum("n").alias("nt"))
+    p = F.col("n").cast("double") / F.col("nt")
+    return (
+        hist.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.sum(p * F.log2(p)), 4).alias("char_entropy_bits"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        )
+    )
+
+
+@register(
     "lang_temperature_sample",
     """
     WITH lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l
