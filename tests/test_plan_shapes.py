@@ -189,3 +189,24 @@ def test_adamic_adar_no_cartesian(spark):
 
     plan = _physical(adamic_adar_linkpred(spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_lang_temperature_broadcast_rates(spark):
+    """acceptance must be a broadcast of the tiny per-language rate
+    table against the corpus — never a sort-merge join."""
+    from postgraph_spark.queries.llm_ops import lang_temperature_sample
+
+    plan = _physical(lang_temperature_sample(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_char_entropy_no_python(spark):
+    """the entropy signal is pure JVM aggregation — no Python workers
+    in the plan."""
+    from postgraph_spark.queries.llm_ops import char_entropy_quality
+
+    plan = _physical(char_entropy_quality(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
