@@ -110,6 +110,20 @@ def _run_pass(
     return out
 
 
+def fold_passes(p1, p2, rows: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+    """The single measurement-policy definition: per-row time =
+    min(build across passes) + min(exec across passes). Shared with
+    tools/bench_scale.py so scale artifacts stay comparable."""
+    timings: dict[str, float] = {}
+    build: dict[str, float] = {}
+    for name in rows:
+        b = min(p1[name][0], p2[name][0])
+        e = min(p1[name][1], p2[name][1])
+        build[name] = round(b, 3)
+        timings[name] = round(b + e, 3)
+    return timings, build
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -124,18 +138,8 @@ def main() -> None:
     r9p1 = _run_pass(spark, sf_dir, execs_per_row=2, rows=ROUND9)
     r9p2 = _run_pass(spark, sf_dir, execs_per_row=1, rows=ROUND9)
 
-    def fold(p1, p2, rows):
-        timings: dict[str, float] = {}
-        build: dict[str, float] = {}
-        for name in rows:
-            b = min(p1[name][0], p2[name][0])
-            e = min(p1[name][1], p2[name][1])
-            build[name] = round(b, 3)
-            timings[name] = round(b + e, 3)
-        return timings, build
-
-    timings, build = fold(pass1, pass2, HEADLINE)
-    r9_timings, r9_build = fold(r9p1, r9p2, ROUND9)
+    timings, build = fold_passes(pass1, pass2, HEADLINE)
+    r9_timings, r9_build = fold_passes(r9p1, r9p2, ROUND9)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -772,29 +772,12 @@ def _looks_query(text: str) -> bool:
 _ENTRY_PAT = r"'((?:[^']|'')+)'(?::([0-9A-D,]+))?"
 
 
-def tsv_entry_map(s: Column) -> Column:
-    """Canonical tsvector text -> map<lexeme, array<int> positions>.
-    Pure JVM (regexp_extract_all + transform) — stays in codegen."""
-    lex = F.regexp_extract_all(s, F.lit(_ENTRY_PAT), F.lit(1))
-    lex = F.transform(lex, lambda x: F.replace(x, F.lit("''"), F.lit("'")))
-    pos = F.regexp_extract_all(s, F.lit(_ENTRY_PAT), F.lit(2))
-    pos_arrays = F.transform(
-        pos,
-        lambda p: F.when(p == "", F.array().cast("array<int>")).otherwise(
-            F.transform(
-                F.split(p, ","),
-                lambda x: F.regexp_replace(x, "[A-D]", "").cast("int"),
-            )
-        ),
-    )
-    return F.map_from_arrays(lex, pos_arrays)
-
-
 def tsv_entry_map_w(s: Column) -> Column:
     """Canonical tsvector text -> map<lexeme, array<int>> where each
     element encodes one (position, weight) entry as position*4 + weight
-    (D=0, C=1, B=2, A=3) — the weighted sibling of tsv_entry_map for
-    the column-query JVM evaluator. Pure JVM (regex + transforms),
+    (D=0, C=1, B=2, A=3) — the entry map every tsquery evaluator
+    (literal compile path and column RPN fold) consumes; decoders take
+    floor(code/4) for positions and code%4 for the weight. Pure JVM (regex + transforms),
     stays in codegen; canonical text has unique positions per lexeme
     (parse_tsvector dedups), so codes are unique."""
     lex = F.regexp_extract_all(s, F.lit(_ENTRY_PAT), F.lit(1))

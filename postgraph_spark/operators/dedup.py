@@ -147,6 +147,8 @@ def minhash_estimate_calibration(
     n_hashes: int = 8,
     bands: int = 4,
     k: int = 3,
+    materialize_min_docs: int = 100_000,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Sketch calibration: for every LSH candidate pair, the MinHash
     Jaccard ESTIMATE (fraction of agreeing signature slots — the
@@ -155,12 +157,23 @@ def minhash_estimate_calibration(
     uses to tune n_hashes/bands before trusting sketch-only dedup at
     full scale.
 
-    Shape at 100 TB: the shingle pipeline runs ONCE (the wide signature
-    table is shared between the band join and the estimate); candidate
-    pairs — far below all-pairs — drive two narrow signature lookups
-    and two shingle-array re-attach joins, the jaccard_pairs pattern.
-    Returns (a, b, est_jaccard, exact_jaccard, abs_err)."""
+    Shape at 100 TB: the wide signature table feeds THREE consumers
+    (band join + both per-side estimate lookups) and the shingle-array
+    table two — above ``materialize_min_docs`` input rows both are
+    localCheckpoint'ed so the tokenize->shingle->hash pipeline runs
+    ONCE (both tables are doc-cardinality and narrow, far below the
+    corpus); below it the recompute is cheaper than the IO — the same
+    size-probed contract as jaccard_pairs (pass ``n_docs`` to keep
+    plan construction lazy). Candidate pairs — far below all-pairs —
+    drive two narrow signature lookups and two shingle-array re-attach
+    joins. Returns (a, b, est_jaccard, exact_jaccard, abs_err)."""
     wide = _minhash_wide(df, id_col, text_col, n_hashes, k)
+    arrs = doc_shingles(df, id_col, text_col, k).groupBy(id_col).agg(
+        F.collect_list("shingle").alias("arr")
+    )
+    if (n_docs if n_docs is not None else df.count()) >= materialize_min_docs:
+        wide = wide.localCheckpoint(eager=True)
+        arrs = arrs.localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(
         df, id_col, text_col, n_hashes, bands, k, wide=wide
     )
@@ -171,9 +184,6 @@ def minhash_estimate_calibration(
     b_sig = wide.select(
         F.col(id_col).alias("b"),
         *[F.col(f"m{i}").alias(f"_b{i}") for i in range(n_hashes)],
-    )
-    arrs = doc_shingles(df, id_col, text_col, k).groupBy(id_col).agg(
-        F.collect_list("shingle").alias("arr")
     )
     matches = sum(
         (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int") for i in range(n_hashes)

@@ -431,19 +431,18 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
         import pandas as pd
 
         for pdf in batches:
-            try:
-                import PIL.Image  # noqa: F401
-
-                resized = True  # pragma: no cover (no codecs here)
-            except ImportError:
-                resized = False
+            # resized reports whether pixel work was DONE — this stub
+            # passes the payload through untouched, so it is always
+            # False, independent of what imaging libs happen to import
+            # on the executor (an env-dependent flag would diverge from
+            # the constant-false oracle the moment pillow appears)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "payload": pdf["payload"],
                     "width": width,
                     "height": height,
-                    "resized": resized,
+                    "resized": False,
                 }
             )
 

@@ -1051,7 +1051,13 @@ def cms_token_freq(spark, sf_dir):
     FROM pos
     """,
 )
-def pack_sequences(spark, sf_dir, shard_span: int = 262_144):
+def pack_sequences(
+    spark,
+    sf_dir,
+    shard_span: int = 262_144,
+    materialize_min_docs: int = 100_000,
+    n_docs: int | None = None,
+):
     """Sequence packing for training batches (the GPT-style concat-and-
     cut packing pass): per source stream, documents concatenate in
     doc_id order and each document is assigned the fixed-budget bin
@@ -1073,7 +1079,16 @@ def pack_sequences(spark, sf_dir, shard_span: int = 262_144):
     start_tok = shard_base + within_shard_cumsum. Because shards are
     contiguous doc_id ranges, the composition equals the global
     per-source cumsum exactly: integer arithmetic end-to-end, bit-exact
-    cross-engine, one DuckDB oracle covers the only path."""
+    cross-engine, one DuckDB oracle covers the only path.
+
+    The cumsum and the shard totals both consume the tokenized (doc_id,
+    source, n_tok, pack_shard) table — 4 narrow columns. Above
+    ``materialize_min_docs`` input rows it is localCheckpoint'ed so the
+    corpus is tokenized ONCE (at 100 TB of text the narrow table is
+    ~1/1000th the corpus — the checkpoint write is far cheaper than a
+    second tokenize pass); below the threshold the lineage recompute is
+    cheaper than the IO, the same size-probed contract as
+    jaccard_pairs (pass ``n_docs`` to keep plan construction lazy)."""
     docs = t(spark, sf_dir, "documents")
     from pyspark.sql import Window as W
 
@@ -1085,6 +1100,8 @@ def pack_sequences(spark, sf_dir, shard_span: int = 262_144):
         F.size(TX.tokens(F.col("text"))).alias("n_tok"),
         F.floor(F.col("doc_id") / shard_span).alias("pack_shard"),
     )
+    if (n_docs if n_docs is not None else docs.count()) >= materialize_min_docs:
+        sized = sized.localCheckpoint(eager=True)
     w_in = (
         W.partitionBy("source", "pack_shard")
         .orderBy("doc_id")
@@ -1710,27 +1727,37 @@ def multimodal_meta(spark, sf_dir):
     "multimodal_frame_sample",
     """
     WITH v AS (
-      SELECT doc_id AS media_id, text, length(text) AS len,
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nbytes,
              CAST(length(text) % 24 + 1 AS INT) AS nf
       FROM documents WHERE doc_id % 3 = 2),
-    fr AS (SELECT media_id, text, nf,
-                  greatest(len // nf, 1) AS fsize, (nf + 3) // 4 AS step
-           FROM v),
-    fi AS (SELECT media_id, text, fsize, step,
+    fr AS (SELECT media_id, hx, nf,
+                  greatest(nbytes // nf, 1) AS fsize, (nf + 3) // 4 AS step
+           FROM v WHERE nbytes > 0),
+    fi AS (SELECT media_id, hx, fsize, step,
                   unnest(generate_series(0, nf - 1)) AS i
            FROM fr)
     SELECT media_id, CAST(i AS INT) AS frame_index,
-           md5(substr(text, CAST(i * fsize + 1 AS INT), CAST(fsize AS INT))) AS frame_digest
+           substr(hx, CAST(i * fsize * 2 + 1 AS INT), CAST(fsize * 2 AS INT))
+             AS frame_hex
     FROM fi WHERE i % step = 0
     """,
 )
 def multimodal_frame_sample(spark, sf_dir):
     """Video frame sampling: 1-row-in/N-rows-out mapInPandas demux stub
-    (deterministic byte-slice 'frames'); digest projected so the oracle
-    compares content without shipping blobs."""
+    (deterministic byte-slice 'frames'); the frame content is projected
+    as hex so the comparison is BYTE-exact for any utf-8 text — the
+    demuxer slices the payload BYTES (frame size = n_bytes // n_frames),
+    and the oracle re-derives those slices from hex(encode(text))
+    arithmetic (md5-over-chars would diverge the moment a multi-byte
+    character splits across a frame boundary). n_frames itself stays
+    char-derived — it is container METADATA (documents_as_media builds
+    it from length(text)), not payload."""
     media = MM.documents_as_media(t(spark, sf_dir, "documents"))
     frames = MM.sample_frames(media, max_frames=4)
-    return frames.select("media_id", "frame_index", F.md5("frame_payload").alias("frame_digest"))
+    return frames.select(
+        "media_id", "frame_index", F.hex("frame_payload").alias("frame_hex")
+    )
 
 
 @register(

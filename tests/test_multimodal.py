@@ -138,3 +138,41 @@ def test_encode_containers_and_real_decode(spark, media):
         # payload bytes (the containers round-trip exactly)
         assert r.decode_ok, mid
         assert r.features == raw[mid].features, mid
+
+
+def test_frame_sample_oracle_byte_exact_non_ascii(spark, tmp_path):
+    """Round-10 review finding: the old oracle sliced CHARACTERS while
+    the demuxer slices BYTES, diverging on any multi-byte utf-8 video
+    text. Both sides are byte-based now — pin with a corpus where char
+    and byte lengths differ and frame boundaries split multi-byte
+    characters."""
+    import duckdb
+
+    from postgraph_spark.queries import ORACLES, QUERIES
+
+    rows = [
+        (2, "café naïve 中文文本 " * 9, "fr", "s", 1),
+        (5, "ümläut ß straße " * 11, "de", "s", 1),
+        (8, "plain ascii text here " * 7, "en", "s", 1),
+        (11, "", "en", "s", 0),  # empty video: demuxer emits nothing
+        (1, "not a video row éé", "fr", "s", 1),
+        (3, "an image row with ümläuts", "de", "s", 1),
+        (9, "another image row 中文", "zh", "s", 1),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    try:
+        for name in ("multimodal_frame_sample", "multimodal_resize"):
+            srows = sorted(map(tuple, QUERIES[name](spark, sf).collect()))
+            orows = sorted(map(tuple, con.execute(ORACLES[name]).fetchall()))
+            assert srows == orows, (name, srows[:3], orows[:3])
+            assert srows, name  # non-vacuous
+    finally:
+        con.close()

@@ -21,19 +21,15 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import HEADLINE, ROUND9, _run_pass  # noqa: E402
+from bench import HEADLINE, ROUND9, _run_pass, fold_passes  # noqa: E402
 from postgraph_spark.session import get_spark  # noqa: E402
 
 
 def measure(spark, sf_dir: str, rows: list[str]) -> dict[str, float]:
     p1 = _run_pass(spark, sf_dir, execs_per_row=2, rows=rows)
     p2 = _run_pass(spark, sf_dir, execs_per_row=1, rows=rows)
-    return {
-        name: round(
-            min(p1[name][0], p2[name][0]) + min(p1[name][1], p2[name][1]), 3
-        )
-        for name in rows
-    }
+    timings, _build = fold_passes(p1, p2, rows)
+    return timings
 
 
 def main() -> None:
