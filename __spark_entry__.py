@@ -84,7 +84,7 @@ _PRIORITY = [
     # green; the @>/<@/?/?| surfaces stay golden-tested locally in
     # test_containment_jvm + test_entity_ops and oracled every run)
     "cms_token_freq",
-    "tsearch_match", "pg_expr_forms",
+    "tsearch_match",
     # multimodal_decode: round 9's one red row — its array<double>
     # features column crashed the driver's canonicalizer; now emits
     # scalar f0..f7 on both sides, staying in for its first green check.
@@ -166,6 +166,11 @@ _PRIORITY = [
     # signal); cypher_exists_pattern rotates out (multi-round green;
     # EXISTS stays golden-tested locally and 10 Cypher rows remain)
     "char_entropy_quality",
+    # winnow_fingerprints is NEW round 10 (MOSS winnowing, byte-exact
+    # int64 fingerprints); pg_expr_forms rotates out (multi-round
+    # green; the PG expression grammar stays exercised by the Cypher
+    # rows and locally oracled every run)
+    "winnow_fingerprints",
     # round-8 prefix rotation (round-7 verdict #1): the four round-7
     # flagship rows move INTO the 50-row prefix for their first external
     # oracle check, plus the two NEW round-8 operator rows (vector
@@ -221,7 +226,7 @@ _PRIORITY = [
     "percentile_quantiles", "graph_vle_paths", "ngram_logprob_score",
     "pagerank_dupgraph", "kmeans_embeddings", "vector_ops_topk",
     "embed_neardup_lsh", "cypher_union_labels", "graph_reach_pairs",
-    "multimodal_meta", "cypher_exists_pattern",
+    "multimodal_meta", "cypher_exists_pattern", "pg_expr_forms",
     # round-9 rotations OUT (all r8-driver-green, shapes still covered):
     # sliding counts (two streaming rows stay), range/geometric kits
     # (multi-round green, locally oracled every run), dedup-by-watermark

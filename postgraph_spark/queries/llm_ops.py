@@ -1671,6 +1671,125 @@ def rolling_hash_fingerprint(spark, sf_dir):
     return d.mapInPandas(gen, "doc_id long, fp string")
 
 
+# winnowing (Schleimer/Wilkerson/Aiken 2003): (min-hash, rightmost-pos)
+# of a w-window encoded as ONE int64 v = h*2^20 - p, so a plain sliding
+# MIN implements the tie-break (smaller h wins; equal h -> larger p
+# gives smaller v). h < 2^43 (RK bound), p < 2^20 -> v < 2^63.
+_WIN_M = 1 << 20
+_WIN_W = 4
+
+
+@register(
+    "winnow_fingerprints",
+    f"""
+    WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents
+               WHERE octet_length(encode(text)) >= {8 + _WIN_W - 1}),
+    j AS (SELECT doc_id, hx, unnest(generate_series(1, n - 7)) AS p FROM b),
+    h AS (SELECT doc_id, p,
+                 {" + ".join(f"CAST(('0x' || substr(hx, CAST((p + {i}) * 2 - 1 AS INT), 2)) AS BIGINT) * {c}" for i, c in enumerate(_RK_COEF))}
+                   AS hv
+          FROM j),
+    v AS (SELECT doc_id, p, hv * {_WIN_M} - p AS v FROM h),
+    winv AS (SELECT doc_id,
+                    min(v) OVER (PARTITION BY doc_id ORDER BY p
+                                 ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS mv,
+                    count(*) OVER (PARTITION BY doc_id ORDER BY p
+                                   ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS cnt
+             FROM v)
+    SELECT DISTINCT doc_id,
+           CAST((mv // {_WIN_M} + 1) * {_WIN_M} - mv AS BIGINT) AS pos,
+           CAST(mv // {_WIN_M} + 1 AS BIGINT) AS fp
+    FROM winv WHERE cnt = {_WIN_W}
+    """,
+)
+def winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS scheme): Rabin-Karp hash every 8-byte window, then
+    from every run of w=4 consecutive hashes select the MINIMUM
+    (rightmost position on ties) and emit the distinct selections as
+    (doc_id, pos, fp). Guarantee: any two documents sharing a substring
+    of >= w+k-1 = 11 bytes share at least one fingerprint — the
+    position-aware complement of the min-k sketch in
+    rolling_hash_fingerprint.
+
+    The tie-break needs no stateful scan: (h, rightmost p) is encoded
+    as v = h*2^20 - p, so a plain sliding MIN over v selects it; both
+    engines decode (fp, pos) back with the same integer arithmetic —
+    EXACT int64 math end-to-end, byte-based on the utf-8 payload
+    (the oracle derives byte values from hex(encode(text)), so
+    non-ASCII text is safe).
+
+    Shape at 100 TB: vectorized numpy over Arrow batches (the
+    rolling_hash_fingerprint pattern — one concatenated buffer per
+    batch, windows crossing document boundaries masked by comparing
+    doc indices at the window ends), zero shuffle; the output is
+    ~n_bytes/w rows of 3 ints per document."""
+    import pandas as pd
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 1)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "pos": pd.Series(dtype="int64"),
+                "fp": pd.Series(dtype="int64"),
+            }
+        )
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield empty
+                continue
+            bufs = [s.encode("utf-8") for s in pdf["text"]]
+            lens = np.array([len(b) for b in bufs], dtype=np.int64)
+            if (lens >= _WIN_M).any():
+                raise ValueError("winnowing position encoding caps at 2^20 bytes/doc")
+            big = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.int64)
+            n_win = len(big) - 7
+            if n_win < _WIN_W:
+                yield empty
+                continue
+            h = np.zeros(n_win, dtype=np.int64)
+            for i, c in enumerate(_RK_COEF):
+                h += big[i : i + n_win] * c
+            doc_of = np.repeat(np.arange(len(bufs)), lens)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            # 1-based hash position within its document
+            p = np.arange(len(big), dtype=np.int64)[:n_win] - starts[doc_of[:n_win]] + 1
+            v = h * _WIN_M - p
+            # window start s is valid iff the LAST byte of the LAST
+            # hash in the window (s + (w-1) + 7) is still in s's doc
+            n_s = n_win - (_WIN_W - 1)
+            ok = doc_of[:n_s] == doc_of[(_WIN_W - 1) + 7 : (_WIN_W - 1) + 7 + n_s]
+            mv = v[:n_s].copy()
+            for o in range(1, _WIN_W):
+                np.minimum(mv, v[o : o + n_s], out=mv)
+            d_ids = doc_of[:n_s][ok]
+            mv = mv[ok]
+            fp = mv // _WIN_M + 1
+            pos = fp * _WIN_M - mv
+            uniq = np.unique(np.stack([d_ids, pos, fp], axis=1), axis=0)
+            ids = pdf["doc_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids[uniq[:, 0]],
+                    "pos": uniq[:, 1],
+                    "fp": uniq[:, 2],
+                }
+            )
+
+    return d.mapInPandas(gen, "doc_id long, pos long, fp long")
+
+
 #: GPT-2-style pretokenizer, lookahead-free so Java (Spark) and RE2
 #: (DuckDB) regex engines tokenize identically
 _BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s"

@@ -185,3 +185,60 @@ def test_neardup_block_chunking_is_bit_exact(spark):
     )
     assert mono == chunked
     assert mono  # the corpus fires pairs at this threshold
+
+
+def test_winnow_fingerprints_matches_textbook_reference(spark, tmp_path):
+    """Engine output must equal naive textbook winnowing (min of every
+    w-window of k-gram hashes, RIGHTMOST position on ties) computed in
+    plain Python over utf-8 BYTES — including tie-heavy repetitive text
+    and multi-byte characters."""
+    import duckdb
+
+    from postgraph_spark.queries import ORACLES, QUERIES
+    from postgraph_spark.queries.llm_ops import _RK_COEF, _WIN_W
+
+    texts = [
+        (0, "abababababababab"),          # all-tie windows
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "café naïve 中文 rolling bytes"),  # multi-byte utf-8
+        (3, "short"),                      # < 11 bytes: no fingerprints
+        (4, "aaaaaaaaaaaaaaaaaaaa"),       # single repeated hash
+    ]
+    df = spark.createDataFrame(
+        [(i, s, "en", "s", len(s)) for i, s in texts],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/documents.parquet")
+
+    def ref(doc_id, s):
+        b = s.encode("utf-8")
+        hs = [
+            sum(b[j + i] * c for i, c in enumerate(_RK_COEF))
+            for j in range(len(b) - 7)
+        ]
+        out = set()
+        for st in range(len(hs) - _WIN_W + 1):
+            win = hs[st : st + _WIN_W]
+            m = min(win)
+            rp = max(i for i, x in enumerate(win) if x == m)
+            out.add((doc_id, st + rp + 1, m))  # 1-based position
+        return out
+
+    want = sorted(set().union(*(ref(i, s) for i, s in texts)))
+    got = sorted(
+        map(tuple, QUERIES["winnow_fingerprints"](spark, sf).collect())
+    )
+    assert got == want
+    assert not any(d == 3 for d, _, _ in got)  # short doc excluded
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    try:
+        orows = sorted(map(tuple, con.execute(ORACLES["winnow_fingerprints"]).fetchall()))
+        assert orows == want
+    finally:
+        con.close()
