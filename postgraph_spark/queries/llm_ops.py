@@ -12,7 +12,7 @@ from postgraph_spark.functions import text as TX
 from postgraph_spark.operators import dedup as DD
 from postgraph_spark.operators import multimodal as MM
 from postgraph_spark.operators import similarity as SIM
-from postgraph_spark.queries.registry import register, t
+from postgraph_spark.queries.registry import parquet_rows, register, t
 
 # shared oracle CTEs: tokenization + distinct 3-shingles per doc
 _TOKS = r"""
@@ -140,9 +140,12 @@ def minhash_jaccard_estimate(spark, sf_dir):
     with |error|, for every LSH candidate pair — the measurement that
     tunes n_hashes/bands before trusting sketch-only dedup at scale.
     The wide signature table is computed ONCE and shared between the
-    band join and the estimator."""
+    band join and the estimator. ``n_docs`` comes from the parquet
+    footer so plan construction stays lazy (no hidden count job on the
+    registry surface)."""
     return DD.minhash_estimate_calibration(
-        t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, bands=4, k=3
+        t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, bands=4, k=3,
+        n_docs=parquet_rows(sf_dir, "documents"),
     )
 
 
@@ -1088,7 +1091,9 @@ def pack_sequences(
     ~1/1000th the corpus — the checkpoint write is far cheaper than a
     second tokenize pass); below the threshold the lineage recompute is
     cheaper than the IO, the same size-probed contract as
-    jaccard_pairs (pass ``n_docs`` to keep plan construction lazy)."""
+    jaccard_pairs. ``n_docs`` defaults to the parquet FOOTER count
+    (driver-side, no Spark job) so plan construction on the registry
+    surface stays lazy; pass it explicitly for non-parquet inputs."""
     docs = t(spark, sf_dir, "documents")
     from pyspark.sql import Window as W
 
@@ -1100,7 +1105,7 @@ def pack_sequences(
         F.size(TX.tokens(F.col("text"))).alias("n_tok"),
         F.floor(F.col("doc_id") / shard_span).alias("pack_shard"),
     )
-    if (n_docs if n_docs is not None else docs.count()) >= materialize_min_docs:
+    if (n_docs if n_docs is not None else parquet_rows(sf_dir, "documents")) >= materialize_min_docs:
         sized = sized.localCheckpoint(eager=True)
     w_in = (
         W.partitionBy("source", "pack_shard")
@@ -1406,8 +1411,13 @@ def decontam_overlap(spark, sf_dir):
     """,
 )
 def dedup_jaccard_pairs(spark, sf_dir):
-    """Exact 3-shingle Jaccard similarity join at t=0.5."""
-    return DD.jaccard_pairs(t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5, k=3)
+    """Exact 3-shingle Jaccard similarity join at t=0.5. ``n_docs``
+    comes from the parquet footer so plan construction stays lazy
+    (no hidden count job on the registry surface)."""
+    return DD.jaccard_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5, k=3,
+        n_docs=parquet_rows(sf_dir, "documents"),
+    )
 
 
 @register(
@@ -2513,7 +2523,7 @@ def tfidf_top_terms(spark, sf_dir):
     from postgraph_spark.operators.dedup import _spread
     from pyspark.sql import Window
 
-    n_docs = docs.count()
+    n_docs = parquet_rows(sf_dir, "documents")
     w = (
         _spread(docs)
         .select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("w"))
