@@ -527,24 +527,46 @@ _HITS_SQL = (
 )
 
 
+#: deterministic caps for the co-occurrence graph build (round-10
+#: verdict #1): min-K user_ids per 5-minute bucket before the pair
+#: self-join, and the adjacency degree cap inside adamic_adar. Neither
+#: binds at any test SF (hot buckets there are ~tens of users); on real
+#: incident data they bound one storm bucket's pair rows at K^2/2 and
+#: each wedge middle's fan at K^2 instead of letting both grow with the
+#: square of bucket membership. The oracle replays both caps as
+#: row_number CTEs.
+_AA_BUCKET_CAP = 1000
+_AA_MAX_DEGREE = 1000
+
+
 @register(
     "adamic_adar_linkpred",
-    """
-    WITH b AS MATERIALIZED (
+    f"""
+    WITH b0 AS MATERIALIZED (
       SELECT DISTINCT user_id,
              time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS w
       FROM events WHERE event_type = 'error'),
+    b AS (SELECT user_id, w FROM (
+            SELECT user_id, w,
+                   row_number() OVER (PARTITION BY w ORDER BY user_id) AS rn
+            FROM b0) WHERE rn <= {_AA_BUCKET_CAP}),
     pairs AS MATERIALIZED (
       SELECT DISTINCT x.user_id AS a, y.user_id AS b
       FROM b x JOIN b y ON x.w = y.w WHERE x.user_id < y.user_id),
     e AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
-    deg AS (SELECT s AS z, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY s),
+    e1 AS (SELECT s, d FROM (
+             SELECT s, d, row_number() OVER (PARTITION BY s ORDER BY d) AS rn
+             FROM e) WHERE rn <= {_AA_MAX_DEGREE}),
+    e2 AS (SELECT s, d FROM (
+             SELECT s, d, row_number() OVER (PARTITION BY d ORDER BY s) AS rn
+             FROM e1) WHERE rn <= {_AA_MAX_DEGREE}),
+    deg AS (SELECT s AS z, CAST(count(*) AS BIGINT) AS dg FROM e2 GROUP BY s),
     wedges AS (SELECT x.s AS a, y.d AS b, x.d AS z
-               FROM e x JOIN e y ON x.d = y.s
+               FROM e2 x JOIN e2 y ON x.d = y.s
                WHERE x.s < y.d),
     sc AS (SELECT a, b, round(sum(1.0 / log2(dg)), 6) AS aa,
                   CAST(count(*) AS BIGINT) AS common
-           FROM wedges JOIN deg USING (z) GROUP BY a, b)
+           FROM wedges JOIN deg USING (z) WHERE dg >= 2 GROUP BY a, b)
     SELECT sc.a, sc.b, sc.aa, sc.common
     FROM sc LEFT JOIN pairs p ON p.a = sc.a AND p.b = sc.b
     WHERE p.a IS NULL
@@ -558,8 +580,19 @@ def adamic_adar_linkpred(spark, sf_dir):
     signal. The co-occurrence graph chains across windows, so it has
     real open wedges (the near-dup graph is a union of cliques — every
     2-hop pair there is already an edge). One wedge join + vertex-keyed
-    degree joins, never all-pairs."""
+    degree joins, never all-pairs.
+
+    Hot-bucket guard (round-10 verdict #1): bucket membership is capped
+    at the min-{_AA_BUCKET_CAP} user_ids per bucket (guards.cap_per_key)
+    BEFORE the pair self-join — one incident-storm bucket of 10^5
+    co-erroring users would otherwise emit ~10^10 pair rows — and the
+    wedge join runs under adamic_adar's max_degree={_AA_MAX_DEGREE}
+    adjacency cap. Both caps are deterministic min-K retention, replayed
+    exactly by the oracle's row_number CTEs; neither binds at test SF
+    (buckets are ~tens of users), which test_round11_fixes pins along
+    with the bounded-growth behavior on a synthetic storm bucket."""
     from postgraph_spark.operators import pagerank as PR
+    from postgraph_spark.operators.guards import cap_per_key
 
     ev = t(spark, sf_dir, "events")
     nodes = (
@@ -567,12 +600,13 @@ def adamic_adar_linkpred(spark, sf_dir):
         .select("user_id", F.window("ts", "5 minutes")["start"].alias("w"))
         .distinct()
     )
+    nodes = cap_per_key(nodes, ["w"], ["user_id"], _AA_BUCKET_CAP)
     a = nodes.select(F.col("user_id").alias("a"), "w")
     b = nodes.select(F.col("user_id").alias("b"), "w")
     pairs = (
         a.join(b, "w").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
     )
-    return PR.adamic_adar(pairs, "a", "b")
+    return PR.adamic_adar(pairs, "a", "b", max_degree=_AA_MAX_DEGREE)
 
 
 @register("hits_dupgraph", _HITS_SQL)

@@ -42,3 +42,75 @@ def test_registry_plan_build_is_lazy(spark, name, monkeypatch):
     )
     df = QUERIES[name](spark, SF_DIR)
     assert df.columns  # plan built without any eager job
+
+
+# ---------------------------------------------------------------------------
+# adamic_adar hot-bucket guard (round-10 verdict #1)
+# ---------------------------------------------------------------------------
+
+
+def test_cap_per_key_deterministic_min_k(spark):
+    from postgraph_spark.operators.guards import cap_per_key
+
+    df = spark.createDataFrame(
+        [(b, u) for b in range(3) for u in range(50)], "w int, user_id int"
+    )
+    capped = cap_per_key(df, ["w"], ["user_id"], 7)
+    rows = capped.collect()
+    assert len(rows) == 3 * 7
+    # min-K retention: exactly user_ids 0..6 survive in every bucket
+    for b in range(3):
+        assert sorted(r.user_id for r in rows if r.w == b) == list(range(7))
+
+
+def test_storm_bucket_pair_growth_is_bounded(spark):
+    """One oversized bucket (500 members) must emit at most K*(K-1)/2
+    pair rows once membership is capped — the quadratic the round-10
+    verdict flagged, proven bounded."""
+    from postgraph_spark.operators.guards import cap_per_key
+    from pyspark.sql import functions as F
+
+    K = 20
+    nodes = spark.createDataFrame(
+        [(0, u) for u in range(500)] + [(1, u) for u in range(5)],
+        "w int, user_id int",
+    )
+    nodes = cap_per_key(nodes, ["w"], ["user_id"], K)
+    a = nodes.select(F.col("user_id").alias("a"), "w")
+    b = nodes.select(F.col("user_id").alias("b"), "w")
+    pairs = a.join(b, "w").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    n = pairs.count()
+    assert n <= K * (K - 1) // 2 + 5 * 4 // 2
+    assert n > 0
+
+
+def test_adamic_adar_degree_cap_bounds_adjacency_and_matches_uncapped(spark):
+    """max_degree caps each wedge middle's fan; a NON-binding cap is
+    byte-identical to the uncapped path (incl. the new dg>=2 filter,
+    which is a tautology on symmetric graphs)."""
+    import random
+
+    from postgraph_spark.operators import pagerank as PR
+
+    rng = random.Random(11)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(120)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src int, dst int")
+
+    uncapped = {
+        (r.a, r.b): (r.aa, r.common)
+        for r in PR.adamic_adar(df, "src", "dst").collect()
+    }
+    nonbinding = {
+        (r.a, r.b): (r.aa, r.common)
+        for r in PR.adamic_adar(df, "src", "dst", max_degree=10_000).collect()
+    }
+    assert uncapped == nonbinding and len(uncapped) > 0
+
+    # binding cap: a star hub of degree 400 contributes at most K^2
+    # wedge rows instead of 400^2, and every score stays finite
+    hub = [(999, i) for i in range(400)]
+    star = spark.createDataFrame(hub, "src int, dst int")
+    capped = PR.adamic_adar(star, "src", "dst", max_degree=12).collect()
+    assert len(capped) <= 12 * 12
+    assert all(r.aa is not None and r.aa > 0 for r in capped)
