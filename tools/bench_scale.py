@@ -21,7 +21,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import HEADLINE, ROUND9, _run_pass, fold_passes  # noqa: E402
+from bench import HEADLINE, ROUND9, _run_pass, calibration_sec, fold_passes  # noqa: E402
 from postgraph_spark.session import get_spark  # noqa: E402
 
 
@@ -45,6 +45,7 @@ def main() -> None:
     rows = HEADLINE + ROUND9
     spark = get_spark("postgraph_spark_bench_scale")
     spark.range(1).write.format("noop").mode("overwrite").save()
+    calib = calibration_sec(spark)
 
     t01 = measure(spark, sf01, rows)
     t1 = measure(spark, sf1, rows)
@@ -64,6 +65,7 @@ def main() -> None:
         "sf0.1_total_sec": round(sum(t01.values()), 3),
         "sf1_total_sec": round(sum(t1.values()), 3),
         "total_ratio": round(sum(t1.values()) / sum(t01.values()), 2),
+        "calibration_sec": calib,
         "rows": per_row,
     }
     with open(out, "w") as f:
