@@ -140,6 +140,17 @@ _PRIORITY = [
     # broadcast stream-static shape stays stream==batch-pinned locally
     # and two streaming rows remain in the prefix)
     "bpe_learn_merges",
+    # ROUND-11 ROTATION (round-10 verdict #2 + #7):
+    # bpe_segment_stats was the ONE registered row (of 143) never
+    # driver-checked in any round — in for 143/143 ever-verified.
+    # exactsubstr_spans is NEW round 11 (Lee et al. 2022 ExactSubstr:
+    # corpus-level duplicated-substring spans via depth-L suffix-prefix
+    # buckets + gaps-and-islands) — driver-checked the round it lands.
+    # Out for them (both multi-round driver-green, families covered):
+    # tfidf_top_terms (bm25_topk keeps the idf/postings family
+    # external) and pq_quantize_embeddings (ivfpq_adc_topk's oracle
+    # replays the same PQ codebook pipeline).
+    "bpe_segment_stats", "exactsubstr_spans",
     # dsir_importance is NEW round 10 (hashed-ngram importance-
     # resampling weights, capped bucket-stats broadcast); vector_ops_topk
     # rotates out for it (multi-round green; the vector family stays
@@ -206,7 +217,6 @@ _PRIORITY = [
     # oracled every run)
     "pack_sequences", "perplexity_buckets",
     "expr_operator_forms",
-    "pq_quantize_embeddings",
     # rotated OUT this round (still oracle-checked locally, shapes
     # driver-covered): text_stats/lang_id/token_count/rolling_hash
     # (pure-expression and JVM-regexp families stay via pii_scrub,
@@ -218,9 +228,9 @@ _PRIORITY = [
     # repetition_stats (Gopher family stays via boilerplate_ngrams),
     # geometric_ops (geometric_kit_full stays), stream_sessionize (two
     # streaming rows stay)
-    # tfidf_top_terms sits at slot 50: the prefix self-fills to 50 rows,
-    # and it is the most recently green of the demoted set
-    "tfidf_top_terms",
+    # round-11 rotations OUT (multi-round driver-green, families still
+    # external — see the round-11 rotation note above)
+    "tfidf_top_terms", "pq_quantize_embeddings",
     # round-10 rotations OUT (all multi-round driver-green, shapes still
     # covered — see the rotation note at the top of this list)
     "percentile_quantiles", "graph_vle_paths", "ngram_logprob_score",

@@ -89,6 +89,16 @@ ROUND9 = [
     "graph_vle_deep",
 ]
 
+# Third metric group (round-11): the new ExactSubstr operator plus the
+# two operators whose hot path changed this round (the adamic-adar
+# bucket/degree caps; winnowing's chunked encoder) — measured every
+# round under the same two-pass policy, reported as `round11_*`.
+ROUND11 = [
+    "exactsubstr_spans",
+    "adamic_adar_linkpred",
+    "winnow_fingerprints",
+]
+
 
 def _run_pass(
     spark, sf_dir: str, execs_per_row: int, rows: list[str]
@@ -159,9 +169,12 @@ def main() -> None:
     pass2 = _run_pass(spark, sf_dir, execs_per_row=1, rows=HEADLINE)
     r9p1 = _run_pass(spark, sf_dir, execs_per_row=2, rows=ROUND9)
     r9p2 = _run_pass(spark, sf_dir, execs_per_row=1, rows=ROUND9)
+    r11p1 = _run_pass(spark, sf_dir, execs_per_row=2, rows=ROUND11)
+    r11p2 = _run_pass(spark, sf_dir, execs_per_row=1, rows=ROUND11)
 
     timings, build = fold_passes(pass1, pass2, HEADLINE)
     r9_timings, r9_build = fold_passes(r9p1, r9p2, ROUND9)
+    r11_timings, r11_build = fold_passes(r11p1, r11p2, ROUND11)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -179,6 +192,9 @@ def main() -> None:
                 "round9_total_sec": round(sum(r9_timings.values()), 3),
                 "round9_queries": r9_timings,
                 "round9_build_sec": r9_build,
+                "round11_total_sec": round(sum(r11_timings.values()), 3),
+                "round11_queries": r11_timings,
+                "round11_build_sec": r11_build,
                 # host-speed probe: divide totals by this to compare
                 # across rounds measured on differently-loaded hosts
                 "calibration_sec": calib,

@@ -423,3 +423,68 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("simhash")
         )
     )
+
+
+def exact_substring_spans(
+    df: DataFrame, id_col: str, text_col: str, min_len: int = 50
+) -> DataFrame:
+    """ExactSubstr deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" §4.1): per document, the
+    maximal token spans covered by some substring of >= ``min_len``
+    tokens that occurs at least TWICE anywhere in the corpus (other
+    documents or elsewhere in the same one) — the spans the paper's
+    suffix-array pass removes. Returns (id, span_start, span_tokens),
+    span_start 0-based in token space.
+
+    This is the paper's suffix-array computation re-expressed as a
+    distributed prefix-bucket partition instead of one global suffix
+    array: the ``min_len``-gram starting at position i is the depth-L
+    prefix of suffix i, so grouping gram occurrences is exactly
+    partitioning the corpus suffix array into depth-L prefix groups —
+    a gram with >= 2 occurrences marks a duplicated suffix-prefix, and
+    the union of all duplicated substrings of length >= L equals the
+    union of duplicated L-grams (any longer duplicate is covered by its
+    L-windows). Consecutive duplicated starts then merge into maximal
+    spans with the gaps-and-islands rewrite. EXACT by construction:
+    grams group by their full text, not a hash, so there is no
+    collision surface and a plain SQL oracle replays it verbatim.
+
+    Shape at 100 TB: gram build is map-side (transform+slice, zero
+    Python); occurrence counting is ONE gram-keyed partial-agg shuffle
+    (map-side combine collapses within-partition repeats; AQE
+    skew-splits boilerplate grams); the survivor mark-join is the same
+    gram-keyed equi-join (never all-pairs — plan pinned); island
+    merging runs under DOC-partitioned windows. Duplicated grams are
+    rare by construction (a >= min_len-token exact repeat), so the
+    join's build side is small. At petabyte scale the gram string can
+    be replaced by xxhash64 pairs to narrow the count shuffle — kept as
+    text here so the operator is exact rather than
+    exact-modulo-collisions."""
+    from pyspark.sql import Window
+
+    L = min_len
+    g = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(shingles(tokens(F.col(text_col)), L)).alias("i", "g"),
+    )
+    dupg = (
+        g.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("g")
+    )
+    dup = g.join(dupg, "g").select("id", "i")
+    w_ord = Window.partitionBy("id").orderBy("i")
+    prev_end = F.max(F.col("i") + (L - 1)).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ni = F.when(prev_end.isNull() | (F.col("i") > prev_end), 1).otherwise(0)
+    islands = dup.withColumn("island", F.sum(ni).over(w_ord))
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("i").cast("long").alias("span_start"),
+            (F.max("i") - F.min("i") + L).cast("long").alias("span_tokens"),
+        )
+        .select(F.col("id").alias(id_col), "span_start", "span_tokens")
+    )

@@ -2826,6 +2826,53 @@ def ivfpq_adc_topk(spark, sf_dir):
     )
 
 
+#: ExactSubstr threshold for the registered row: the paper's default is
+#: 50 (BPE) tokens; this corpus's synthetic documents average ~50
+#: whitespace tokens, so 20 keeps the row statistically rich (1.5k
+#: duplicated starts at sf0.01) while exercising the identical plan.
+_XSUB_L = 20
+
+
+@register(
+    "exactsubstr_spans",
+    f"""
+    WITH {_TOKS},
+    g AS (SELECT doc_id, j AS i, array_to_string(tk[j+1:j+{_XSUB_L}], ' ') AS g
+          FROM (SELECT doc_id, tk, unnest(generate_series(0, len(tk)-{_XSUB_L})) AS j
+                FROM toks WHERE len(tk) >= {_XSUB_L})),
+    dupg AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+    dup AS (SELECT doc_id, i FROM g JOIN dupg USING (g)),
+    isl AS (SELECT doc_id, i,
+                   CASE WHEN i <= max(i + {_XSUB_L - 1}) OVER (
+                          PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        THEN 0 ELSE 1 END AS ni
+            FROM dup),
+    isl2 AS (SELECT doc_id, i,
+                    sum(ni) OVER (PARTITION BY doc_id ORDER BY i) AS island
+             FROM isl)
+    SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+           CAST(max(i) - min(i) + {_XSUB_L} AS BIGINT) AS span_tokens
+    FROM isl2 GROUP BY doc_id, island
+    """,
+)
+def exactsubstr_spans(spark, sf_dir):
+    """ExactSubstr dedup spans (operators/dedup.exact_substring_spans —
+    Lee et al. 2022 §4.1): per document, the maximal token spans covered
+    by substrings of >= L tokens occurring >= 2 times anywhere in the
+    corpus (cross-doc or self-repeat) — the spans the paper's
+    suffix-array pass removes, here as a distributed depth-L
+    suffix-prefix bucket partition + gaps-and-islands merge. Differs
+    from dup_span_fraction in all three axes that make it ExactSubstr:
+    corpus-level occurrence counting (self-repeats count), the paper's
+    long-threshold semantics (L=20 here vs the unit 5-gram signal), and
+    span artifacts (start, length) a removal pass consumes rather than
+    a per-doc fraction."""
+    return DD.exact_substring_spans(
+        t(spark, sf_dir, "documents"), "doc_id", "text", min_len=_XSUB_L
+    )
+
+
 @register(
     "dup_span_fraction",
     f"""

@@ -210,3 +210,43 @@ def test_char_entropy_no_python(spark):
     plan = _physical(char_entropy_quality(spark, SF))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------- round-11 operator plan shapes
+
+
+def test_exactsubstr_bucketed_not_all_pairs(spark):
+    """ExactSubstr is a gram-keyed partial agg + equi-join + DOC-
+    partitioned island windows — never an all-pairs doc join, never a
+    partitionless window."""
+    from postgraph_spark.queries.llm_ops import exactsubstr_spans
+
+    df = exactsubstr_spans(spark, SF)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    win_lines = [
+        line for line in opt.splitlines() if "windowspecdefinition" in line.lower()
+    ]
+    assert win_lines, opt  # island merge must window, not sort globally
+    for line in win_lines:
+        assert "id" in line, line  # doc-partitioned
+
+
+def test_adamic_adar_capped_adjacency_windows_are_keyed(spark):
+    """the round-11 caps add row_number windows — each must be KEYED
+    (bucket / vertex), never partitionless."""
+    from postgraph_spark.queries.llm_ops import adamic_adar_linkpred
+
+    df = adamic_adar_linkpred(spark, SF)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    win_lines = [
+        line for line in opt.splitlines() if "windowspecdefinition" in line.lower()
+    ]
+    assert win_lines, opt  # the caps must survive optimization
+    for line in win_lines:
+        # every cap window carries a partition key column
+        assert ("w#" in line) or ("s#" in line) or ("d#" in line), line

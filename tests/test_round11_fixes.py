@@ -185,3 +185,32 @@ def test_winnow_fingerprints_over_1mib_document(spark, tmp_path):
     got = set(map(tuple, QUERIES["winnow_fingerprints"](spark, sf).collect()))
     want = _winnow_ref(0, big.encode()) | _winnow_ref(1, b"the quick brown fox")
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr (Lee et al. 2022) — known-span behavior
+# ---------------------------------------------------------------------------
+
+
+def test_exact_substring_spans_known_corpus(spark):
+    """Cross-doc duplicate, within-doc self-repeat, and sub-threshold
+    docs resolve to exactly the paper-defined spans at L=4."""
+    from postgraph_spark.operators.dedup import exact_substring_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h x y z w"),
+            (1, "q r s a b c d e f t u v"),
+            (2, "p1 p2 p3 p4 k1 p1 p2 p3 p4"),
+            (3, "x y"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_tokens)
+        for r in exact_substring_spans(docs, "doc_id", "text", min_len=4).collect()
+    }
+    # docs 0/1 share the 6-token run "a b c d e f"; doc 2 self-repeats
+    # "p1 p2 p3 p4" at token 0 and 5 (two islands — the repeats do not
+    # overlap); doc 3 is below threshold
+    assert got == {(0, 0, 6), (1, 3, 6), (2, 0, 4), (2, 5, 4)}

@@ -21,7 +21,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import HEADLINE, ROUND9, _run_pass, calibration_sec, fold_passes  # noqa: E402
+from bench import HEADLINE, ROUND9, ROUND11, _run_pass, calibration_sec, fold_passes  # noqa: E402
 from postgraph_spark.session import get_spark  # noqa: E402
 
 
@@ -42,7 +42,7 @@ def main() -> None:
 
         gen(sf01, sf1, copies=10)
 
-    rows = HEADLINE + ROUND9
+    rows = HEADLINE + ROUND9 + ROUND11
     spark = get_spark("postgraph_spark_bench_scale")
     spark.range(1).write.format("noop").mode("overwrite").save()
     calib = calibration_sec(spark)
