@@ -79,11 +79,12 @@ _PRIORITY = [
     # locally oracled and the vector family stays externally covered by
     # vector_ops_topk + the IVF rows — to make prefix room for the two
     # never-driver-checked rows below, round-8 verdict #4)
-    # cms_token_freq is NEW late round 9 (count-min frequency sketch,
-    # the KMV complement); json_containment_ops rotates out (r8-driver-
-    # green; the @>/<@/?/?| surfaces stay golden-tested locally in
-    # test_containment_jvm + test_entity_ops and oracled every run)
-    "cms_token_freq",
+    # decontam_bloom is NEW round 11 (m-bounded Bloom-filter
+    # decontamination — the broadcast shape that survives a billion-gram
+    # blocklist; oracle replays the exact filter incl. false positives);
+    # cms_token_freq rotates out for it (r9-driver-green; the CMS family
+    # stays external via stream_cms_counts and locally oracled every run)
+    "decontam_bloom",
     "tsearch_match",
     # multimodal_decode: round 9's one red row — its array<double>
     # features column crashed the driver's canonicalizer; now emits
@@ -230,7 +231,7 @@ _PRIORITY = [
     # streaming rows stay)
     # round-11 rotations OUT (multi-round driver-green, families still
     # external — see the round-11 rotation note above)
-    "tfidf_top_terms", "pq_quantize_embeddings",
+    "tfidf_top_terms", "pq_quantize_embeddings", "cms_token_freq",
     # round-10 rotations OUT (all multi-round driver-green, shapes still
     # covered — see the rotation note at the top of this list)
     "percentile_quantiles", "graph_vle_paths", "ngram_logprob_score",

@@ -488,3 +488,74 @@ def exact_substring_spans(
         )
         .select(F.col("id").alias(id_col), "span_start", "span_tokens")
     )
+
+
+def bloom_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_hits: int = 5,
+    m_bits: int = 1 << 16,
+    n_hash: int = 4,
+) -> DataFrame:
+    """Bloom-filter test-set decontamination — the BROADCAST-BOUNDED
+    variant of `contamination`: instead of broadcasting the benchmark's
+    distinct k-gram strings (unbounded — a billion-gram blocklist is
+    tens of GB of text), build an m-bit Bloom filter over them and
+    probe corpus grams map-side. A gram counts as a (possibly false-
+    positive) hit iff ALL ``n_hash`` of its bit positions are set; docs
+    with >= min_hits flagged grams are contaminated — the conservative
+    over-approximation a 100 TB pipeline actually ships (false
+    positives only quarantine extra docs, never leak contamination).
+
+    DETERMINISTIC by construction: position j of gram g is the first 8
+    hex chars of md5(j || ':' || g) mod m_bits — reproducible in SQL,
+    so the oracle replays the exact filter including its false
+    positives (no probabilistic slack in the check).
+
+    Shape at 100 TB: the set-bit table is AT MOST m_bits rows of one
+    int (here 2^16; a production 2^33-bit/1 GB filter broadcasts as a
+    bitmap) — independent of blocklist size, unlike `contamination`'s
+    gram broadcast. Corpus-side: gram explode and position hashing are
+    map-side projections, the membership join is broadcast (never
+    shuffles the corpus), and the only shuffles are the two bounded
+    per-(doc, gram)/per-doc aggs. Returns
+    (id, n_grams, n_bloom_hit, contaminated)."""
+    def positions(col):
+        return F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit(f"{j}:"), col)), 1, 8),
+                        16,
+                        10,
+                    ).cast("long")
+                    % m_bits
+                )
+                for j in range(n_hash)
+            ]
+        )
+
+    bits = (
+        doc_shingles(bench, id_col, text_col, k)
+        .select("shingle")
+        .distinct()
+        .select(F.explode(positions(F.col("shingle"))).alias("pos"))
+        .distinct()
+        .withColumn("__in", F.lit(1))
+    )
+    probe = doc_shingles(docs, id_col, text_col, k).select(
+        F.col(id_col), "shingle", F.explode(positions(F.col("shingle"))).alias("pos")
+    )
+    per_gram = (
+        probe.join(F.broadcast(bits), "pos", "left")
+        .groupBy(id_col, "shingle")
+        .agg(F.min(F.coalesce("__in", F.lit(0))).alias("hit"))
+    )
+    return per_gram.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("hit").alias("n_bloom_hit"),
+        (F.sum("hit") >= min_hits).alias("contaminated"),
+    )

@@ -1432,6 +1432,52 @@ def decontam_overlap(spark, sf_dir):
 
 
 @register(
+    "decontam_bloom",
+    f"""
+    WITH {_SHINGLES},
+    hj AS (SELECT unnest(generate_series(0, 3)) AS j),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    bits AS (SELECT DISTINCT
+               CAST(('0x' || substr(md5(CAST(hj.j AS VARCHAR) || ':' || shingle), 1, 8))
+                    AS BIGINT) % 65536 AS pos
+             FROM bench CROSS JOIN hj),
+    probe AS (SELECT doc_id, shingle,
+                     CAST(('0x' || substr(md5(CAST(hj.j AS VARCHAR) || ':' || shingle), 1, 8))
+                          AS BIGINT) % 65536 AS pos
+              FROM sh CROSS JOIN hj WHERE doc_id % 97 <> 0),
+    per AS (SELECT doc_id, shingle,
+                   min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS hit
+            FROM probe LEFT JOIN bits b USING (pos)
+            GROUP BY doc_id, shingle)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(hit) AS BIGINT) AS n_bloom_hit,
+           sum(hit) >= 5 AS contaminated
+    FROM per GROUP BY doc_id
+    """,
+)
+def decontam_bloom(spark, sf_dir):
+    """Bloom-filter decontamination (operators/dedup.bloom_contamination)
+    — the broadcast-BOUNDED variant of decontam_overlap: the benchmark
+    slice's 3-grams set 4 md5-derived bits each in a 2^16-bit filter;
+    corpus grams whose 4 bits are ALL set count as (possibly
+    false-positive) hits, >= 5 hits flags the doc. The set-bit table is
+    at most m rows regardless of blocklist size — the shape that still
+    broadcasts when the blocklist has a billion grams and the distinct-
+    string broadcast of decontam_overlap no longer fits. Deterministic
+    md5 bit positions mean the oracle replays the exact filter, false
+    positives included."""
+    docs = t(spark, sf_dir, "documents")
+    return DD.bloom_contamination(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        "doc_id",
+        "text",
+        k=3,
+        min_hits=5,
+    )
+
+
+@register(
     "dedup_jaccard_pairs",
     f"""
     WITH {_SHINGLES},

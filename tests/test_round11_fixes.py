@@ -214,3 +214,34 @@ def test_exact_substring_spans_known_corpus(spark):
     # "p1 p2 p3 p4" at token 0 and 5 (two islands — the repeats do not
     # overlap); doc 3 is below threshold
     assert got == {(0, 0, 6), (1, 3, 6), (2, 0, 4), (2, 5, 4)}
+
+
+# ---------------------------------------------------------------------------
+# Bloom decontamination: a sound over-approximation of the exact join
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_decontam_superset_of_exact_and_broadcast(spark):
+    """Bloom membership can only ADD false positives: per doc,
+    n_bloom_hit >= the exact join's n_hit, n_grams identical, and every
+    exactly-contaminated doc stays flagged. The membership join must be
+    broadcast (the corpus never shuffles on gram text)."""
+    from postgraph_spark.queries.registry import QUERIES
+
+    exact = {
+        r.doc_id: r for r in QUERIES["decontam_overlap"](spark, SF_DIR).collect()
+    }
+    bloom_df = QUERIES["decontam_bloom"](spark, SF_DIR)
+    bloom = {r.doc_id: r for r in bloom_df.collect()}
+    assert set(bloom) == set(exact)
+    assert any(r.n_hit > 0 for r in exact.values())  # non-vacuous
+    for d, e in exact.items():
+        b = bloom[d]
+        assert b.n_grams == e.n_grams
+        assert b.n_bloom_hit >= e.n_hit, d
+        if e.contaminated:
+            assert b.contaminated, d
+
+    plan = bloom_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
