@@ -106,6 +106,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     k: int = 3,
     wide: DataFrame | None = None,
+    star_cap: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (a < b) sharing >= 1 band bucket.
 
@@ -115,7 +116,19 @@ def lsh_candidate_pairs(
     (a giant bucket of boilerplate docs) is handled by AQE skew-join.
     Pass a precomputed `wide` signature table (_minhash_wide output) to
     share the shingle pipeline with other consumers.
-    """
+
+    ``star_cap`` (round-11 fanout audit): pair rows grow as the SQUARE
+    of bucket membership — one bucket of 10^5 boilerplate docs is
+    ~10^10 pairs, the adamic-adar blowup class. With the cap set, any
+    bucket larger than ``star_cap`` emits STAR pairs (min-id
+    representative, member) instead of all pairs — linear in bucket
+    size, deterministic, and cluster-preserving: downstream
+    connected-components reach the identical partition because every
+    member still links to the bucket representative. What changes is
+    only per-pair verification recall on oversized buckets (a member is
+    verified against the representative, not every other member) — the
+    trade a production dedup makes. Small buckets are untouched, so a
+    non-binding cap returns byte-identical pairs."""
     rows_per_band = n_hashes // bands
     if wide is None:
         wide = _minhash_wide(df, id_col, text_col, n_hashes, k)
@@ -130,6 +143,25 @@ def lsh_candidate_pairs(
     band_keys = wide.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")).select(
         F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    if star_cap is not None:
+        from pyspark.sql import Window
+
+        wkey = Window.partitionBy("band", "bucket")
+        bk = band_keys.withColumn("_n", F.count(F.lit(1)).over(wkey)).withColumn(
+            "_rep", F.min(id_col).over(wkey)
+        )
+        small = bk.filter(F.col("_n") <= star_cap).select(id_col, "band", "bucket")
+        a = small.select(F.col(id_col).alias("a"), "band", "bucket")
+        b = small.select(F.col(id_col).alias("b"), "band", "bucket")
+        all_pairs = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+        )
+        star = bk.filter(
+            (F.col("_n") > star_cap) & (F.col(id_col) != F.col("_rep"))
+        ).select(F.col("_rep").alias("a"), F.col(id_col).alias("b"))
+        return all_pairs.union(star).distinct()
     a = band_keys.select(F.col(id_col).alias("a"), "band", "bucket")
     b = band_keys.select(F.col(id_col).alias("b"), "band", "bucket")
     return (

@@ -245,3 +245,53 @@ def test_bloom_decontam_superset_of_exact_and_broadcast(spark):
     plan = bloom_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# LSH star-cap: linear pair growth on giant buckets, clusters preserved
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_star_cap_linear_and_cluster_preserving(spark):
+    from postgraph_spark.operators.dedup import lsh_candidate_pairs
+
+    # 120 byte-identical docs (one giant bucket per band) + 6 unrelated
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(120)]
+    rows += [(200 + i, f"unique document number {i} with its own words {i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = {(r.a, r.b) for r in lsh_candidate_pairs(docs, "doc_id", "text").collect()}
+    capped = {
+        (r.a, r.b)
+        for r in lsh_candidate_pairs(docs, "doc_id", "text", star_cap=10).collect()
+    }
+    # linear, not quadratic: 119 star pairs vs 120*119/2 = 7140
+    assert len(full) >= 120 * 119 // 2
+    assert len(capped) < 3 * 120
+    assert capped <= full  # star pairs are a subset of true pairs
+
+    def components(pairs, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent.setdefault(a, a), parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    nodes = {r[0] for r in rows}
+    assert components(full, nodes) == components(capped, nodes)
+
+    # non-binding cap is byte-identical
+    loose = {
+        (r.a, r.b)
+        for r in lsh_candidate_pairs(docs, "doc_id", "text", star_cap=10_000).collect()
+    }
+    assert loose == full
