@@ -150,8 +150,12 @@ _PRIORITY = [
     # Out for them (both multi-round driver-green, families covered):
     # tfidf_top_terms (bm25_topk keeps the idf/postings family
     # external) and pq_quantize_embeddings (ivfpq_adc_topk's oracle
-    # replays the same PQ codebook pipeline).
-    "bpe_segment_stats", "exactsubstr_spans",
+    # replays the same PQ codebook pipeline). exactsubstr_clean (the
+    # removal pass — span cut + ordered reassembly) also lands this
+    # round; expr_operator_forms rotates out for it (r8-driver-green;
+    # its consolidated operator surfaces recur in the Cypher rows and
+    # stay locally oracled every run).
+    "bpe_segment_stats", "exactsubstr_spans", "exactsubstr_clean",
     # dsir_importance is NEW round 10 (hashed-ngram importance-
     # resampling weights, capped bucket-stats broadcast); vector_ops_topk
     # rotates out for it (multi-round green; the vector family stays
@@ -217,7 +221,6 @@ _PRIORITY = [
     # recur in deep_order_arrays + pg_expr_forms, and it stays locally
     # oracled every run)
     "pack_sequences", "perplexity_buckets",
-    "expr_operator_forms",
     # rotated OUT this round (still oracle-checked locally, shapes
     # driver-covered): text_stats/lang_id/token_count/rolling_hash
     # (pure-expression and JVM-regexp families stay via pii_scrub,
@@ -231,7 +234,8 @@ _PRIORITY = [
     # streaming rows stay)
     # round-11 rotations OUT (multi-round driver-green, families still
     # external — see the round-11 rotation note above)
-    "tfidf_top_terms", "pq_quantize_embeddings", "cms_token_freq",
+    "expr_operator_forms", "tfidf_top_terms", "pq_quantize_embeddings",
+    "cms_token_freq",
     # round-10 rotations OUT (all multi-round driver-green, shapes still
     # covered — see the rotation note at the top of this list)
     "percentile_quantiles", "graph_vle_paths", "ngram_logprob_score",

@@ -591,3 +591,43 @@ def bloom_contamination(
         F.sum("hit").alias("n_bloom_hit"),
         (F.sum("hit") >= min_hits).alias("contaminated"),
     )
+
+
+def exact_substring_clean(
+    df: DataFrame, id_col: str, text_col: str, min_len: int = 50
+) -> DataFrame:
+    """The REMOVAL pass of ExactSubstr dedup (Lee et al. 2022 §4.1):
+    apply `exact_substring_spans` and emit each document with its
+    duplicated spans cut out — (id, n_tokens, dup_tokens, clean_text),
+    clean_text in normalized token space (lowercased, single-space
+    joined, the tokenizer's equivalence class).
+
+    Shape at 100 TB: the span table is tiny (only documents with a
+    >= min_len-token exact repeat have rows); it groups to one
+    span-array row per affected doc and joins back doc-keyed; the cut
+    itself is a pure JVM higher-order projection (transform + filter
+    over token indices) — no explode, no per-token shuffle, no
+    Python."""
+    spans = exact_substring_spans(df, id_col, text_col, min_len)
+    spanarr = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_tokens")).alias("spans")
+    )
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("tk"))
+    joined = base.join(spanarr, id_col, "left")
+    idx = F.sequence(F.lit(0), F.size("tk") - 1)
+    kept_idx = F.filter(
+        idx,
+        lambda i: ~F.exists(
+            F.col("spans"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_start"] + s["span_tokens"]),
+        ),
+    )
+    kept = F.when(F.col("spans").isNull(), F.col("tk")).otherwise(
+        F.transform(kept_idx, lambda i: F.element_at("tk", (i + 1).cast("int")))
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("tk").cast("long").alias("n_tokens"),
+        (F.size("tk") - F.size(kept)).cast("long").alias("dup_tokens"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

@@ -2879,10 +2879,9 @@ def ivfpq_adc_topk(spark, sf_dir):
 _XSUB_L = 20
 
 
-@register(
-    "exactsubstr_spans",
-    f"""
-    WITH {_TOKS},
+#: shared ExactSubstr oracle CTEs ending in spans(doc_id, span_start,
+#: span_tokens) — consumed by both the span row and the removal row
+_XSUB_CTES = f"""{_TOKS},
     g AS (SELECT doc_id, j AS i, array_to_string(tk[j+1:j+{_XSUB_L}], ' ') AS g
           FROM (SELECT doc_id, tk, unnest(generate_series(0, len(tk)-{_XSUB_L})) AS j
                 FROM toks WHERE len(tk) >= {_XSUB_L})),
@@ -2896,10 +2895,19 @@ _XSUB_L = 20
             FROM dup),
     isl2 AS (SELECT doc_id, i,
                     sum(ni) OVER (PARTITION BY doc_id ORDER BY i) AS island
-             FROM isl)
-    SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
-           CAST(max(i) - min(i) + {_XSUB_L} AS BIGINT) AS span_tokens
-    FROM isl2 GROUP BY doc_id, island
+             FROM isl),
+    spans AS (SELECT doc_id, min(i) AS span_start,
+                     max(i) - min(i) + {_XSUB_L} AS span_tokens
+              FROM isl2 GROUP BY doc_id, island)"""
+
+
+@register(
+    "exactsubstr_spans",
+    f"""
+    WITH {_XSUB_CTES}
+    SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+           CAST(span_tokens AS BIGINT) AS span_tokens
+    FROM spans
     """,
 )
 def exactsubstr_spans(spark, sf_dir):
@@ -2915,6 +2923,45 @@ def exactsubstr_spans(spark, sf_dir):
     span artifacts (start, length) a removal pass consumes rather than
     a per-doc fraction."""
     return DD.exact_substring_spans(
+        t(spark, sf_dir, "documents"), "doc_id", "text", min_len=_XSUB_L
+    )
+
+
+@register(
+    "exactsubstr_clean",
+    f"""
+    WITH {_XSUB_CTES},
+    pos AS (SELECT doc_id, j, tk[j+1] AS w
+            FROM (SELECT doc_id, tk, unnest(generate_series(0, len(tk)-1)) AS j
+                  FROM toks)),
+    dropi AS (SELECT DISTINCT p.doc_id, p.j FROM pos p
+              JOIN spans s ON p.doc_id = s.doc_id
+               AND p.j >= s.span_start AND p.j < s.span_start + s.span_tokens),
+    kept AS (SELECT p.doc_id, p.j, p.w FROM pos p
+             LEFT JOIN dropi d ON d.doc_id = p.doc_id AND d.j = p.j
+             WHERE d.j IS NULL),
+    kc AS (SELECT doc_id, count(*) AS c,
+                  string_agg(w, ' ' ORDER BY j) AS txt
+           FROM kept GROUP BY doc_id),
+    nt AS (SELECT doc_id, len(tk) AS n FROM toks)
+    SELECT nt.doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(n - coalesce(kc.c, 0) AS BIGINT) AS dup_tokens,
+           coalesce(kc.txt, '') AS clean_text
+    FROM nt LEFT JOIN kc USING (doc_id)
+    """,
+)
+def exactsubstr_clean(spark, sf_dir):
+    """The removal pass of ExactSubstr dedup (operators/dedup.
+    exact_substring_clean): every document re-emitted with its
+    duplicated >= L-token spans cut out, plus the n_tokens/dup_tokens
+    accounting — the artifact Lee et al.'s pipeline actually trains on.
+    clean_text is in normalized token space (lowercased, single-space),
+    the tokenizer's equivalence class. Spark side: the tiny span table
+    groups to one array row per AFFECTED doc and joins back doc-keyed;
+    the cut is a pure JVM higher-order projection (filter over token
+    indices), no explode, no Python. The oracle replays it as a
+    positional anti-join + ordered string_agg."""
+    return DD.exact_substring_clean(
         t(spark, sf_dir, "documents"), "doc_id", "text", min_len=_XSUB_L
     )
 

@@ -215,6 +215,19 @@ def test_exact_substring_spans_known_corpus(spark):
     # overlap); doc 3 is below threshold
     assert got == {(0, 0, 6), (1, 3, 6), (2, 0, 4), (2, 5, 4)}
 
+    from postgraph_spark.operators.dedup import exact_substring_clean
+
+    cleaned = {
+        r.doc_id: (r.n_tokens, r.dup_tokens, r.clean_text)
+        for r in exact_substring_clean(docs, "doc_id", "text", min_len=4).collect()
+    }
+    assert cleaned == {
+        0: (12, 6, "g h x y z w"),
+        1: (12, 6, "q r s t u v"),
+        2: (9, 8, "k1"),
+        3: (2, 0, "x y"),
+    }
+
 
 # ---------------------------------------------------------------------------
 # Bloom decontamination: a sound over-approximation of the exact join
