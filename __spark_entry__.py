@@ -51,8 +51,10 @@ _PRIORITY = [
     # graph pattern operators (hand-planned). graph_vle_deep is NEW
     # (round-8 verdict #7): undirected *1..3 path-mode VLE with edge
     # uniqueness over the full sf graph, not the fixture.
-    # graph_match_1hop: first-ever external check (round-10 rotation)
-    "graph_match_2hop", "graph_match_1hop", "graph_vle_deep",
+    # graph_match_1hop got its first external check in round 10 (green)
+    # and rotates out this round — graph_match_2hop strictly supersets
+    # its scan+join shape and three graph rows stay external
+    "graph_match_2hop", "graph_vle_deep",
     # the FULL Cypher engine path
     "cypher_match_agg", "cypher_optional_match",
     "cypher_unwind_collect",
@@ -89,10 +91,11 @@ _PRIORITY = [
     # multimodal_decode: round 9's one red row — its array<double>
     # features column crashed the driver's canonicalizer; now emits
     # scalar f0..f7 on both sides, staying in for its first green check.
-    # date_bin_events + typecasting_funcs: first-ever external checks
-    # (round-10 rotation) — the time_bucket/date_bin temporal family and
-    # the ::cast grammar forms
-    "multimodal_decode", "date_bin_events", "typecasting_funcs",
+    # date_bin_events got its first external check in round 10 (green)
+    # and rotates out this round — the temporal family stays external
+    # via cypher_temporal_funcs; typecasting_funcs stays in (the ::cast
+    # grammar forms have no other external row)
+    "multimodal_decode", "typecasting_funcs",
     # LLM-pipeline operators (sim_topk_ivf rotated out: the TRAINED
     # variant below plus the new IVF-PQ row strictly cover the
     # probe-join shape)
@@ -126,7 +129,12 @@ _PRIORITY = [
     # dup_ngram_fraction rotates out (r8-driver-green; dup_span_fraction
     # supersets its explode+count+join family with the gaps-and-islands
     # span merge) for the NEW r9 PMI word-association row
-    "cypher_write_roundtrip", "dup_span_fraction",
+    # ngram_diversity is NEW round 11 (distinct-n per source, the
+    # mode-collapse gauge); dup_span_fraction rotates out for it
+    # (r10-driver-green, and the gram-island family now holds TWO
+    # round-11 external rows with strictly more coverage:
+    # exactsubstr_spans + exactsubstr_clean)
+    "cypher_write_roundtrip", "ngram_diversity",
     # NEW round 9: BM25 top-k retrieval (query-term-filtered postings)
     # and synchronous label-propagation communities (deterministic
     # min-label tie-break, rounds replayed as oracle CTEs)
@@ -206,7 +214,11 @@ _PRIORITY = [
     # every run)
     "cohort_retention",
     "kmv_corpus_overlap",
-    "kcore_dupgraph",
+    # kcore_dupgraph rotates out this round (r10-driver-green; the
+    # iterative-graph family keeps TWO external rows, hits_dupgraph +
+    # label_prop_communities, and kcore stays locally oracled every
+    # run); pack_sequences + perplexity_buckets stay in (both carry
+    # round-10-rewritten scale paths worth a second external round)
     # the remaining round-8-NEW rows (same lesson as verdict #1: the
     # newest surface gets driver-checked the round it lands):
     # consolidated expression-operator forms, CCNet-style perplexity
@@ -235,7 +247,8 @@ _PRIORITY = [
     # round-11 rotations OUT (multi-round driver-green, families still
     # external — see the round-11 rotation note above)
     "expr_operator_forms", "tfidf_top_terms", "pq_quantize_embeddings",
-    "cms_token_freq",
+    "cms_token_freq", "dup_span_fraction", "kcore_dupgraph",
+    "graph_match_1hop", "date_bin_events",
     # round-10 rotations OUT (all multi-round driver-green, shapes still
     # covered — see the rotation note at the top of this list)
     "percentile_quantiles", "graph_vle_paths", "ngram_logprob_score",

@@ -2479,6 +2479,56 @@ def source_kl_unigram(spark, sf_dir):
 
 
 @register(
+    "ngram_diversity",
+    f"""
+    WITH {_TOKS},
+    g2 AS (SELECT d.source, array_to_string(t.tk[j+1:j+2], ' ') AS g
+           FROM (SELECT doc_id, tk, unnest(generate_series(0, len(tk)-2)) AS j
+                 FROM toks WHERE len(tk) >= 2) t
+           JOIN documents d USING (doc_id)),
+    agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(count(DISTINCT g) AS BIGINT) AS n_distinct
+            FROM g2 GROUP BY source)
+    SELECT source, n_grams, n_distinct,
+           round(CAST(n_distinct AS DOUBLE) / n_grams, 6) AS distinct_2
+    FROM agg
+    """,
+)
+def ngram_diversity(spark, sf_dir):
+    """Distinct-n diversity per source (Li et al. 2016's distinct-n at
+    n=2): unique bigrams / total bigrams — the template/mode-collapse
+    gauge a curation pipeline runs per source or per generator (a
+    boilerplate-heavy or synthetic-loop source scores low long before
+    per-pair dedup finds the copies).
+
+    Shape at 100 TB: bigram build is a map-side projection; one
+    (source, gram) shuffle serves BOTH the distinct count and the total
+    (count-distinct rewrites to a two-stage partial agg under AQE);
+    output is source-cardinality rows."""
+    docs = t(spark, sf_dir, "documents")
+    from postgraph_spark.operators.dedup import _spread
+
+    g2 = _spread(docs).select(
+        "source", F.explode(TX.shingles(TX.tokens(F.col("text")), 2)).alias("g")
+    )
+    return (
+        g2.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.countDistinct("g").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.round(
+                F.col("n_distinct").cast("double") / F.col("n_grams"), 6
+            ).alias("distinct_2"),
+        )
+    )
+
+
+@register(
     "dsir_importance",
     f"""
     WITH {_TOKS},
