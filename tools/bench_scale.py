@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -68,6 +69,30 @@ def main() -> None:
         "calibration_sec": calib,
         "rows": per_row,
     }
+
+    # adamic_adar densification demo: BENCH_SCALE's copy-replication
+    # packs 10x the users into the SAME 5-minute buckets, so the
+    # co-occurrence row's ratio is an honest quadratic below its
+    # (deliberately non-binding) 1000/1000 caps. Measure the same
+    # pipeline with BINDING caps to show the guard flattening it.
+    from tools.adamic_cap_demo import build as cap_build
+
+    demo = {"bucket_cap": 32, "max_degree": 64}
+    for key, sf in (("sf0.1_sec", sf01), ("sf1_sec", sf1)):
+        df = cap_build(spark, sf, demo["bucket_cap"], demo["max_degree"])
+        execs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            execs.append(time.perf_counter() - t0)
+        demo[key] = round(min(execs), 3)
+    demo["ratio"] = round(demo["sf1_sec"] / demo["sf0.1_sec"], 2)
+    demo["what"] = (
+        "adamic_adar pipeline with BINDING caps (tools/adamic_cap_demo.py)"
+        " on the same 10x-density data"
+    )
+    doc["guards_demo"] = demo
+
     with open(out, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps({"written": out, "total_ratio": doc["total_ratio"]}))
