@@ -155,7 +155,18 @@ class Graph:
             except Exception:
                 nfiles = par
             if 0 < nfiles < par:
-                df = df.repartition(par)
+                # RANGE partition by (label, id) instead of round-robin:
+                # every cached batch then holds ONE label's contiguous id
+                # range, so the in-memory columnar batch statistics
+                # (inMemoryColumnarStorage.partitionPruning, on by
+                # default) let each `label == x` scan SKIP the other
+                # labels' batches entirely — a label scan of the cached
+                # union reads |label| rows, not |V| (round-11: every
+                # graph/Cypher bench row scans labels 2-5x per query).
+                # Parallelism is preserved (big labels span many ranges),
+                # and id-predicate scans get min/max pruning for free —
+                # the id-cluster layout philosophy applied to the cache.
+                df = df.repartitionByRange(par, F.col("label"), F.col("id"))
             setattr(self, attr, df.cache())
         return self
 

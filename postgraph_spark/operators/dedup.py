@@ -434,27 +434,30 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     tok = _spread(df).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     tok = tok.withColumn("th", F.substring(F.md5("tok"), 1, 8))
-    bits = tok.select(
-        F.col(id_col),
-        "th",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
-    )
-    # SQL expressions: shiftright/shiftleft need expression shift amounts
-    vote = F.expr(
-        f"(shiftright(instr('{_HEX}', substring(th, CAST(b / 4 AS INT) + 1, 1)) - 1,"
-        f"            CAST(b % 4 AS INT)) & 1) * 2 - 1"
-    )
-    votes = bits.select(F.col(id_col), "b", vote.alias("vote"))
-    return (
-        votes.groupBy(id_col, "b")
-        .agg(F.sum("vote").alias("v"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END")
-            ).alias("simhash")
+    # 32 PARALLEL partial-agg columns instead of a 32-way bit explode
+    # (round-11): the old shape multiplied the token stream 32x into the
+    # shuffle and paid TWO aggregations ((id, b) then (id)); here each
+    # bit's vote sum is one cheap expression per token row (the md5 is
+    # still computed ONCE in its own projection — only the nibble
+    # extraction repeats), map-side combined into ONE narrow row per
+    # document. The vote integers, the v > 0 threshold per bit, and the
+    # packed result are bit-identical to the exploded form.
+    def vote(b: int) -> F.Column:
+        return F.expr(
+            f"(shiftright(instr('{_HEX}', substring(th, {b // 4 + 1}, 1)) - 1,"
+            f"            {b % 4}) & 1) * 2 - 1"
         )
+
+    agg = tok.groupBy(id_col).agg(
+        *[F.sum(vote(b)).alias(f"v{b}") for b in range(32)]
     )
+    packed = None
+    for b in range(32):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = term if packed is None else packed + term
+    return agg.select(F.col(id_col), packed.alias("simhash"))
 
 
 def exact_substring_spans(

@@ -169,34 +169,41 @@ def hits(
         e.select(F.col("src").alias("v"))
         .union(e.select(F.col("dst").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    # SPARSE rounds (round-11 optimization): a vertex absent from the
+    # score table behaves exactly like an explicit 0 — it drops out of
+    # the contribution join and contributes nothing to any sum — so the
+    # per-round `verts LEFT JOIN + coalesce(0)` densification is deferred
+    # to the single final projection. That removes TWO vertex-keyed joins
+    # per round, and only ONE lineage cut per round is needed (hub; the
+    # round's auth is computed inside the same job — same shuffles,
+    # half the driver jobs). Values are bit-identical: integer sums over
+    # the same edge multiset, zeros restored at the end.
     hub = verts.select("v", F.lit(1).cast("long").alias("hub"))
     # num_iter=0 degenerates to the init scores (hub = auth = 1), not a
     # crash on joining an unset auth frame
     auth = verts.select("v", F.lit(1).cast("long").alias("auth"))
     for _ in range(num_iter):
-        a_sum = (
+        auth = (
             e.join(hub.withColumnRenamed("v", "src"), "src")
             .groupBy(F.col("dst").alias("v"))
-            .agg(F.sum("hub").alias("s"))
-        )
-        auth = (
-            verts.join(a_sum, "v", "left")
-            .select("v", F.coalesce("s", F.lit(0)).cast("long").alias("auth"))
-            .localCheckpoint(eager=True)
-        )
-        h_sum = (
-            e.join(auth.withColumnRenamed("v", "dst"), "dst")
-            .groupBy(F.col("src").alias("v"))
-            .agg(F.sum("auth").alias("s"))
+            .agg(F.sum("hub").cast("long").alias("auth"))
         )
         hub = (
-            verts.join(h_sum, "v", "left")
-            .select("v", F.coalesce("s", F.lit(0)).cast("long").alias("hub"))
+            e.join(auth.withColumnRenamed("v", "dst"), "dst")
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.sum("auth").cast("long").alias("hub"))
             .localCheckpoint(eager=True)
         )
-    return hub.join(auth, "v")
+    return (
+        verts.join(hub, "v", "left")
+        .join(auth, "v", "left")
+        .select(
+            "v",
+            F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+            F.coalesce("auth", F.lit(0)).cast("long").alias("auth"),
+        )
+    )
 
 
 def adamic_adar(
@@ -234,11 +241,25 @@ def adamic_adar(
     from postgraph_spark.operators.guards import cap_per_key
 
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    und = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    # und feeds TWO consumers (the capped adjacency and the direct-edge
+    # anti-join) and adj THREE (degrees + both wedge sides). Without a
+    # lineage cut every consumer re-inlines the whole upstream pipeline
+    # — the round-11 plan audit measured 106 Exchanges for the
+    # adamic_adar_linkpred registration (the edge build + both
+    # cap_per_key windows re-executed per consumer) and a 32x time ratio
+    # at 10x data. One localCheckpoint each makes the plan compute the
+    # symmetrized edge set and the capped adjacency ONCE; row values are
+    # untouched.
+    und = (
+        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     adj = und
     if max_degree is not None:
         adj = cap_per_key(adj, ["s"], ["d"], max_degree)
         adj = cap_per_key(adj, ["d"], ["s"], max_degree)
+        adj = adj.localCheckpoint(eager=True)
     deg = adj.groupBy("s").agg(F.count(F.lit(1)).alias("dg")).select(
         F.col("s").alias("z"), "dg"
     )

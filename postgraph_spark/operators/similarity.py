@@ -478,7 +478,9 @@ def ivfpq_topk(
         # NOTE: the inner lambda must take exactly ONE arg — a two-arg
         # lambda is PySpark's (element, index) form, which would bind a
         # captured default to the index
-        cbmat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cb])
+        from postgraph_spark.operators.clustering import lit_matrix
+
+        cbmat = lit_matrix(cb)
         return F.transform(
             cbmat,
             lambda cv: F.aggregate(

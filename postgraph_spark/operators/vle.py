@@ -42,7 +42,11 @@ def _directed_edges(graph: Graph, direction: str, label: str | None) -> DataFram
     # Undirected: an edge may be walked either way, but a self-loop's two
     # orientations are the SAME (src, dst, eid) row — keep it once, or every
     # path through it is counted 2^k times (reference DFS considers each
-    # incident edge once: dfs.c:382-477).
+    # incident edge once: dfs.c:382-477). The distinct ALSO collapses
+    # genuinely duplicated edge rows (the synthetic lineitem carries
+    # duplicate (orderkey, linenumber) pairs, so identical contains-edge
+    # rows exist in real data — round-11 verified dropping it changes
+    # graph_vle_deep's path counts).
     return out_e.unionByName(in_e).distinct()
 
 
@@ -82,7 +86,25 @@ def vle(
     if edge_prop_filter is not None:
         edges = edges.filter(edge_prop_filter)
     tmp = Graph(graph.name, graph.vertices, edges, graph.label_ids)
-    oriented = _directed_edges(tmp, direction, None).cache()
+    # 'out'/'in' orientations are pure projections of the (typically
+    # cached) edge table — re-deriving per hop is free, and a second
+    # in-memory copy (the old unconditional .cache()) only cost memory
+    # plus silent cross-run plan-cache reuse. 'both' carries a real
+    # distinct shuffle, so it gets a LAZY per-invocation lineage cut:
+    # the first action materializes the distinct once and every hop of
+    # that invocation reads the materialized set (eager would re-pay the
+    # full distinct at every plan BUILD; lazy keeps construction free).
+    oriented = _directed_edges(tmp, direction, None)
+    if direction == "both":
+        # the undirected orientation carries a real distinct shuffle —
+        # cache it like the graph tables themselves (the union-of-
+        # orientations is a derived view of "the graph exists", shared
+        # across traversals exactly as the label tables are). A lazy
+        # localCheckpoint was tried instead and REGRESSED: under AQE,
+        # plan-to-RDD conversion materializes the distinct at every
+        # plan BUILD (the _spread lesson), turning a shared one-off
+        # shuffle into a per-construction one.
+        oriented = oriented.cache()
 
     if start_ids is not None:
         seeds = start_ids.select(F.col(start_ids.columns[0]).alias("start_id")).distinct()

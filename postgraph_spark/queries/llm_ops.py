@@ -606,6 +606,11 @@ def adamic_adar_linkpred(spark, sf_dir):
     pairs = (
         a.join(b, "w").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
     )
+    # the symmetrizing union inside adamic_adar reads `pairs` twice; one
+    # lineage cut computes the bucket self-join once (the capped pair
+    # table is at most bucket_cap^2/2 rows per bucket — bounded). Part
+    # of the round-11 plan fix: 106 Exchanges -> see OPTIMIZATION_r11.md
+    pairs = pairs.localCheckpoint(eager=True)
     return PR.adamic_adar(pairs, "a", "b", max_degree=_AA_MAX_DEGREE)
 
 
@@ -1351,13 +1356,20 @@ def ngram_logprob_score(spark, sf_dir):
         .groupBy("w1")
         .agg(F.sum("c2").alias("c1"))
     )
-    vocab = (
-        docs.select(F.explode(TX.tokens(F.col("text"))).alias("w")).distinct().count()
+    # vocabulary size as a BROADCAST 1-row aggregate instead of a
+    # driver-side count job: plan construction stays fully lazy (no
+    # hidden corpus pass per plan build — the same contract as the
+    # registry's parquet-footer n_docs), and the value is the identical
+    # integer (count(DISTINCT w) == distinct().count()), exactly the
+    # `(SELECT v FROM voc)` scalar subquery the oracle already uses.
+    voc = docs.select(F.explode(TX.tokens(F.col("text"))).alias("w")).agg(
+        F.countDistinct("w").alias("__v")
     )
     return (
         bg.join(bgc, "g")
         .join(ctx, "w1")
-        .select("doc_id", F.log2((F.col("c2") + 1) / (F.col("c1") + F.lit(vocab))).alias("lp"))
+        .crossJoin(F.broadcast(voc))
+        .select("doc_id", F.log2((F.col("c2") + 1) / (F.col("c1") + F.col("__v"))).alias("lp"))
         .groupBy("doc_id")
         .agg(
             F.round(F.avg("lp"), 4).alias("bigram_logprob"),
@@ -3215,6 +3227,14 @@ def perplexity_buckets(spark, sf_dir, exact_max=50_000_000):
     scored = ngram_logprob_score(spark, sf_dir).select(
         "doc_id", F.col("bigram_logprob").alias("lp")
     )
+    # The probe below must execute the whole LM pipeline anyway, and the
+    # returned plan consumes `scored` AGAIN — without a lineage cut the
+    # bigram shuffle + scoring joins run twice per execution (round-11
+    # measurement: 3.34 s -> 1.9 s with the cut). The checkpointed table
+    # is (doc_id, lp): doc-cardinality and 16 bytes wide — storage is
+    # corpus-count-proportional, never corpus-byte-proportional, the
+    # same footprint class as the probe's own shuffle state.
+    scored = scored.localCheckpoint(eager=True)
     # One probe job: doc count + approx tercile cutoffs of lp (DESC
     # ranking, so the head cutoff is the 2/3 quantile). Two scalars to
     # the driver — same accepted pattern as the k-means centroid fetch.
