@@ -1342,8 +1342,8 @@ def ngram_logprob_score(spark, sf_dir):
     them); scoring is two equi-joins on (bigram) / (context) —
     broadcastable when the vocabulary is small, AQE skew-splits the hot
     stopword-context keys otherwise; one final per-doc partial agg. The
-    vocabulary size (the smoothing constant) is the only driver-side
-    scalar."""
+    vocabulary size (the smoothing constant) rides as a broadcast 1-row
+    aggregate — no driver-side scalar, plan construction fully lazy."""
     docs = t(spark, sf_dir, "documents")
     from postgraph_spark.operators.dedup import _spread
 
@@ -1362,7 +1362,7 @@ def ngram_logprob_score(spark, sf_dir):
     # registry's parquet-footer n_docs), and the value is the identical
     # integer (count(DISTINCT w) == distinct().count()), exactly the
     # `(SELECT v FROM voc)` scalar subquery the oracle already uses.
-    voc = docs.select(F.explode(TX.tokens(F.col("text"))).alias("w")).agg(
+    voc = _spread(docs).select(F.explode(TX.tokens(F.col("text"))).alias("w")).agg(
         F.countDistinct("w").alias("__v")
     )
     return (
@@ -2631,19 +2631,33 @@ def bm25_topk(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     from postgraph_spark.operators.dedup import _spread
 
-    base = _spread(docs).select("doc_id", TX.tokens(F.col("text")).alias("tk"))
-    stats = base.agg(
+    qterms = sorted({w for ws in _BM25_QUERIES.values() for w in ws})
+    qarr = F.array(*[F.lit(w) for w in qterms])
+    # ONE corpus tokenize pass (round-11): the old shape ran it three
+    # times per measurement — once for the N/avgdl stats job and once
+    # per tf consumer (df re-aggregation + scoring join; stage profile
+    # showed two ~1 s map stages per execution). per_doc keeps only
+    # (doc_id, dl, matching-terms array) — doc-cardinality, a few ints
+    # plus at most |query terms| short strings per row — and a single
+    # lineage cut serves the stats aggregate AND both tf consumers.
+    per_doc = (
+        _spread(docs)
+        .select("doc_id", TX.tokens(F.col("text")).alias("tk"))
+        .select(
+            "doc_id",
+            F.size("tk").alias("dl"),
+            F.filter("tk", lambda x: F.array_contains(qarr, x)).alias("mw"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("n"),
-        F.avg(F.size("tk").cast("double")).alias("avgdl"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
     ).collect()[0]
     n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
-    qterms = sorted({w for ws in _BM25_QUERIES.values() for w in ws})
     # dl rides the exploded postings as a group key (functionally
-    # dependent on doc_id): ONE corpus pass yields tf AND dl, no
-    # separate doc-length scan or doc-keyed join
-    posts = base.select(
-        "doc_id", F.size("tk").alias("dl"), F.explode("tk").alias("w")
-    ).filter(F.col("w").isin(qterms))
+    # dependent on doc_id): no separate doc-length scan or doc-keyed join
+    posts = per_doc.select("doc_id", "dl", F.explode("mw").alias("w"))
     tf = posts.groupBy("doc_id", "dl", "w").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     qdf = spark.createDataFrame(
