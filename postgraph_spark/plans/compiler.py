@@ -123,6 +123,72 @@ def _entity_struct_vertex(prefix: str = "") -> list[str]:
     return ["id", "label", "properties"]
 
 
+def _analyze_full_vars(q) -> tuple[set[str], bool]:
+    """Statement-wide use analysis for entity-struct pruning (round-11,
+    guide-style project-before-the-exchange): a pattern variable whose
+    every reference is a property access (``n.prop`` — served by the
+    binary ``pv`` variant) never needs the raw ``properties`` JSON text
+    in its bound struct, so the scans can bind (id, label, pv) and the
+    pattern joins stop shuffling the JSON document per row.
+
+    Returns (names needing the FULL struct, narrowing_allowed).
+    Conservative by construction: ANY bare `Var` reference — projection
+    of the entity itself, function argument (id/label/properties/keys/
+    nodes/...), comparison operand, UNWIND source — marks the name FULL;
+    named paths mark every element var FULL (the traversal value renders
+    properties); `RETURN *`/`WITH *` and any write clause disable
+    narrowing for the whole statement. Declarations (NodePat.var /
+    RelPat.var are plain strings) do not mark."""
+    import dataclasses as _dc
+
+    full: set[str] = set()
+    ok = True
+
+    def walk(node):
+        nonlocal ok
+        if node is None or isinstance(node, (str, int, float, bool, bytes)):
+            return
+        if isinstance(node, A.Var):
+            full.add(node.name)
+            return
+        if isinstance(node, A.Prop) and isinstance(node.base, A.Var):
+            return  # pv-served access; path elements are strings
+        if isinstance(node, (A.CreateClause, A.SetClause, A.DeleteClause, A.MergeClause)):
+            ok = False
+            return
+        if isinstance(node, (A.WithClause, A.ReturnClause)) and node.star:
+            ok = False
+        if isinstance(node, A.Path) and node.var is not None:
+            for el in node.elements:
+                v = getattr(el, "var", None)
+                if v:
+                    full.add(v)
+        if isinstance(node, (list, tuple)):
+            for x in node:
+                walk(x)
+            return
+        if isinstance(node, dict):
+            for x in node.values():
+                walk(x)
+            return
+        if _dc.is_dataclass(node):
+            for f in _dc.fields(node):
+                walk(getattr(node, f.name))
+
+    walk(q)
+    return full, ok
+
+
+class _Everything:
+    """Membership-always-true sentinel: narrowing disabled."""
+
+    def __contains__(self, _x) -> bool:
+        return True
+
+
+_EVERYTHING = _Everything()
+
+
 class Scope:
     """Bound variables: name -> kind. ``vtypes`` carries the
     statically-known gtype tag set of VALUE bindings across projection
@@ -181,10 +247,21 @@ class Compiler:
         # let-binding buffer: None = disabled (write-path compiles and
         # standalone expression compiles), [] = collecting. See _let.
         self._lets: list[tuple[str, Column]] | None = None
+        # entity-struct pruning (see _analyze_full_vars): None = analysis
+        # not run (sub-compilers default to full structs — safe); a set =
+        # vars listed need the full struct, everything else binds narrow
+        self._full_vars: set[str] | None = None
 
     # ------------------------------------------------------------ entry
 
     def compile_query(self, q) -> DataFrame:
+        if self._full_vars is None:
+            full, ok = _analyze_full_vars(q)
+            self._full_vars = full if ok else None
+            if self._full_vars is None:
+                # narrowing disabled for this statement: bind everything
+                # full by making the "needs full" test always true
+                self._full_vars = _EVERYTHING
         if isinstance(q, A.SetOp):
             left = self.compile_query(q.left)
             right = self.compile_query(q.right)
@@ -343,15 +420,22 @@ class Compiler:
             return F.col(var)["pv"]
         return None
 
-    def _vertex_scan(self, label: str | None, var: str) -> DataFrame:
+    def _needs_full(self, var: str) -> bool:
+        """Does `var`'s bound struct need the raw properties JSON text?
+        True when the statement analysis did not run (sub-compilers) or
+        marked the name as escaping (see _analyze_full_vars)."""
+        return self._full_vars is None or var in self._full_vars
+
+    def _vertex_scan(self, label: str | None, var: str, force_full: bool = False) -> DataFrame:
         v = self.graph.vertices_with_label(label)
+        fields = [F.col("id"), F.col("label")]
+        if force_full or self._needs_full(var):
+            fields.append(F.col("properties"))
         return v.select(
-            F.struct(
-                F.col("id"), F.col("label"), F.col("properties"), self._table_pv(v).alias("pv")
-            ).alias(var)
+            F.struct(*fields, self._table_pv(v).alias("pv")).alias(var)
         )
 
-    def _oriented_edges(self, rel: A.RelPat, var: str) -> DataFrame:
+    def _oriented_edges(self, rel: A.RelPat, var: str, force_full: bool = False) -> DataFrame:
         """Edge scan -> (var: edge_struct, __src, __dst) honoring direction
         (make_directed_edge_join_conditions, cypher_clause.c:3029-3060:
         undirected = OR of both orientations, expressed here as a union so
@@ -362,10 +446,10 @@ class Compiler:
             with self._no_lets():
                 for k, vexpr in rel.props.items.items():
                     e = e.filter(self._prop_eq(G.prop_access_variant(pv, [k]), vexpr))
-        struct = F.struct(
-            F.col("id"), F.col("start_id"), F.col("end_id"), F.col("label"),
-            F.col("properties"), pv.alias("pv"),
-        ).alias(var)
+        fields = [F.col("id"), F.col("start_id"), F.col("end_id"), F.col("label")]
+        if force_full or self._needs_full(var):
+            fields.append(F.col("properties"))
+        struct = F.struct(*fields, pv.alias("pv")).alias(var)
         out_e = e.select(struct, F.col("start_id").alias("__src"), F.col("end_id").alias("__dst"))
         in_e = e.select(struct, F.col("end_id").alias("__src"), F.col("start_id").alias("__dst"))
         if rel.direction == "out":
@@ -437,6 +521,9 @@ class Compiler:
 
         if m.optional:
             pat = Compiler(self.spark, self.graph)
+            # the statement-wide use analysis covered this sub-pattern's
+            # AST too — propagate so OPTIONAL MATCH scans narrow as well
+            pat._full_vars = self._full_vars
             with self._no_lets():  # sub-compile: outer binder must not leak in
                 pdf, pscope = pat.compile_match(
                     A.MatchClause(m.paths, m.where, False, []), None, Scope()
@@ -747,7 +834,11 @@ class Compiler:
     def _compile_path(self, path: A.Path, df, scope: Scope, new_edge_vars, new_vle_vars):
         elements = path.elements
         node0 = elements[0]
-        df, prev_var = self._bind_node(node0, df, scope)
+        # a named path renders every element's properties into the
+        # traversal value — ANONYMOUS elements get generated var names
+        # the use analysis cannot see, so force full structs here
+        ff = path.var is not None
+        df, prev_var = self._bind_node(node0, df, scope, force_full=ff)
         order: list[tuple[str, str]] = [("v", prev_var)]
 
         i = 1
@@ -756,14 +847,16 @@ class Compiler:
             node: A.NodePat = elements[i + 1]
             i += 2
             if rel.varlen is not None:
-                df, prev_var = self._bind_vle(rel, node, df, prev_var, scope, new_vle_vars)
+                df, prev_var = self._bind_vle(
+                    rel, node, df, prev_var, scope, new_vle_vars, force_full=ff
+                )
                 order.append(("vle", new_vle_vars[-1]))
                 order.append(("v", prev_var))
                 continue
             evar = rel.var or f"_e{next(self._anon)}"
             if rel.var and rel.var in scope.kinds:
                 raise CompileError(f"edge variable {rel.var!r} reused in pattern")
-            oriented = self._oriented_edges(rel, evar)
+            oriented = self._oriented_edges(rel, evar, force_full=ff)
             df = df.join(oriented, F.col(prev_var)["id"] == F.col("__src"))
             scope.kinds[evar] = VKIND_EDGE
             new_edge_vars.append(evar)
@@ -777,7 +870,7 @@ class Compiler:
                 nvar = node.var
             else:
                 nvar = node.var or f"_n{next(self._anon)}"
-                nscan = self._vertex_scan(node.label, nvar)
+                nscan = self._vertex_scan(node.label, nvar, force_full=ff)
                 df = df.join(nscan, F.col("__dst") == F.col(nvar)["id"])
                 df = self._node_filters(df, node, nvar)
                 scope.kinds[nvar] = VKIND_VERTEX
@@ -900,20 +993,23 @@ class Compiler:
         scope.kinds[pvar] = VKIND_PATH
         return df
 
-    def _bind_node(self, node: A.NodePat, df, scope: Scope):
+    def _bind_node(self, node: A.NodePat, df, scope: Scope, force_full: bool = False):
         if node.var and node.var in scope.kinds:
             if node.label:
                 df = df.filter(F.col(node.var)["label"] == node.label)
             df = self._node_filters(df, node, node.var)
             return df, node.var
         var = node.var or f"_n{next(self._anon)}"
-        scan = self._vertex_scan(node.label, var)
+        scan = self._vertex_scan(node.label, var, force_full=force_full)
         scan = self._node_filters(scan, node, var)
         df = scan if df is None else df.crossJoin(scan)
         scope.kinds[var] = VKIND_VERTEX
         return df, var
 
-    def _bind_vle(self, rel: A.RelPat, node: A.NodePat, df, prev_var, scope: Scope, new_vle_vars):
+    def _bind_vle(
+        self, rel: A.RelPat, node: A.NodePat, df, prev_var, scope: Scope,
+        new_vle_vars, force_full: bool = False,
+    ):
         from postgraph_spark.operators.vle import vle as vle_op
 
         lo, hi = rel.varlen
@@ -959,7 +1055,7 @@ class Compiler:
             nvar = node.var
         else:
             nvar = node.var or f"_n{next(self._anon)}"
-            nscan = self._vertex_scan(node.label, nvar)
+            nscan = self._vertex_scan(node.label, nvar, force_full=force_full)
             df = df.join(nscan, F.col(vvar)["end_id"] == F.col(nvar)["id"])
             df = self._node_filters(df, node, nvar)
             scope.kinds[nvar] = VKIND_VERTEX

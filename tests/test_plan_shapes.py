@@ -234,11 +234,17 @@ def test_exactsubstr_bucketed_not_all_pairs(spark):
         assert "id" in line, line  # doc-partitioned
 
 
-def test_adamic_adar_capped_adjacency_windows_are_keyed(spark):
+def test_adamic_adar_capped_adjacency_windows_are_keyed(spark, monkeypatch):
     """the round-11 caps add row_number windows — each must be KEYED
-    (bucket / vertex), never partitionless."""
+    (bucket / vertex), never partitionless. The round-11 lineage cuts
+    (localCheckpoint on the bounded capped tables) would hide the cap
+    subtrees behind LogicalRDD leaves, so checkpointing is neutralized
+    for this structural check — the UNCUT plan is what carries the
+    windows the caps compile to."""
     from postgraph_spark.queries.llm_ops import adamic_adar_linkpred
 
+    cls = type(spark.range(1))  # the concrete (classic) DataFrame class
+    monkeypatch.setattr(cls, "localCheckpoint", lambda self, eager=True: self)
     df = adamic_adar_linkpred(spark, SF)
     plan = _physical(df)
     assert "CartesianProduct" not in plan
