@@ -678,7 +678,15 @@ def deep_container_key(j: Column) -> Column:
     return _DEEP_KEY_UDF(j)
 
 
-def sort_key(gv: Column, exact_containers: bool = False) -> Column:
+#: tags whose gvals can carry a non-null payload in each field. d is the
+#: cross-type numeric/temporal axis; s only strings; b only booleans; j
+#: only container JSON text and the interval's normalized-form JSON
+#: (from_variant / gv_array / gv_object / gv_interval constructors).
+_D_TAGS = frozenset({T_NUMBER, T_TIMESTAMP, T_DATE, T_TIME, T_INTERVAL})
+_J_TAGS = frozenset({T_OBJECT, T_ARRAY, T_INTERVAL})
+
+
+def sort_key(gv: Column, exact_containers: bool = False, narrow: bool = False) -> Column:
     """Total-order sort key. bool false<true via int; NaN handled by
     Spark's double ordering (NaN last = reference's NaN > non-NaN).
     timestamp and date share one rank (k0=5) so k1 — the µs axis both
@@ -692,27 +700,48 @@ def sort_key(gv: Column, exact_containers: bool = False) -> Column:
     both kinds order by the UNBOUNDED-depth canonical encoding
     (deep_container_key) — the full gtype_util.c:233-360 walk; scalar
     rows pass NULL through the Arrow batch, so a sort over scalar
-    values pays no per-row python work."""
-    may_c = T_ARRAY in gv_types(gv) or T_OBJECT in gv_types(gv)
+    values pays no per-row python work.
+
+    ``narrow`` (round-11, guide §2.3 narrower types): drop key fields
+    the expression's STATIC type set can never populate — a known-
+    number ORDER BY key shrinks from a 6-field struct carrying two
+    string columns to (k0 int, k1 double), so range-partition and sort
+    exchanges stop shipping always-null strings. Only for call sites
+    whose keys are compared WITHIN one expression (ORDER BY items,
+    window partition/order keys, min_by/max_by and count-distinct
+    keys); pairwise comparisons (cmp_lt) must keep the fixed shape so
+    both sides' structs match field-for-field."""
+    types = gv_types(gv)
+    may_c = T_ARRAY in types or T_OBJECT in types
+    k0 = F.when(gv.t == T_DATE, F.lit(T_TIMESTAMP)).otherwise(gv.t).alias("k0")
+    keep_d = not narrow or bool(types & _D_TAGS)
+    keep_s = not narrow or T_STRING in types
+    keep_b = not narrow or T_BOOL in types
     if exact_containers and may_c:
         kc = deep_container_key(F.when(gv.t.isin(T_ARRAY, T_OBJECT), gv.j))
-        return F.struct(
-            F.when(gv.t == T_DATE, F.lit(T_TIMESTAMP)).otherwise(gv.t).alias("k0"),
-            gv.d.alias("k1"),
-            gv.s.alias("k2"),
-            gv.b.cast("int").alias("k3"),
-            kc.alias("k4"),
-        )
-    may_arr = T_ARRAY in gv_types(gv)
-    k4 = _array_keys(gv, deep=False) if may_arr else F.lit(None).cast(_ELEM_KEY_T)
-    return F.struct(
-        F.when(gv.t == T_DATE, F.lit(T_TIMESTAMP)).otherwise(gv.t).alias("k0"),
-        gv.d.alias("k1"),
-        gv.s.alias("k2"),
-        gv.b.cast("int").alias("k3"),
-        k4.alias("k4"),
-        F.when(gv.t != T_ARRAY, gv.j).alias("k5"),
-    )
+        fields = [k0]
+        if keep_d:
+            fields.append(gv.d.alias("k1"))
+        if keep_s:
+            fields.append(gv.s.alias("k2"))
+        if keep_b:
+            fields.append(gv.b.cast("int").alias("k3"))
+        fields.append(kc.alias("k4"))
+        return F.struct(*fields)
+    may_arr = T_ARRAY in types
+    fields = [k0]
+    if keep_d:
+        fields.append(gv.d.alias("k1"))
+    if keep_s:
+        fields.append(gv.s.alias("k2"))
+    if keep_b:
+        fields.append(gv.b.cast("int").alias("k3"))
+    if may_arr or not narrow:
+        k4 = _array_keys(gv, deep=False) if may_arr else F.lit(None).cast(_ELEM_KEY_T)
+        fields.append(k4.alias("k4"))
+    if not narrow or bool(types & _J_TAGS):
+        fields.append(F.when(gv.t != T_ARRAY, gv.j).alias("k5"))
+    return F.struct(*fields)
 
 
 def cmp_lt(a: Column, b: Column) -> Column:

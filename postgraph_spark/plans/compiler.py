@@ -1492,12 +1492,12 @@ class Compiler:
                 # (ORDER BY revenue stays pure JVM)
                 vt = scope.vtypes.get(e.name)
                 gv = G.gv_ref(base, types=vt) if vt is not None else base
-                col = G.sort_key(gv, exact_containers=True)
+                col = G.sort_key(gv, exact_containers=True, narrow=True)
             else:
                 col = base["id"]
         else:
             gv = self.compile_expr(e, df, scope)
-            col = G.sort_key(gv, exact_containers=True)
+            col = G.sort_key(gv, exact_containers=True, narrow=True)
         # type rank 11 = null places gtype nulls last on ASC, first on
         # DESC (Postgres defaults) automatically. An EXPLICIT NULLS
         # FIRST/LAST must override that rank position: gtype nulls map
@@ -1556,7 +1556,10 @@ class Compiler:
                 present = present & fcond
             inner = F.when(present, F.lit(1))
             if e.distinct:
-                key = F.when(present, G.sort_key(arg) if kind == VKIND_VALUE else arg["id"])
+                key = F.when(
+                    present,
+                    G.sort_key(arg, narrow=True) if kind == VKIND_VALUE else arg["id"],
+                )
                 return G.gv_int(F.count_distinct(key))
             return G.gv_int(F.count(inner))
         arg = self._maybe_let(self.compile_expr(e.args[0], df, scope), e.args[0], df)
@@ -1572,7 +1575,7 @@ class Compiler:
         if name == "avg":
             return G.gv_float(F.avg(d))
         if name in ("min", "max"):
-            key = F.when(valid, G.sort_key(arg))
+            key = F.when(valid, G.sort_key(arg, narrow=True))
             val = F.when(valid, arg)
             picked = F.min_by(val, key) if name == "min" else F.max_by(val, key)
             return F.coalesce(picked, G.gv_null())
@@ -2058,7 +2061,9 @@ class Compiler:
             # verdict #8: plan-line headroom)
             return self._let_scalar(c) if self._lets is not None else c
 
-        pcols = [bind(G.sort_key(self.compile_expr(p, df, scope))) for p in part]
+        pcols = [
+            bind(G.sort_key(self.compile_expr(p, df, scope), narrow=True)) for p in part
+        ]
         # RANGE frames with value offsets need a single NUMERIC order
         # column — ride the gval's numeric axis there; otherwise the
         # total-order sort key preserves gtype orderability
@@ -2069,7 +2074,7 @@ class Compiler:
 
         def ocol(si: A.SortItem) -> Column:
             gv = self.compile_expr(si.expr, df, scope)
-            c = bind(gv["d"] if value_range else G.sort_key(gv))
+            c = bind(gv["d"] if value_range else G.sort_key(gv, narrow=True))
             return c.desc() if si.descending else c.asc()
 
         def part():
