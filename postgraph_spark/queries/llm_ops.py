@@ -1365,11 +1365,23 @@ def ngram_logprob_score(spark, sf_dir):
     voc = _spread(docs).select(F.explode(TX.tokens(F.col("text"))).alias("w")).agg(
         F.countDistinct("w").alias("__v")
     )
-    return (
-        bg.join(bgc, "g")
+    # round-11 (guide §2.3/§2.4): lp depends only on the BIGRAM, so fold
+    # both model joins into one MODEL-cardinality logprob table
+    # lpt(g, lp) = bgc x ctx x V instead of joining the corpus-scale
+    # occurrence stream with bgc (by g) and then AGAIN with ctx (by w1)
+    # — that second join re-shuffled the entire stream by context. The
+    # stream now shuffles once (join on g) and the per-doc agg sees the
+    # identical multiset of lp doubles (same c2, c1, V per g — log2
+    # computed once per distinct bigram instead of per occurrence, same
+    # IEEE754 inputs therefore the same value).
+    lpt = (
+        bgc.withColumn("w1", F.substring_index("g", " ", 1))
         .join(ctx, "w1")
         .crossJoin(F.broadcast(voc))
-        .select("doc_id", F.log2((F.col("c2") + 1) / (F.col("c1") + F.col("__v"))).alias("lp"))
+        .select("g", F.log2((F.col("c2") + 1) / (F.col("c1") + F.col("__v"))).alias("lp"))
+    )
+    return (
+        bg.join(lpt, "g")
         .groupBy("doc_id")
         .agg(
             F.round(F.avg("lp"), 4).alias("bigram_logprob"),
