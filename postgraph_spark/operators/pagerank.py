@@ -219,11 +219,12 @@ def adamic_adar(
     banding missed). deg(z) >= 2 for any common neighbor in the
     symmetrized graph, so log2(deg) >= 1 and the sum is finite.
 
-    Scale shape: symmetrize + degree = one vertex-keyed agg; candidate
-    pairs come from ONE 2-hop equi-join on the shared neighbor (the
-    triangle/wedge join — skewed hubs are AQE-split); degrees re-attach
-    with a vertex-keyed equi-join (vertex-cardinality, not broadcast);
-    direct edges are removed with a left-anti join. Never all-pairs.
+    Scale shape: candidate pairs come from ONE 2-hop equi-join on the
+    shared neighbor (the triangle/wedge join — skewed hubs are
+    AQE-split); the middle vertex's degree rides as a count window in
+    the wedge join's own s-keyed exchange (no separate degree shuffle
+    or join); direct edges are removed with a left-anti join. Never
+    all-pairs.
 
     ``max_degree`` (round-10 verdict #1): the wedge join's fan per
     middle vertex z is in-degree(z) x out-degree(z) — a hot hub turns
@@ -260,12 +261,26 @@ def adamic_adar(
         adj = cap_per_key(adj, ["s"], ["d"], max_degree)
         adj = cap_per_key(adj, ["d"], ["s"], max_degree)
         adj = adj.localCheckpoint(eager=True)
-    deg = adj.groupBy("s").agg(F.count(F.lit(1)).alias("dg")).select(
-        F.col("s").alias("z"), "dg"
-    )
+    # The middle vertex's degree dg(z) = count of adj rows with s == z —
+    # exactly a count window over the (s)-partitioning the wedge join's
+    # RIGHT side must shuffle by anyway, so it rides in that exchange
+    # instead of a separate groupBy-s aggregation plus a vertex-keyed
+    # degree join (one full shuffle of adj and one SortMergeJoin
+    # removed; same integers either way). Per-s partition size is
+    # bounded by max_degree when the cap is set, and an uncapped hub's
+    # window partition is no larger than the wedge rows that same hub
+    # already fans into the join.
+    from pyspark.sql import Window
+
+    # window FIRST, rename AFTER: aliasing inside the same select would
+    # give the window's partition key and the join key distinct
+    # attribute ids, and the planner would re-shuffle between them
+    wedge_right = adj.withColumn(
+        "dg", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    ).select(F.col("s").alias("z"), F.col("d").alias("b"), "dg")
     wedges = (
         adj.select(F.col("s").alias("a"), F.col("d").alias("z"))
-        .join(adj.select(F.col("s").alias("z"), F.col("d").alias("b")), "z")
+        .join(wedge_right, "z")
         .filter(F.col("a") < F.col("b"))
     )
     # dg >= 2 is a tautology on the uncapped symmetric graph (a wedge
@@ -274,8 +289,7 @@ def adamic_adar(
     # out-degree 1, where 1/log2(dg) is undefined — filter it
     # explicitly, mirrored in the oracle.
     scored = (
-        wedges.join(deg, "z")
-        .filter(F.col("dg") >= 2)
+        wedges.filter(F.col("dg") >= 2)
         .groupBy("a", "b")
         .agg(
             F.round(F.sum(1.0 / F.log2("dg")), 6).alias("aa"),
