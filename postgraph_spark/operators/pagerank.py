@@ -211,6 +211,7 @@ def adamic_adar(
     src: str = "src",
     dst: str = "dst",
     max_degree: int | None = None,
+    distinct_oriented: bool = False,
 ) -> DataFrame:
     """Adamic-Adar link prediction (Adamic & Adar 2003) over an
     undirected graph: for every NON-adjacent 2-hop pair (a < b),
@@ -238,7 +239,17 @@ def adamic_adar(
     never predicted as missing even if the cap dropped it. The cap is
     the IVF fixed-size-probe-list convention (ivfscan.c) applied to
     graph fan-out; an exact oracle replays it as two row_number CTEs.
-    Returns (a, b, aa, common)."""
+    Returns (a, b, aa, common).
+
+    ``distinct_oriented``: promise that ``edges`` is already DISTINCT
+    with src < dst on every row. Then the symmetrizing union is a union
+    of two disjoint distinct sets (src < dst vs src > dst), so its
+    ``distinct()`` — a full shuffle of the pair table, the same byte
+    class as the edge set itself — is provably a no-op and is skipped,
+    and ``und`` degrades to a pure projection-union of the (caller-
+    materialized) input that every consumer re-derives for free, so its
+    lineage-cut checkpoint job is skipped too. Output is bit-identical;
+    only callers that guarantee the invariant may set it."""
     from postgraph_spark.operators.guards import cap_per_key
 
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
@@ -250,12 +261,12 @@ def adamic_adar(
     # cap_per_key windows re-executed per consumer) and a 32x time ratio
     # at 10x data. One localCheckpoint each makes the plan compute the
     # symmetrized edge set and the capped adjacency ONCE; row values are
-    # untouched.
-    und = (
-        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # untouched. Under distinct_oriented the union IS the distinct
+    # symmetric edge set and costs nothing to recompute — no shuffle,
+    # no checkpoint.
+    und = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    if not distinct_oriented:
+        und = und.distinct().localCheckpoint(eager=True)
     adj = und
     if max_degree is not None:
         adj = cap_per_key(adj, ["s"], ["d"], max_degree)

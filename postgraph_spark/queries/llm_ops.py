@@ -611,7 +611,12 @@ def adamic_adar_linkpred(spark, sf_dir):
     # table is at most bucket_cap^2/2 rows per bucket — bounded). Part
     # of the round-11 plan fix: 106 Exchanges -> see OPTIMIZATION_r11.md
     pairs = pairs.localCheckpoint(eager=True)
-    return PR.adamic_adar(pairs, "a", "b", max_degree=_AA_MAX_DEGREE)
+    # pairs is DISTINCT with a < b by construction, so adamic_adar may
+    # skip the symmetrized set's own distinct (a second full shuffle of
+    # the pair table) and its checkpoint job — same rows either way
+    return PR.adamic_adar(
+        pairs, "a", "b", max_degree=_AA_MAX_DEGREE, distinct_oriented=True
+    )
 
 
 @register("hits_dupgraph", _HITS_SQL)

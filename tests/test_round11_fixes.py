@@ -116,6 +116,32 @@ def test_adamic_adar_degree_cap_bounds_adjacency_and_matches_uncapped(spark):
     assert all(r.aa is not None and r.aa > 0 for r in capped)
 
 
+def test_adamic_adar_distinct_oriented_identical(spark):
+    """distinct_oriented=True (input promised DISTINCT with src < dst)
+    must give byte-identical scores to the default path — it only skips
+    the symmetrizing union's provably-no-op distinct + checkpoint."""
+    import random
+
+    from postgraph_spark.operators import pagerank as PR
+
+    rng = random.Random(23)
+    pairs = sorted({(rng.randrange(25), rng.randrange(25)) for _ in range(90)})
+    pairs = [(a, b) for a, b in pairs if a < b]
+    df = spark.createDataFrame(pairs, "src int, dst int")
+
+    base = {
+        (r.a, r.b): (r.aa, r.common)
+        for r in PR.adamic_adar(df, "src", "dst", max_degree=1000).collect()
+    }
+    fast = {
+        (r.a, r.b): (r.aa, r.common)
+        for r in PR.adamic_adar(
+            df, "src", "dst", max_degree=1000, distinct_oriented=True
+        ).collect()
+    }
+    assert base == fast and len(base) > 0
+
+
 # ---------------------------------------------------------------------------
 # winnowing: >= 2^20-byte documents chunk instead of erroring
 # (round-10 verdict "What's missing #3")
