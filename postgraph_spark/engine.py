@@ -353,6 +353,7 @@ class CypherEngine:
         return self.spark.createDataFrame(data, EDGE_SCHEMA) if data else None
 
     def _commit_new(self, g: Graph, kind: str, new: DataFrame) -> None:
+        g.invalidate_prop_types()
         tbl = g.vertices if kind == "vertices" else g.edges
         if "pv" in tbl.columns:
             new = new.withColumn("pv", F.try_parse_json("properties"))

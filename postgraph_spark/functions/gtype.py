@@ -378,19 +378,89 @@ def from_variant(x: Column, bind: bool = False) -> Column:
     )
 
 
-def prop_access_variant(pv: Column, path: list[str]) -> Column:
+#: property-catalog "atoms" (round-12, guide §2.3 narrower types): the
+#: storage-level scalar classes a property can hold, derived from the
+#: NATIVE column types a graph's property documents were built from
+#: (graph.py Graph.prop_types). Finer than gtype tags — a BIGINT and a
+#: DOUBLE both map to T_NUMBER but differ in whether the i (integer
+#: identity) field is populated, which the typed constructor preserves.
+ATOM_TAGS = {
+    "long": T_NUMBER, "double": T_NUMBER, "string": T_STRING,
+    "bool": T_BOOL, "timestamp": T_TIMESTAMP, "date": T_DATE,
+    "array": T_ARRAY, "object": T_OBJECT,
+}
+
+
+def atoms_types(atoms) -> frozenset:
+    """Catalog atom set -> statically-possible gtype tag set. T_NULL is
+    always possible: a property can be absent (or JSON null) per row."""
+    return frozenset(ATOM_TAGS[a] for a in atoms if a in ATOM_TAGS) | {T_NULL}
+
+
+def from_variant_atoms(x: Column, atoms, bind: bool = False) -> Column:
+    """VARIANT -> gval when the value's runtime type is STATICALLY known
+    to be among `atoms` (or missing / JSON null) — the knowledge comes
+    from a property-type catalog derived from the typed columns the
+    property document was built from, invalidated on every write.
+
+    Produces exactly from_variant()'s result for those runtime types. A
+    SINGLE known atom needs no schema_of_variant dispatch at all: the
+    gval is a direct typed variant_get — the per-row CASE tower (9 type
+    probes x 6 fields) collapses to one extraction. Multiple atoms keep
+    the runtime dispatch but still tag the static type set so sort-key
+    and value-struct narrowing fire downstream. An EMPTY atom set means
+    the property never occurs on this label: the access is a constant
+    gtype null."""
+    atoms = frozenset(a for a in atoms if a in ATOM_TAGS)
+    if not atoms:
+        return gv_null()
+    if len(atoms) > 1:
+        # mixed-type property: full runtime dispatch, static tags only
+        return _tag_types(from_variant(x, bind=bind), *(ATOM_TAGS[a] for a in atoms))
+    if bind:
+        x = let_scalar(x)
+    a = next(iter(atoms))
+    tag = ATOM_TAGS[a]
+    isn = x.isNull() | F.is_variant_null(x)
+    t = F.when(isn, F.lit(T_NULL)).otherwise(F.lit(tag))
+    ok = ~isn
+    if a == "long":
+        i = F.when(ok, F.variant_get(x, "$", "bigint"))
+        out = _mk(t, i=i, d=i.cast("double"))
+    elif a == "double":
+        out = _mk(t, d=F.when(ok, F.variant_get(x, "$", "double")))
+    elif a == "string":
+        out = _mk(t, s=F.when(ok, F.variant_get(x, "$", "string")))
+    elif a == "bool":
+        out = _mk(t, b=F.when(ok, F.variant_get(x, "$", "boolean")))
+    elif a == "timestamp":
+        us = F.when(ok, F.unix_micros(F.variant_get(x, "$", "timestamp")))
+        out = _mk(t, i=us, d=us.cast("double"))
+    elif a == "date":
+        days = F.when(ok, F.unix_date(F.variant_get(x, "$", "date")).cast("long"))
+        out = _mk(t, i=days, d=days.cast("double") * US_PER_DAY)
+    else:  # array / object — container JSON text, exactly as from_variant
+        out = _mk(t, j=F.when(ok, x.cast("string")))
+    return _tag_types(out, tag)
+
+
+def prop_access_variant(pv: Column, path: list[str], atoms=None) -> Column:
     """parsed-properties VARIANT -> gval at $.a.b... — the fast path: the
     JSON text was parsed ONCE (at scan/materialization), every key access
-    is a binary variant_get instead of a re-parse."""
+    is a binary variant_get instead of a re-parse. ``atoms`` (a catalog
+    atom set, see from_variant_atoms) skips the runtime type dispatch."""
     p = "$." + ".".join(path)
-    return from_variant(F.try_variant_get(pv, p, "variant"), bind=True)
+    v = F.try_variant_get(pv, p, "variant")
+    if atoms is not None:
+        return from_variant_atoms(v, atoms, bind=True)
+    return from_variant(v, bind=True)
 
 
-def prop_access(props_json: Column, path: list[str]) -> Column:
+def prop_access(props_json: Column, path: list[str], atoms=None) -> Column:
     """properties JSON -> gval at $.a.b...; missing key -> gtype null
     (reference `->` semantics, gtype.c:1621-1832). Parses the JSON at
     every call — prefer prop_access_variant over a materialized pv."""
-    return prop_access_variant(F.try_parse_json(props_json), path)
+    return prop_access_variant(F.try_parse_json(props_json), path, atoms=atoms)
 
 
 def element_access(gv: Column, idx: Column) -> Column:
@@ -684,6 +754,96 @@ def deep_container_key(j: Column) -> Column:
 #: (from_variant / gv_array / gv_object / gv_interval constructors).
 _D_TAGS = frozenset({T_NUMBER, T_TIMESTAMP, T_DATE, T_TIME, T_INTERVAL})
 _J_TAGS = frozenset({T_OBJECT, T_ARRAY, T_INTERVAL})
+
+
+#: full gval struct shape and per-field Spark types (for narrowed-
+#: materialization readers that rebuild absent fields as typed nulls)
+GVAL_FIELDS = ("t", "b", "i", "d", "s", "j")
+_FIELD_TYPES = {
+    "t": "int", "b": "boolean", "i": "long",
+    "d": "double", "s": "string", "j": "string",
+}
+
+
+def feasible_fields(types: frozenset | None) -> tuple[str, ...]:
+    """gval fields a static tag set can populate (per the _mk
+    constructors: numbers/temporals fill i+d, strings s, booleans b,
+    containers+interval j; t always). Unknown -> all six."""
+    if types is None:
+        return GVAL_FIELDS
+    out = ["t"]
+    if T_BOOL in types:
+        out.append("b")
+    if types & _D_TAGS:
+        out.extend(("i", "d"))
+    if T_STRING in types:
+        out.append("s")
+    if types & _J_TAGS:
+        out.append("j")
+    return tuple(out)
+
+
+def narrow_gval(gv: Column) -> Column:
+    """Materialization-side VALUE narrowing (round-12, guide §2.3
+    narrower types): project a gval to only its statically-feasible
+    fields, so always-null payload columns stop flowing through every
+    downstream exchange (a known-number WITH alias ships (t, i, d)
+    instead of six fields, two of them strings). Equality, grouping,
+    hashing-for-partitioning and ordering semantics are preserved
+    exactly: a dropped field is null on EVERY row, so it can never
+    distinguish two rows. Readers rebuild the full shape via gv_col
+    (absent field -> typed null literal)."""
+    types = gv_types(gv)
+    fields = feasible_fields(types)
+    if len(fields) == len(GVAL_FIELDS):
+        return gv
+    flds = gv.__dict__.get("_gval_fields") if isinstance(gv, GVal) else None
+    if flds is None:
+        flds = {f: gv[f] for f in fields}
+    out = F.struct(*[flds[f].alias(f) for f in fields])
+    # struct-LEVEL nullness must survive the rebuild (rollup/cube super-
+    # aggregate rows null the whole key struct); for builder gvals the
+    # struct is non-nullable and Catalyst folds the guard away. The
+    # output is aliased immediately (a materialization), so the CASE-of-
+    # struct discipline (no per-field access on it) is preserved.
+    return F.when(gv.isNotNull(), out)
+
+
+def gv_col(df, name: str, types: frozenset | None = None) -> Column:
+    """Typed gval reference to DataFrame column ``name``, tolerant of a
+    NARROWED materialization: fields present in the column's schema read
+    as cheap attribute extracts; absent fields (provably always-null at
+    materialization time) read as typed null literals. Whole-struct use
+    (aggregate payloads, CASE branches against full gvals) sees the full
+    6-field shape via the reconstructed underlying column — dropped
+    fields were always null, so the reconstruction is value-identical."""
+    col = F.col(name)
+    present = set(GVAL_FIELDS)
+    if df is not None:
+        try:
+            present = set(df.schema[name].dataType.fieldNames())
+        except Exception:
+            present = set(GVAL_FIELDS)
+    fields = {
+        f: (col[f] if f in present else F.lit(None).cast(_FIELD_TYPES[f]))
+        for f in GVAL_FIELDS
+    }
+    if present >= set(GVAL_FIELDS):
+        base = col
+    else:
+        # null-safe rebuild: a struct-NULL row (rollup super-aggregate,
+        # outer-join miss) must stay struct-null, not become a struct of
+        # null fields. Field reads bypass this CASE via _gval_fields.
+        base = F.when(
+            col.isNotNull(), F.struct(*[fields[f].alias(f) for f in GVAL_FIELDS])
+        )
+    if _ClassicColumn is not None and isinstance(base, _ClassicColumn):
+        gv = GVal(base._jc)
+        gv._gval_fields = fields
+        if types is not None:
+            gv._gval_types = frozenset(types)
+        return gv
+    return base  # pragma: no cover - non-classic runtime
 
 
 def sort_key(gv: Column, exact_containers: bool = False, narrow: bool = False) -> Column:

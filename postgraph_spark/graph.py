@@ -51,6 +51,66 @@ EDGE_SCHEMA = T.StructType(
 )
 
 
+def _spark_atom(dt) -> str | None:
+    """Spark column type -> property-catalog atom (None = untypable)."""
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return "long"
+    if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+        return "double"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.ArrayType):
+        return "array"
+    if isinstance(dt, (T.StructType, T.MapType)):
+        return "object"
+    return None
+
+
+_I64_MIN, _I64_MAX = -(1 << 63), (1 << 63) - 1
+
+
+def _py_atom(v) -> str | None:
+    """Python property value -> catalog atom. bool before int (bool is an
+    int subclass); out-of-int64 ints parse to DECIMAL variants, so they
+    are deliberately untyped (None disables narrowing for the prop)."""
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "long" if _I64_MIN <= v <= _I64_MAX else None
+    if isinstance(v, float):
+        return "double"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, list):
+        return "array"
+    if isinstance(v, dict):
+        return "object"
+    return None
+
+
+def _merge_py_atoms(cat: dict, props: dict) -> None:
+    """Fold one row's property dict into a label's atom catalog. A None
+    (JSON null) value adds no atom (runtime nulls are always allowed);
+    an untypable value or a key already marked untyped pins None."""
+    for k, v in props.items():
+        if v is None:
+            cat.setdefault(k, set())
+            continue
+        a = _py_atom(v)
+        cur = cat.get(k, set())
+        if a is None or cur is None:
+            cat[k] = None
+        else:
+            cur.add(a)
+            cat[k] = cur
+
+
 def make_graphid(label_id: int, entry_id: int) -> int:
     """Pack (label_id, entry_id) -> graphid (graphid.c:195-217)."""
     if not 0 <= label_id <= LABEL_ID_MAX:
@@ -123,6 +183,39 @@ class Graph:
         #: current snapshot subdirectory (``snap-N``) under durable_path;
         #: None = legacy flat layout (tables at durable_path/{vertices,edges})
         self._snapshot: str | None = None
+        #: property-type catalog (round-12, guide §2.3 narrower types):
+        #: label -> {property -> frozenset of gtype atoms ("long",
+        #: "double", "string", "bool", "timestamp", "date", "array",
+        #: "object"; None = present but untyped)}. Populated ONLY by
+        #: builders that know every property's source type (tpch_graph
+        #: from native parquet columns; from_rows from the python
+        #: values); INVALIDATED wholesale by every data write. A label
+        #: in prop_types_complete lists ALL properties that can occur on
+        #: it, so an access to an unlisted property is a constant null.
+        self.prop_types: dict[str, dict[str, frozenset | None]] = {}
+        self.prop_types_complete: set[str] = set()
+
+    def invalidate_prop_types(self) -> None:
+        """Drop the property-type catalog (called by every write path:
+        a SET/CREATE/MERGE can store any type into any property, so the
+        static knowledge dies with the first mutation — narrowing then
+        simply stops firing; correctness never depends on the catalog)."""
+        self.prop_types = {}
+        self.prop_types_complete = set()
+
+    def prop_atoms(self, label: str | None, prop: str) -> frozenset | None:
+        """Catalog lookup: the atom set property `prop` of label `label`
+        can hold, frozenset() when the label is fully cataloged and the
+        property never occurs, None when unknown (no narrowing)."""
+        if label is None:
+            return None
+        cat = self.prop_types.get(label)
+        if cat is None:
+            return None
+        atoms = cat.get(prop)
+        if atoms is None and prop not in cat:
+            return frozenset() if label in self.prop_types_complete else None
+        return atoms
 
     def vertices_with_label(self, label: str | None) -> DataFrame:
         """Label scan. With a known label id this is a graphid high-bits
@@ -213,7 +306,20 @@ class Graph:
             erows.append((make_graphid(lid, eid), vids[src], vids[dst], label, json.dumps(props)))
         vertices = spark.createDataFrame(vrows, VERTEX_SCHEMA)
         edges = spark.createDataFrame(erows if erows else [], EDGE_SCHEMA)
-        return cls(name, vertices, edges, label_ids)
+        g = cls(name, vertices, edges, label_ids)
+        # property-type catalog from the python values themselves: every
+        # row was seen, so every label is complete by construction
+        cat: dict[str, dict] = {}
+        for label, props in vertex_rows:
+            _merge_py_atoms(cat.setdefault(label, {}), props)
+        for label, _s, _d, props in edge_rows:
+            _merge_py_atoms(cat.setdefault(label, {}), props)
+        g.prop_types = {
+            lbl: {k: (frozenset(v) if v is not None else None) for k, v in d.items()}
+            for lbl, d in cat.items()
+        }
+        g.prop_types_complete = set(cat)
+        return g
 
     @classmethod
     def read(cls, spark: SparkSession, path: str, name: str | None = None) -> "Graph":
@@ -825,8 +931,18 @@ def tpch_graph(spark: SparkSession, sf_dir: str, use_cache: bool = True) -> Grap
     if use_cache and key in _GRAPH_CACHE:
         return _GRAPH_CACHE[key]
 
+    prop_types: dict[str, dict[str, frozenset | None]] = {}
+
+    def _record_types(label: str, df: DataFrame, cols: list[str]) -> None:
+        prop_types[label] = {
+            f.name: (frozenset({a}) if (a := _spark_atom(f.dataType)) else None)
+            for f in df.schema.fields
+            if f.name in cols
+        }
+
     def vtab(name: str, key: str, cols: list[str]) -> DataFrame:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        _record_types(name, df, cols)
         lid = TPCH_VLABELS[name]
         ps = F.struct(*[F.col(c) for c in cols])
         return df.select(
@@ -897,6 +1013,21 @@ def tpch_graph(spark: SparkSession, sf_dir: str, use_cache: bool = True) -> Grap
     label_ids = dict(TPCH_VLABELS)
     label_ids.update(TPCH_ELABELS)
     g = Graph("tpch", vertices, edges, label_ids)
+    # the contains edge renames lineitem columns in li_props
+    li_types = {
+        f.name: (frozenset({a}) if (a := _spark_atom(f.dataType)) else None)
+        for f in lineitem.schema.fields
+    }
+    prop_types["contains"] = {
+        "quantity": li_types.get("l_quantity"),
+        "extendedprice": li_types.get("l_extendedprice"),
+        "discount": li_types.get("l_discount"),
+    }
+    # placed / from_nation carry an empty properties document
+    prop_types["placed"] = {}
+    prop_types["from_nation"] = {}
+    g.prop_types = prop_types
+    g.prop_types_complete = set(prop_types)
     if use_cache:
         g.cache()
         _GRAPH_CACHE[key] = g

@@ -484,17 +484,20 @@ def exact_substring_spans(
     grams group by their full text, not a hash, so there is no
     collision surface and a plain SQL oracle replays it verbatim.
 
-    Shape at 100 TB: gram build is map-side (transform+slice, zero
-    Python); occurrence counting is ONE gram-keyed partial-agg shuffle
-    (map-side combine collapses within-partition repeats; AQE
-    skew-splits boilerplate grams); the survivor mark-join is the same
-    gram-keyed equi-join (never all-pairs — plan pinned); island
-    merging runs under DOC-partitioned windows. Duplicated grams are
-    rare by construction (a >= min_len-token exact repeat), so the
-    join's build side is small. At petabyte scale the gram string can
-    be replaced by xxhash64 pairs to narrow the count shuffle — kept as
-    text here so the operator is exact rather than
-    exact-modulo-collisions."""
+    Shape at 100 TB (round-12, guide §2.3 narrower shuffle types): the
+    occurrence-count shuffle — the only corpus-scale exchange — is keyed
+    on xxhash64(gram) (8 bytes/row after map-side combine) instead of
+    the >= ``min_len``-token gram TEXT (~hundreds of bytes/row). The
+    result stays EXACT, not exact-modulo-collisions: hash groups with
+    >= 2 occurrences are only CANDIDATES; the surviving (rare — a
+    duplicated gram is a >= min_len-token exact repeat) occurrences are
+    re-grouped by full gram text, so a collision can only add rows to
+    the tiny candidate set, never mark a span. Gram build is map-side
+    (transform+slice, zero Python); candidate marking is a join against
+    the bounded duplicated-hash set (AQE broadcasts it when small,
+    degrades to the old text-class shuffle only if nearly the whole
+    corpus is duplicated); island merging runs under DOC-partitioned
+    windows."""
     from pyspark.sql import Window
 
     L = min_len
@@ -502,13 +505,23 @@ def exact_substring_spans(
         F.col(id_col).alias("id"),
         F.posexplode(shingles(tokens(F.col(text_col)), L)).alias("i", "g"),
     )
+    gh = g.withColumn("h", F.xxhash64(F.col("g")))
+    dup_h = (
+        gh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("h")
+    )
+    cand = gh.join(dup_h, "h")
+    # exact re-verify on the candidate slice: per-TEXT counts drop any
+    # hash-collision artifacts (candidates are rare, this is tiny)
     dupg = (
-        g.groupBy("g")
+        cand.groupBy("g")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
         .select("g")
     )
-    dup = g.join(dupg, "g").select("id", "i")
+    dup = cand.join(dupg, "g").select("id", "i")
     w_ord = Window.partitionBy("id").orderBy("i")
     prev_end = F.max(F.col("i") + (L - 1)).over(
         w_ord.rowsBetween(Window.unboundedPreceding, -1)

@@ -200,11 +200,17 @@ class Scope:
     def __init__(self):
         self.kinds: dict[str, str] = {}
         self.vtypes: dict[str, frozenset] = {}
+        #: entity bindings' scan label (round-12): MATCH (c:customer)
+        #: records c -> "customer", so property accesses can consult the
+        #: graph's property-type catalog (Graph.prop_types) and compile
+        #: to a direct typed variant_get instead of runtime dispatch
+        self.labels: dict[str, str | None] = {}
 
     def copy(self) -> "Scope":
         s = Scope()
         s.kinds = dict(self.kinds)
         s.vtypes = dict(self.vtypes)
+        s.labels = dict(self.labels)
         return s
 
 
@@ -426,6 +432,30 @@ class Compiler:
         marked the name as escaping (see _analyze_full_vars)."""
         return self._full_vars is None or var in self._full_vars
 
+    def _prop_atoms(self, scope: Scope | None, var: str, path: list[str]):
+        """Property-type-catalog atom set for ``var.path`` (None =
+        unknown -> runtime dispatch). Only single-key paths on labeled
+        entity bindings of a graph with a live catalog resolve."""
+        if scope is None or self.graph is None or len(path) != 1:
+            return None
+        return self.graph.prop_atoms(scope.labels.get(var), path[0])
+
+    def _may_narrow_values(self) -> bool:
+        """VALUE-struct narrowing fires only for read-only, star-free
+        statements whose statement-wide analysis ran — the same gate the
+        entity-struct pruning trusts. Sub-compilers and the write path
+        keep the full 6-field shape."""
+        return isinstance(self._full_vars, set)
+
+    def _narrow_value(self, col: Column, kind: str) -> Column:
+        """Materialize an INTERNAL projection column (WITH alias, group
+        key) with only its statically-feasible gval fields. RETURN
+        outputs and set-op branches are never narrowed (external shape
+        contract); gv_col readers rebuild absent fields as typed nulls."""
+        if kind != VKIND_VALUE or not self._may_narrow_values():
+            return col
+        return G.narrow_gval(col)
+
     def _vertex_scan(self, label: str | None, var: str, force_full: bool = False) -> DataFrame:
         v = self.graph.vertices_with_label(label)
         fields = [F.col("id"), F.col("label")]
@@ -445,7 +475,10 @@ class Compiler:
         if rel.props:
             with self._no_lets():
                 for k, vexpr in rel.props.items.items():
-                    e = e.filter(self._prop_eq(G.prop_access_variant(pv, [k]), vexpr))
+                    atoms = self.graph.prop_atoms(rel.label, k) if self.graph else None
+                    e = e.filter(
+                        self._prop_eq(G.prop_access_variant(pv, [k], atoms=atoms), vexpr)
+                    )
         fields = [F.col("id"), F.col("start_id"), F.col("end_id"), F.col("label")]
         if force_full or self._needs_full(var):
             fields.append(F.col("properties"))
@@ -504,10 +537,13 @@ class Compiler:
             with self._no_lets():
                 pv = self._var_pv(df, var)
                 for k, vexpr in node.props.items.items():
+                    atoms = (
+                        self.graph.prop_atoms(node.label, k) if self.graph else None
+                    )
                     prop = (
-                        G.prop_access_variant(pv, [k])
+                        G.prop_access_variant(pv, [k], atoms=atoms)
                         if pv is not None
-                        else G.prop_access(F.col(var)["properties"], [k])
+                        else G.prop_access(F.col(var)["properties"], [k], atoms=atoms)
                     )
                     df = df.filter(self._prop_eq(prop, vexpr))
         return df
@@ -546,6 +582,8 @@ class Compiler:
             result = joined.select(*[df[c] for c in df.columns], *[pdf2[c] for c in new_cols])
             for v in new_cols:
                 new_scope.kinds[v] = pscope.kinds[v]
+                if v in pscope.labels:
+                    new_scope.labels[v] = pscope.labels[v]
             return result, new_scope
 
         for path in m.paths:
@@ -751,7 +789,7 @@ class Compiler:
             sdf = sub.compile_query(e.query)
         if len(sdf.columns) != 1:
             raise CompileError("quantified subquery must return exactly one column")
-        scol = G.gv_ref(sdf.columns[0])
+        scol = G.gv_col(sdf, sdf.columns[0])
         # Compile the left operand with an isolated let buffer and flush
         # its lets onto df BEFORE the aggregate/membership joins reference
         # the compiled column — otherwise a composed left operand (e.g.
@@ -859,6 +897,7 @@ class Compiler:
             oriented = self._oriented_edges(rel, evar, force_full=ff)
             df = df.join(oriented, F.col(prev_var)["id"] == F.col("__src"))
             scope.kinds[evar] = VKIND_EDGE
+            scope.labels[evar] = rel.label
             new_edge_vars.append(evar)
 
             if node.var and node.var in scope.kinds:
@@ -874,6 +913,7 @@ class Compiler:
                 df = df.join(nscan, F.col("__dst") == F.col(nvar)["id"])
                 df = self._node_filters(df, node, nvar)
                 scope.kinds[nvar] = VKIND_VERTEX
+                scope.labels[nvar] = node.label
             df = df.drop("__src", "__dst")
             order.append(("e", evar))
             order.append(("v", nvar))
@@ -1004,6 +1044,7 @@ class Compiler:
         scan = self._node_filters(scan, node, var)
         df = scan if df is None else df.crossJoin(scan)
         scope.kinds[var] = VKIND_VERTEX
+        scope.labels[var] = node.label
         return df, var
 
     def _bind_vle(
@@ -1018,7 +1059,12 @@ class Compiler:
             with self._no_lets():  # scan-side predicate, see _no_lets
                 edge_pv = self._table_pv(self.graph.edges)
                 for k, vexpr in rel.props.items.items():
-                    c = self._prop_eq(G.prop_access_variant(edge_pv, [k]), vexpr)
+                    # vle applies the filter AFTER its edge-label scan,
+                    # so the label's catalog atoms are sound here
+                    atoms = self.graph.prop_atoms(rel.label, k)
+                    c = self._prop_eq(
+                        G.prop_access_variant(edge_pv, [k], atoms=atoms), vexpr
+                    )
                     prop_filter = c if prop_filter is None else (prop_filter & c)
         # push the already-bound start set into the traversal: the
         # reference's VLE gets its endpoints lazily from the lateral join
@@ -1059,6 +1105,7 @@ class Compiler:
             df = df.join(nscan, F.col(vvar)["end_id"] == F.col(nvar)["id"])
             df = self._node_filters(df, node, nvar)
             scope.kinds[nvar] = VKIND_VERTEX
+            scope.labels[nvar] = node.label
         return df, nvar
 
     # ------------------------------------------------------------ UNWIND
@@ -1213,7 +1260,12 @@ class Compiler:
             cols = []
             for item, name in zip(items, names):
                 col, kind = self._compile_item(item.expr, df, scope)
-                cols.append(col.alias(name))
+                # WITH aliases are engine-internal: materialize only the
+                # statically-feasible gval fields so always-null payload
+                # columns stop riding every downstream exchange. RETURN
+                # keeps the full external shape.
+                out_col = self._narrow_value(col, kind) if is_with else col
+                cols.append(out_col.alias(name))
                 new_scope.kinds[name] = kind
                 if kind == VKIND_VALUE:
                     new_scope.vtypes[name] = G.gv_types(col)
@@ -1239,13 +1291,15 @@ class Compiler:
             key_cols = []
             for i, (name, e) in enumerate(group_items):
                 col, kind = self._compile_item(e, df, scope)
-                key_cols.append(col.alias(f"__gk{i}"))
+                # group keys are internal __gk columns: narrowing drops
+                # always-null fields from the groupBy exchange; equality
+                # is unchanged (dropped fields are null on every row)
+                key_cols.append(self._narrow_value(col, kind).alias(f"__gk{i}"))
                 new_scope.kinds[name] = kind
                 if kind == VKIND_VALUE:
                     new_scope.vtypes[name] = G.gv_types(col)
-            agg_cols = [
-                self._compile_agg(node, df, scope).alias(f"__agg{i}") for i, node in enumerate(agg_nodes)
-            ]
+            agg_builders = [self._compile_agg(node, df, scope) for node in agg_nodes]
+            agg_cols = [b.alias(f"__agg{i}") for i, b in enumerate(agg_builders)]
             df, _letn = self._apply_lets(df)
             if key_cols:
                 pre = df.select(*key_cols, "*")
@@ -1257,19 +1311,29 @@ class Compiler:
             out_scope = Scope()
             for name, _ in group_items:
                 out_scope.kinds[name] = new_scope.kinds[name]
-            for i in range(len(agg_nodes)):
+            for i, b in enumerate(agg_builders):
                 out_scope.kinds[f"__agg{i}"] = VKIND_VALUE
+                out_scope.vtypes[f"__agg{i}"] = G.gv_types(b)
             final_cols = []
             key_pos = {name: i for i, (name, _) in enumerate(group_items)}
             for name, e, is_agg in outer:
                 if is_agg:
                     col, kind = self._compile_item(e, agg_df, out_scope)
-                    final_cols.append(col.alias(name))
+                    out_col = self._narrow_value(col, kind) if is_with else col
+                    final_cols.append(out_col.alias(name))
                     new_scope.kinds[name] = kind
                     if kind == VKIND_VALUE:
                         new_scope.vtypes[name] = G.gv_types(col)
                 else:
-                    final_cols.append(F.col(f"__gk{key_pos[name]}").alias(name))
+                    gki = key_pos[name]
+                    kc: Column = F.col(f"__gk{gki}")
+                    if not is_with and new_scope.kinds[name] == VKIND_VALUE:
+                        # RETURN re-widens a narrowed key to the full
+                        # external shape (null-safe rebuild in gv_col)
+                        kc = G.gv_col(
+                            agg_df, f"__gk{gki}", types=new_scope.vtypes.get(name)
+                        )
+                    final_cols.append(kc.alias(name))
             agg_df, _letn = self._apply_lets(agg_df)
             out = agg_df.select(*final_cols)
 
@@ -1347,10 +1411,13 @@ class Compiler:
         ):
             raise CompileError("GROUP BY requires at least one key")
 
+        is_with = isinstance(clause, A.WithClause)
         key_cols = []
+        key_types: list[frozenset | None] = []
         for i, ke in enumerate(key_exprs):
             col, _k = self._compile_item(ke, df, scope)
-            key_cols.append(col.alias(f"__gk{i}"))
+            key_cols.append(self._narrow_value(col, _k).alias(f"__gk{i}"))
+            key_types.append(G.gv_types(col) if _k == VKIND_VALUE else None)
 
         def replace_keys(e):
             """Swap subtrees equal to a grouping key for its __gk ref —
@@ -1400,10 +1467,8 @@ class Compiler:
         having_rewritten = None
         if having is not None:
             having_rewritten = replace_keys(self._extract_aggs(having, agg_nodes))
-        agg_cols = [
-            self._compile_agg(node, df, scope).alias(f"__agg{i}")
-            for i, node in enumerate(agg_nodes)
-        ]
+        agg_builders = [self._compile_agg(node, df, scope) for node in agg_nodes]
+        agg_cols = [b.alias(f"__agg{i}") for i, b in enumerate(agg_builders)]
         df, _letn = self._apply_lets(df)
         pre = df.select(*key_cols, "*")
         gcols = [F.col(f"__gk{i}") for i in range(len(key_exprs))]
@@ -1420,10 +1485,13 @@ class Compiler:
         agg_df = grouped.agg(*agg_cols) if agg_cols else grouped.agg(F.count(F.lit(1)).alias("__cnt"))
 
         out_scope = Scope()
-        for i in range(len(agg_nodes)):
+        for i, b in enumerate(agg_builders):
             out_scope.kinds[f"__agg{i}"] = VKIND_VALUE
+            out_scope.vtypes[f"__agg{i}"] = G.gv_types(b)
         for i in range(len(key_exprs)):
             out_scope.kinds[f"__gk{i}"] = VKIND_VALUE
+            if key_types[i] is not None:
+                out_scope.vtypes[f"__gk{i}"] = key_types[i]
         if having_rewritten is not None:
             # HAVING may also reference item aliases bound to keys
             hdf = agg_df
@@ -1431,6 +1499,8 @@ class Compiler:
                 if not is_agg:
                     hdf = hdf.withColumn(name, F.col(f"__gk{ref}"))
                     out_scope.kinds[name] = VKIND_VALUE
+                    if key_types[ref] is not None:
+                        out_scope.vtypes[name] = key_types[ref]
             hcond = G.truth(self.compile_expr(having_rewritten, hdf, out_scope))
             hdf, letn = self._apply_lets(hdf)
             agg_df = hdf.filter(hcond)
@@ -1441,9 +1511,20 @@ class Compiler:
         for name, ref, is_agg in outer:
             if is_agg:
                 col, _k = self._compile_item(ref, agg_df, out_scope)
-                final_cols.append(col.alias(name))
+                out_col = self._narrow_value(col, _k) if is_with else col
+                final_cols.append(out_col.alias(name))
+                if _k == VKIND_VALUE:
+                    new_scope.vtypes[name] = G.gv_types(col)
             else:
-                final_cols.append(F.col(f"__gk{ref}").alias(name))
+                kc: Column = F.col(f"__gk{ref}")
+                if is_with:
+                    if key_types[ref] is not None:
+                        new_scope.vtypes[name] = key_types[ref]
+                elif key_types[ref] is not None:
+                    # RETURN re-widens narrowed VALUE keys (null-safe:
+                    # rollup/grouping-set super-aggregates stay struct-null)
+                    kc = G.gv_col(agg_df, f"__gk{ref}", types=key_types[ref])
+                final_cols.append(kc.alias(name))
             new_scope.kinds[name] = VKIND_VALUE
         agg_df, _letn = self._apply_lets(agg_df)
         return agg_df.select(*final_cols), new_scope
@@ -1462,7 +1543,10 @@ class Compiler:
         for c in df.columns:
             if c in val_cols:
                 keys.append(
-                    G.canon_key_text(G.gv_ref(c), null_as_sentinel=True).alias(f"__dk_{c}")
+                    G.canon_key_text(
+                        G.gv_col(df, c, types=scope.vtypes.get(c)),
+                        null_as_sentinel=True,
+                    ).alias(f"__dk_{c}")
                 )
             else:
                 keys.append(F.col(c).alias(f"__dk_{c}"))
@@ -1484,17 +1568,15 @@ class Compiler:
         gv = None
         if isinstance(e, A.Var) and e.name in scope.kinds:
             kind = scope.kinds[e.name]
-            base = F.col(e.name)
             if kind == VKIND_VALUE:
                 # ORDER BY uses the exact (unbounded-depth) container
                 # keys; the alias's recorded static types prune the
                 # container path entirely for known-scalar aliases
                 # (ORDER BY revenue stays pure JVM)
-                vt = scope.vtypes.get(e.name)
-                gv = G.gv_ref(base, types=vt) if vt is not None else base
+                gv = G.gv_col(df, e.name, types=scope.vtypes.get(e.name))
                 col = G.sort_key(gv, exact_containers=True, narrow=True)
             else:
-                col = base["id"]
+                col = F.col(e.name)["id"]
         else:
             gv = self.compile_expr(e, df, scope)
             col = G.sort_key(gv, exact_containers=True, narrow=True)
@@ -1649,7 +1731,10 @@ class Compiler:
             if kind is None:
                 raise CompileError(f"unbound variable {e.name!r}")
             if kind == VKIND_VALUE:
-                return F.col(e.name)
+                # typed, narrowing-tolerant read: absent (provably-null)
+                # fields of a narrowed materialization read as null
+                # literals; the recorded static types keep pruning live
+                return G.gv_col(df, e.name, types=scope.vtypes.get(e.name))
             if kind == VKIND_VERTEX or kind == VKIND_EDGE:
                 return F.col(e.name)  # entity struct; callers handle
             return F.col(e.name)
@@ -1673,12 +1758,15 @@ class Compiler:
             if isinstance(base, A.Var):
                 kind = scope.kinds.get(base.name)
                 if kind in (VKIND_VERTEX, VKIND_EDGE):
+                    atoms = self._prop_atoms(scope, base.name, e.path)
                     pv = self._var_pv(df, base.name)
                     if pv is not None:
-                        return G.prop_access_variant(pv, e.path)
-                    return G.prop_access(F.col(base.name)["properties"], e.path)
+                        return G.prop_access_variant(pv, e.path, atoms=atoms)
+                    return G.prop_access(
+                        F.col(base.name)["properties"], e.path, atoms=atoms
+                    )
                 if kind == VKIND_VALUE:
-                    gv = F.col(base.name)
+                    gv = G.gv_col(df, base.name, types=scope.vtypes.get(base.name))
                     return G.from_variant(
                         F.try_variant_get(F.try_parse_json(gv["j"]), "$." + ".".join(e.path), "variant")
                     )

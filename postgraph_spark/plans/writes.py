@@ -134,6 +134,9 @@ class WriteRunner:
     # ------------------------------------------------------------- driver
 
     def run(self, q: A.SingleQuery) -> DataFrame | None:
+        # writes can store any type into any property: the static
+        # property-type catalog dies before the first clause compiles
+        self.graph.invalidate_prop_types()
         df: DataFrame | None = None
         scope = Scope()
         result: DataFrame | None = None

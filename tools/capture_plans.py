@@ -27,7 +27,8 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     rows = sys.argv[2:] or (HEADLINE + ROUND9 + ROUND11)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+    rdir = os.environ.get("SPARK_GRAFT_PLANS_DIR", "r12")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rdir)
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("postgraph_spark_plans")
     for name in rows:
