@@ -100,23 +100,63 @@ ROUND11 = [
 ]
 
 
+def _stage_sum_for_group(spark, group: str) -> float | None:
+    """Sum of completed-stage WALL durations (first task launch ->
+    stage completion) across one job group's jobs, read from the
+    in-process AppStatusStore (always populated even with the UI server
+    disabled — no config change). Called right AFTER the group's last
+    execution, outside the timed region and before store eviction can
+    touch the row's entries. None on any introspection failure —
+    diagnostics must never fail the bench."""
+    try:
+        sc = spark.sparkContext
+        jvm = sc._jvm
+        store = sc._jsc.sc().statusStore().store()
+        jcls = jvm.java.lang.Class.forName("org.apache.spark.status.JobDataWrapper")
+        scls = jvm.java.lang.Class.forName("org.apache.spark.status.StageDataWrapper")
+        total = 0.0
+        for jid in sc.statusTracker().getJobIdsForGroup(group):
+            sids = store.read(jcls, jid).info().stageIds()
+            for k in range(sids.size()):
+                key = sc._gateway.new_array(jvm.int, 2)
+                key[0], key[1] = sids.apply(k), 0
+                try:
+                    sinfo = store.read(scls, key).info()
+                except Exception:
+                    continue  # skipped/evicted stage attempt
+                ft, ct = sinfo.firstTaskLaunchedTime(), sinfo.completionTime()
+                if ft.isDefined() and ct.isDefined():
+                    total += (ct.get().getTime() - ft.get().getTime()) / 1000.0
+        return round(total, 3)
+    except Exception:
+        return None
+
+
 def _run_pass(
-    spark, sf_dir: str, execs_per_row: int, rows: list[str]
-) -> dict[str, tuple[float, float]]:
-    """One full pass over `rows` -> {name: (build_sec, exec_sec)};
-    exec_sec is the min of `execs_per_row` noop-sink executions."""
-    out: dict[str, tuple[float, float]] = {}
+    spark, sf_dir: str, execs_per_row: int, rows: list[str], tag: str = "p"
+) -> dict[str, tuple[float, float, float | None]]:
+    """One full pass over `rows` -> {name: (build_sec, exec_sec,
+    stage_sum_sec)}; exec_sec is the min of `execs_per_row` noop-sink
+    executions, stage_sum_sec the stage-wall sum of the execution that
+    produced it (round-11 verdict #6 — job-group labels are metadata
+    only; the store sweep happens after the row's timing is done)."""
+    out: dict[str, tuple[float, float, float | None]] = {}
+    sc = spark.sparkContext
     for name in rows:
         fn = QUERIES[name]
         start = time.perf_counter()
         df = fn(spark, sf_dir)  # parse + compile + eager Catalyst analysis
         b = time.perf_counter() - start
         execs = []
-        for _ in range(execs_per_row):
+        for i in range(execs_per_row):
+            group = f"bench:{tag}:{name}:e{i}"
+            sc.setJobGroup(group, name)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            execs.append(time.perf_counter() - t0)
-        out[name] = (b, min(execs))
+            execs.append((time.perf_counter() - t0, group))
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        best_t, best_g = min(execs)
+        out[name] = (b, best_t, _stage_sum_for_group(spark, best_g))
     return out
 
 
@@ -132,6 +172,19 @@ def fold_passes(p1, p2, rows: list[str]) -> tuple[dict[str, float], dict[str, fl
         build[name] = round(b, 3)
         timings[name] = round(b + e, 3)
     return timings, build
+
+
+def min_exec_stage_sums(p1, p2, rows: list[str]) -> dict[str, float]:
+    """stage_sum_sec of the execution whose time fold_passes kept.
+    exec_sec - stage_sum_sec is the inter-stage driver latency (AQE
+    tiny-stage scheduling) that dominates sub-second rows at sf0.1 and
+    vanishes into stage runtime at production scale. Diagnostics only."""
+    out = {}
+    for name in rows:
+        winner = p1[name] if p1[name][1] <= p2[name][1] else p2[name]
+        if winner[2] is not None:
+            out[name] = winner[2]
+    return out
 
 
 def calibration_sec(spark, reps: int = 5) -> float:
@@ -165,16 +218,23 @@ def main() -> None:
     spark.range(1).write.format("noop").mode("overwrite").save()
     calib = calibration_sec(spark)
 
-    pass1 = _run_pass(spark, sf_dir, execs_per_row=2, rows=HEADLINE)
-    pass2 = _run_pass(spark, sf_dir, execs_per_row=1, rows=HEADLINE)
-    r9p1 = _run_pass(spark, sf_dir, execs_per_row=2, rows=ROUND9)
-    r9p2 = _run_pass(spark, sf_dir, execs_per_row=1, rows=ROUND9)
-    r11p1 = _run_pass(spark, sf_dir, execs_per_row=2, rows=ROUND11)
-    r11p2 = _run_pass(spark, sf_dir, execs_per_row=1, rows=ROUND11)
+    pass1 = _run_pass(spark, sf_dir, execs_per_row=2, rows=HEADLINE, tag="h1")
+    pass2 = _run_pass(spark, sf_dir, execs_per_row=1, rows=HEADLINE, tag="h2")
+    r9p1 = _run_pass(spark, sf_dir, execs_per_row=2, rows=ROUND9, tag="n1")
+    r9p2 = _run_pass(spark, sf_dir, execs_per_row=1, rows=ROUND9, tag="n2")
+    r11p1 = _run_pass(spark, sf_dir, execs_per_row=2, rows=ROUND11, tag="e1")
+    r11p2 = _run_pass(spark, sf_dir, execs_per_row=1, rows=ROUND11, tag="e2")
 
     timings, build = fold_passes(pass1, pass2, HEADLINE)
     r9_timings, r9_build = fold_passes(r9p1, r9p2, ROUND9)
     r11_timings, r11_build = fold_passes(r11p1, r11p2, ROUND11)
+    # diagnostics only (round-11 verdict #6): stage-wall sums of the
+    # kept executions (collected per row, after each row's timing)
+    stage_sum = {}
+    for p1, p2, rows in (
+        (pass1, pass2, HEADLINE), (r9p1, r9p2, ROUND9), (r11p1, r11p2, ROUND11)
+    ):
+        stage_sum.update(min_exec_stage_sums(p1, p2, rows))
 
     total = round(sum(timings.values()), 3)
     print(
@@ -195,6 +255,10 @@ def main() -> None:
                 "round11_total_sec": round(sum(r11_timings.values()), 3),
                 "round11_queries": r11_timings,
                 "round11_build_sec": r11_build,
+                # per-row stage-WALL sums for the kept execution (round-11
+                # verdict #6): exec - stage_sum = inter-stage driver
+                # latency; diagnostics only, read after all timing
+                "stage_sum_sec": stage_sum,
                 # host-speed probe: divide totals by this to compare
                 # across rounds measured on differently-loaded hosts
                 "calibration_sec": calib,
