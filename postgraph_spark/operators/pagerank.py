@@ -274,6 +274,15 @@ def adamic_adar(
     # untouched. Under distinct_oriented the union IS the distinct
     # symmetric edge set and costs nothing to recompute — no shuffle,
     # no checkpoint.
+    if distinct_oriented:
+        # enforce the promised orientation map-side (ADVICE r11): under
+        # the held invariant `s < d` passes every row (bit-identical,
+        # free — no shuffle); a caller that violates it gets its
+        # reversed rows EXCLUDED here instead of silently inflating
+        # degrees/wedge counts and corrupting the direct-edge anti-join.
+        # (Duplicate rows cannot be guarded without the very shuffle
+        # this flag exists to skip — still the caller's promise.)
+        e = e.filter(F.col("s") < F.col("d"))
     und = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
     if not distinct_oriented:
         und = und.distinct().localCheckpoint(eager=True)

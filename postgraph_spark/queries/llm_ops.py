@@ -2128,13 +2128,38 @@ def multimodal_decode(spark, sf_dir):
 # the k=10 / iters=2 Lloyd replay (smallest-id init, hold-position rule
 # for emptied clusters) ending in per-vector assignments `a2(vec_id, c)`
 # — shared by kmeans_embeddings and semdedup_prune
-_KM_A2_CTES = """
+#
+# k scales with the corpus (round-11 verdict #7, the SemDeDup premise
+# "k grows with the corpus so cluster sizes stay bounded"): k =
+# max(10, ceil(n / _KM_ROWS_PER_CLUSTER)). At every test SF (n <= 5000)
+# this is exactly the historical k=10 — bit-identical results — and at
+# 10x data the within-cluster quadratic shrinks ~10x. The oracle
+# computes the SAME formula in SQL (count window), so both engines
+# derive k from the data, not from a constant that fits one scale.
+_KM_ROWS_PER_CLUSTER = 500
+
+
+def _km_k(sf_dir: str) -> int:
+    """k for the shared k-means pipeline: max(10, ceil(n / rows-per-
+    cluster)), n from the parquet footer (lazy — no count job at plan
+    build). Mirrors the oracle's count-window formula exactly."""
+    import math
+
+    return max(
+        10, math.ceil(parquet_rows(sf_dir, "embeddings") / _KM_ROWS_PER_CLUSTER)
+    )
+
+
+_KM_A2_CTES = f"""
     e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings),
     c0 AS (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
-      FROM e ORDER BY vec_id LIMIT 10),
+      SELECT c, cv FROM (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv,
+               count(*) OVER () AS nn
+        FROM e)
+      WHERE c < greatest(10, CAST(ceil(nn / {_KM_ROWS_PER_CLUSTER}.0) AS BIGINT))),
     d1 AS (
       SELECT e.vec_id, c0.c,
              list_sum(list_transform(list_zip(e.v, c0.cv),
@@ -2185,7 +2210,7 @@ def kmeans_embeddings(spark, sf_dir):
     from postgraph_spark.operators.clustering import kmeans
 
     e = t(spark, sf_dir, "embeddings")
-    out, _cent = kmeans(e, "embedding", "vec_id", k=10, iters=2)
+    out, _cent = kmeans(e, "embedding", "vec_id", k=_km_k(sf_dir), iters=2)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return (
         out.select("cluster", F.aggregate(v, F.lit(0.0), lambda a, b: a + b).alias("__s"))
@@ -2231,7 +2256,7 @@ def semdedup_prune(spark, sf_dir):
     at-most-one-id-per-pair dropped set. The oracle replays the same
     two Lloyd rounds as CTEs and the same left-associated float folds."""
     return SIM.semdedup(
-        t(spark, sf_dir, "embeddings"), k=10, iters=2, threshold=0.4
+        t(spark, sf_dir, "embeddings"), k=_km_k(sf_dir), iters=2, threshold=0.4
     )
 
 

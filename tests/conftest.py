@@ -15,3 +15,24 @@ def spark():
 
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+#: the driver-facing `core` gate (round-11 verdict #2; see pytest.ini):
+#: the oracle-parity sweep over EVERY registered query, the plan-shape
+#: pins, the driver schema contract, and the guard-invariant suites.
+#: Everything else is marked `full` (builder's pre-commit gate).
+_CORE_FILES = {
+    "test_oracle_parity.py",
+    "test_plan_shapes.py",
+    "test_driver_schema_contract.py",
+    "test_round11_fixes.py",
+    "test_round12_fixes.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = os.path.basename(str(item.fspath))
+        item.add_marker(
+            pytest.mark.core if name in _CORE_FILES else pytest.mark.full
+        )

@@ -142,6 +142,28 @@ def test_adamic_adar_distinct_oriented_identical(spark):
     assert base == fast and len(base) > 0
 
 
+def test_adamic_adar_distinct_oriented_guard(spark):
+    """ADVICE r11: a caller VIOLATING the src < dst promise must not
+    silently inflate degrees — reversed rows are excluded map-side, so
+    the flagged path equals the default path run on the correctly-
+    oriented subset of the input."""
+    from postgraph_spark.operators import pagerank as PR
+
+    good = [(0, 1), (0, 2), (1, 3), (2, 3), (1, 2)]
+    bad = good + [(2, 0), (3, 1)]  # reversed duplicates of real edges
+    df_bad = spark.createDataFrame(bad, "src int, dst int")
+    df_good = spark.createDataFrame(good, "src int, dst int")
+    guarded = {
+        (r.a, r.b): (r.aa, r.common)
+        for r in PR.adamic_adar(df_bad, "src", "dst", distinct_oriented=True).collect()
+    }
+    clean = {
+        (r.a, r.b): (r.aa, r.common)
+        for r in PR.adamic_adar(df_good, "src", "dst", distinct_oriented=True).collect()
+    }
+    assert guarded == clean
+
+
 # ---------------------------------------------------------------------------
 # winnowing: >= 2^20-byte documents chunk instead of erroring
 # (round-10 verdict "What's missing #3")

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -34,7 +35,12 @@ def main() -> None:
             out[name] = {"error": str(exc)[:120]}
             continue
         out[name] = {
-            "exchanges": plan.count("Exchange"),
+            # \bExchange\b counts only real shuffle nodes: the word
+            # boundary excludes ReusedExchange (avoided work, counted
+            # separately) and BroadcastExchange (ADVICE r11)
+            "exchanges": len(re.findall(r"\bExchange\b", plan)),
+            "reused_exchanges": plan.count("ReusedExchange"),
+            "broadcast_exchanges": len(re.findall(r"\bBroadcastExchange\b", plan)),
             "smj": plan.count("SortMergeJoin"),
             "bhj": plan.count("BroadcastHashJoin"),
             "window": plan.count("Window"),
