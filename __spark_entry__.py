@@ -213,7 +213,20 @@ _PRIORITY = [
     # cypher rows and the deep-orderability suite, locally oracled
     # every run)
     "cohort_retention",
-    "kmv_corpus_overlap",
+    # ROUND-12 ROTATION (round-11 verdict #8, standing policy): every
+    # round-12-touched row rotates into the prefix on landing. The
+    # other touched rows were already in (all Cypher rows + the two
+    # graph pattern rows via the typed-narrowing compiler change,
+    # exactsubstr_spans/clean via the hashed count key, semdedup_prune
+    # via the scale-adaptive k, adamic_adar_linkpred via the
+    # orientation guard). kmeans_embeddings is the one touched row that
+    # was outside: it returns for its k = max(10, ceil(n/500)) formula
+    # and the k>20 Arrow assignment crossover (bit-identical at every
+    # test SF where k stays 10). kmv_corpus_overlap rotates out for it
+    # (driver-green rounds 10 and 11; the KMV sketch family keeps an
+    # external row via minhash_jaccard_estimate and stays locally
+    # oracled every run).
+    "kmeans_embeddings",
     # kcore_dupgraph rotates out this round (r10-driver-green; the
     # iterative-graph family keeps TWO external rows, hits_dupgraph +
     # label_prop_communities, and kcore stays locally oracled every
@@ -252,7 +265,7 @@ _PRIORITY = [
     # round-10 rotations OUT (all multi-round driver-green, shapes still
     # covered — see the rotation note at the top of this list)
     "percentile_quantiles", "graph_vle_paths", "ngram_logprob_score",
-    "pagerank_dupgraph", "kmeans_embeddings", "vector_ops_topk",
+    "pagerank_dupgraph", "kmv_corpus_overlap", "vector_ops_topk",
     "embed_neardup_lsh", "cypher_union_labels", "graph_reach_pairs",
     "multimodal_meta", "cypher_exists_pattern", "pg_expr_forms",
     # round-9 rotations OUT (all r8-driver-green, shapes still covered):

@@ -418,9 +418,6 @@ def contamination(
     )
 
 
-_HEX = "0123456789abcdef"
-
-
 def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit SimHash per document: (id, simhash).
 
@@ -433,31 +430,43 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     elimination.)
     """
     tok = _spread(df).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    tok = tok.withColumn("th", F.substring(F.md5("tok"), 1, 8))
     # 32 PARALLEL partial-agg columns instead of a 32-way bit explode
     # (round-11): the old shape multiplied the token stream 32x into the
-    # shuffle and paid TWO aggregations ((id, b) then (id)); here each
-    # bit's vote sum is one cheap expression per token row (the md5 is
-    # still computed ONCE in its own projection — only the nibble
-    # extraction repeats), map-side combined into ONE narrow row per
-    # document. The vote integers, the v > 0 threshold per bit, and the
-    # packed result are bit-identical to the exploded form.
-    def vote(b: int) -> F.Column:
-        return F.expr(
-            f"(shiftright(instr('{_HEX}', substring(th, {b // 4 + 1}, 1)) - 1,"
-            f"            {b % 4}) & 1) * 2 - 1"
-        )
+    # shuffle and paid TWO aggregations ((id, b) then (id)). Round-12
+    # (the A/B showed the r11 form ~0.85x at sf0.1): aggregate
+    # expressions get NO common-subexpression elimination, so each of
+    # the 32 votes re-ran its own instr-on-string nibble probe per
+    # token row, and the 32 fat expressions bloated plan build. Now the
+    # projection converts the 8 hex chars to ONE long (`h`, computed
+    # once per row alongside the md5) and each vote is a two-op
+    # shift/AND. Bit b of the old nibble order (char b//4+1, bit b%4 of
+    # instr-1) is bit (7 - b//4)*4 + b%4 of h — the vote integers, the
+    # v > 0 threshold per bit, and the packed result are bit-identical
+    # to both earlier forms.
+    # (round-12, second lesson, same as the r11 literal-matrix fix: each
+    # vote is ONE parsed SQL string and the packed result another —
+    # ~34 py4j calls instead of ~200 Column round-trips; measured build
+    # 0.18 -> 0.08 s and exec 0.49 -> 0.45 s in-session. A single
+    # array(sum...) aggregate was tried and REJECTED: build is lowest
+    # but exec pays ~+0.1 s for the per-group array allocation.)
+    tok = tok.withColumn(
+        "h", F.expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)")
+    )
+
+    def _shift(b: int) -> int:
+        return (7 - b // 4) * 4 + b % 4
 
     agg = tok.groupBy(id_col).agg(
-        *[F.sum(vote(b)).alias(f"v{b}") for b in range(32)]
+        *[
+            F.expr(f"sum((shiftright(h, {_shift(b)}) & 1) * 2 - 1)").alias(f"v{b}")
+            for b in range(32)
+        ]
     )
-    packed = None
-    for b in range(32):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        packed = term if packed is None else packed + term
-    return agg.select(F.col(id_col), packed.alias("simhash"))
+    packed = " + ".join(
+        f"if(v{b} > 0, cast({1 << b} as bigint), cast(0 as bigint))"
+        for b in range(32)
+    )
+    return agg.select(F.col(id_col), F.expr(packed).alias("simhash"))
 
 
 def exact_substring_spans(

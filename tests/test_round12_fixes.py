@@ -142,3 +142,40 @@ def test_narrow_gval_fields(spark):
     s = G.gv_str(F.lit("q"))
     assert G.feasible_fields(G.gv_types(s)) == ("t", "s")
     assert G.feasible_fields(None) == G.GVAL_FIELDS
+
+
+def test_simhash_convcols_equals_reference_explode(spark):
+    """The shipped simhash32 (per-row hex->long conversion + 32 narrow
+    shift/AND vote aggregates) is bit-identical to the original
+    explode-per-bit reference form — the vote integers, the v > 0
+    threshold, and the packed long all survive the round-12 rewrite."""
+    from postgraph_spark.operators.dedup import _spread, simhash32, tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs jugs jugs"),
+            (3, "a"),
+            (4, "unicode tæxt mixed 123 numbers and CAPS caps CAPS"),
+        ],
+        "doc_id int, text string",
+    )
+    hexd = "0123456789abcdef"
+    tok = _spread(docs).select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tok = tok.withColumn("th", F.substring(F.md5("tok"), 1, 8))
+    bits = tok.select("doc_id", "th", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
+    vote = F.expr(
+        f"(shiftright(instr('{hexd}', substring(th, CAST(b / 4 AS INT) + 1, 1)) - 1,"
+        f" CAST(b % 4 AS INT)) & 1) * 2 - 1"
+    )
+    ref = (
+        bits.select("doc_id", "b", vote.alias("vote"))
+        .groupBy("doc_id", "b").agg(F.sum("vote").alias("v"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr(
+            "CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"
+            " ELSE CAST(0 AS BIGINT) END")).alias("simhash"))
+    )
+    want = {r.doc_id: r.simhash for r in ref.collect()}
+    got = {r.doc_id: r.simhash for r in simhash32(docs, "doc_id", "text").collect()}
+    assert got == want and len(got) == 4
