@@ -250,6 +250,11 @@ class Compiler:
         self.spark = spark
         self.graph = graph
         self._anon = itertools.count()
+        #: comma-pattern broadcast tracking (guide §3.4, round-12): True
+        #: while the accumulated pattern df is only property-equality-
+        #: filtered single-node scans — the side worth broadcast-hinting
+        #: in a disconnected-pattern product
+        self._df_selective = False
         # let-binding buffer: None = disabled (write-path compiles and
         # standalone expression compiles), [] = collecting. See _let.
         self._lets: list[tuple[str, Column]] | None = None
@@ -880,6 +885,10 @@ class Compiler:
         order: list[tuple[str, str]] = [("v", prev_var)]
 
         i = 1
+        if len(elements) > 1:
+            # a relationship traversal fans the row set out — the
+            # accumulated df is no longer a selective scan product
+            self._df_selective = False
         while i < len(elements):
             rel: A.RelPat = elements[i]
             node: A.NodePat = elements[i + 1]
@@ -1042,7 +1051,29 @@ class Compiler:
         var = node.var or f"_n{next(self._anon)}"
         scan = self._vertex_scan(node.label, var, force_full=force_full)
         scan = self._node_filters(scan, node, var)
-        df = scan if df is None else df.crossJoin(scan)
+        if df is None:
+            df = scan
+            # "selective so far": the pattern product up to here is only
+            # property-equality-filtered single-node scans
+            self._df_selective = bool(node.props)
+        elif node.props:
+            # guide §3.4 (round-12): a comma-pattern product with a
+            # property-equality-filtered scan must never plan as a raw
+            # CartesianProduct — catalog stats cannot see the filter's
+            # selectivity, so past the size estimate Spark silently
+            # downgrades the BNLJ to a cartesian (observed on
+            # vector_ops_topk: BNLJ at sf0.01, CartesianProduct at
+            # sf0.1). The equality map is the one static signal of a
+            # selective side; the hint is semantics-free.
+            df = df.crossJoin(F.broadcast(scan))
+        elif getattr(self, "_df_selective", False):
+            # mirror case: the accumulated left side is the filtered
+            # one (MATCH (q {k: v}), (n) binds q first)
+            df = F.broadcast(df).crossJoin(scan)
+            self._df_selective = False
+        else:
+            df = df.crossJoin(scan)
+            self._df_selective = False
         scope.kinds[var] = VKIND_VERTEX
         scope.labels[var] = node.label
         return df, var
